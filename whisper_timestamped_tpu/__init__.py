@@ -1,0 +1,41 @@
+"""whisper_timestamped_tpu — TPU-native speech transcription with word-level timestamps.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+``linto-ai/whisper-timestamped`` (reference ``whisper_timestamped/__init__.py:1-10``):
+multilingual Whisper transcription, accurate word timestamps + confidences via
+on-device DTW over cross-attention, VAD pre-filtering, disfluency detection,
+OpenAI/HF checkpoint loading, CLI with six output formats, and subtitle tools —
+all with the compute path owned by jitted JAX (no hooks, no per-step host copies).
+"""
+
+__version__ = "0.1.0"
+
+from .audio import (  # noqa: F401
+    SAMPLE_RATE,
+    N_FFT,
+    HOP_LENGTH,
+    CHUNK_LENGTH,
+    N_SAMPLES,
+    N_FRAMES,
+    load_audio,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+
+_LAZY = {
+    "transcribe": ("whisper_timestamped_tpu.api", "transcribe_timestamped"),
+    "transcribe_timestamped": ("whisper_timestamped_tpu.api", "transcribe_timestamped"),
+    "load_model": ("whisper_timestamped_tpu.models.load", "load_model"),
+    "available_models": ("whisper_timestamped_tpu.models.load", "available_models"),
+    "Tokenizer": ("whisper_timestamped_tpu.tokenizer", "Tokenizer"),
+    "get_tokenizer": ("whisper_timestamped_tpu.tokenizer", "get_tokenizer"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
