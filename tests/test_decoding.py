@@ -1,0 +1,223 @@
+"""Decode-engine tests: timestamp rules, suppression, fallback, windowing loop."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_timestamped_tpu.decoding import DecodingOptions
+from whisper_timestamped_tpu.engine import DecodeEngine, transcribe_windows
+from whisper_timestamped_tpu.models.load import WhisperModel
+
+from model_utils import make_hf_model, hf_model_to_jax, make_tokenizer
+
+pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = make_hf_model(seed=0)
+    params, dims = hf_model_to_jax(model)
+    params = __import__("jax").tree.map(jnp.asarray, params)
+    tok = make_tokenizer(language="en", task="transcribe")
+    wm = WhisperModel(params=params, dims=dims, alignment_heads=[(0, 1), (1, 0), (1, 3)])
+    return DecodeEngine(wm, tok)
+
+
+@pytest.fixture(scope="module")
+def mel():
+    rng = np.random.default_rng(0)
+    return (rng.standard_normal((80, 3000)) * 0.4).astype(np.float32)
+
+
+def test_greedy_window_obeys_timestamp_rules(engine, mel):
+    tok = engine.tokenizer
+    opts = DecodingOptions(language="en")
+    res = engine.decode_window(mel, opts)[0]
+    toks = res.tokens
+    assert len(toks) > 0
+    # first sampled token is a timestamp within max_initial_timestamp (1.0s -> 50)
+    assert tok.timestamp_begin <= toks[0] <= tok.timestamp_begin + 50
+    # timestamps non-decreasing
+    ts = [t for t in toks if t >= tok.timestamp_begin]
+    assert ts == sorted(ts)
+    # suppressed tokens never sampled
+    for t in toks:
+        assert t not in (tok.sot, tok.sot_prev, tok.sot_lm, tok.no_timestamps,
+                         tok.transcribe, tok.translate, tok.no_speech)
+    assert 0.0 <= res.no_speech_prob <= 1.0
+    assert res.avg_logprob <= 0.0
+    assert res.token_logprobs.shape == (len(toks),)
+    assert res.attn.shape == (len(toks), 3, 1500)
+    assert np.isfinite(res.attn).all()
+    # attention rows are softmax distributions over frames
+    np.testing.assert_allclose(res.attn.sum(-1), 1.0, atol=1e-3)
+
+
+def test_greedy_deterministic(engine, mel):
+    opts = DecodingOptions(language="en")
+    a = engine.decode_window(mel, opts)[0]
+    b = engine.decode_window(mel, opts)[0]
+    assert a.tokens == b.tokens
+    np.testing.assert_allclose(a.token_logprobs, b.token_logprobs, atol=1e-6)
+
+
+def test_temperature_sampling_seeded(engine, mel):
+    opts = DecodingOptions(language="en")
+    a = engine.decode_window(mel, opts, temperature=0.8, rng_seed=1)[0]
+    b = engine.decode_window(mel, opts, temperature=0.8, rng_seed=1)[0]
+    c = engine.decode_window(mel, opts, temperature=0.8, rng_seed=2)[0]
+    assert a.tokens == b.tokens
+    assert a.tokens != c.tokens  # astronomically unlikely to collide
+
+
+def test_without_timestamps(engine, mel):
+    # whisper semantics: timestamp *rules* are off and <|notimestamps|> joins the
+    # sot sequence; timestamp tokens are not hard-suppressed (a trained model
+    # simply won't emit them). With a random model we only check structure.
+    opts = DecodingOptions(language="en", without_timestamps=True)
+    res = engine.decode_window(mel, opts)[0]
+    assert len(res.tokens) > 0
+    # first token unconstrained (no forced initial timestamp); prompt must have
+    # ended with <|notimestamps|>
+    buf, plen, _ = engine.build_prompt([], opts)
+    assert buf[-1] == engine.tokenizer.no_timestamps
+
+
+def test_prompt_changes_output_and_is_truncated(engine, mel):
+    opts = DecodingOptions(language="en")
+    base = engine.decode_window(mel, opts)[0]
+    prompted = engine.decode_window(mel, opts, prompt_tokens=[5, 6, 7, 8, 9] * 10)[0]
+    # over-long prompt must not crash (truncated to budget)
+    huge = engine.decode_window(mel, opts, prompt_tokens=list(range(256, 300)) * 20)[0]
+    assert len(huge.tokens) > 0
+    assert base.tokens is not None and prompted.tokens is not None
+
+
+def test_batched_window_decode(engine, mel):
+    opts = DecodingOptions(language="en")
+    batch = np.stack([mel, mel * 0.5])
+    res = engine.decode_window(batch, opts)
+    assert len(res) == 2
+    single = engine.decode_window(mel, opts)[0]
+    assert res[0].tokens == single.tokens
+
+
+def test_language_detection(engine, mel):
+    from whisper_timestamped_tpu.decoding import detect_language
+
+    codes, probs = detect_language(
+        engine.model.params, mel[None], engine.dims, engine.tokenizer
+    )
+    assert len(codes) == 1 and codes[0] in probs[0]
+    assert len(probs[0]) == 99
+    total = sum(probs[0].values())
+    assert abs(total - 1.0) < 1e-3
+
+
+def test_transcribe_windows_end_to_end(engine):
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16000 * 45) * 0.1).astype(np.float32)  # 45 s
+    result = transcribe_windows(
+        engine, audio, temperature=[0.0], no_speech_threshold=None,
+        logprob_threshold=None, compression_ratio_threshold=None,
+    )
+    assert result.language is not None
+    assert len(result.segments) >= 1
+    for seg in result.segments:
+        assert 0 <= seg.start <= seg.end
+        assert seg.window is not None
+        a, b = seg.token_span
+        assert seg.tokens == seg.window.tokens[a:b]
+    # segments ordered and ids sequential
+    assert [s.id for s in result.segments] == list(range(len(result.segments)))
+    starts = [s.start for s in result.segments]
+    assert starts == sorted(starts)
+
+
+def _sequential_reference_decode(hf_model, tok, mel, prompt_tokens, max_new=224,
+                                 max_initial_ts_index=50):
+    """Sequential torch+numpy reimplementation of whisper's greedy decode with
+    ApplyTimestampRules/SuppressBlank/SuppressTokens semantics — the oracle for
+    the jitted while_loop engine."""
+    import torch
+
+    from whisper_timestamped_tpu.decoding import build_blank_mask, build_suppress_mask
+    from whisper_timestamped_tpu.decoding import DecodingOptions as DO
+
+    V = hf_model.config.vocab_size
+    suppress = build_suppress_mask(tok, DO(), V)
+    blank = build_blank_mask(tok, V)
+    sot_seq = [tok.sot, tok.to_language_token("en"), tok.transcribe]
+    initial = ([tok.sot_prev] + list(prompt_tokens) if prompt_tokens else []) + sot_seq
+    sample_begin = len(initial)
+    tokens = list(initial)
+    ts_begin, eot = tok.timestamp_begin, tok.eot
+    out_tokens, out_logprobs = [], []
+    with torch.no_grad():
+        enc = hf_model.model.encoder(torch.from_numpy(mel[None]))
+        for i in range(max_new):
+            ids = torch.tensor([tokens])
+            logits = hf_model(encoder_outputs=(enc.last_hidden_state,), decoder_input_ids=ids).logits
+            row = logits[0, -1].numpy().astype(np.float64)
+            if i == 0:
+                row = row + blank
+            row = row + suppress
+            # ApplyTimestampRules (sequential literal form)
+            row[tok.no_timestamps] = -np.inf
+            sampled = tokens[sample_begin:]
+            last_was = len(sampled) >= 1 and sampled[-1] >= ts_begin
+            penult_was = len(sampled) < 2 or sampled[-2] >= ts_begin
+            if last_was:
+                if penult_was:
+                    row[ts_begin:] = -np.inf
+                else:
+                    row[:eot] = -np.inf
+            timestamps = [t for t in sampled if t >= ts_begin]
+            if timestamps:
+                ts_last = timestamps[-1] if (last_was and not penult_was) else timestamps[-1] + 1
+                row[ts_begin:ts_last] = -np.inf
+            if len(sampled) == 0:
+                row[:ts_begin] = -np.inf
+                if max_initial_ts_index is not None:
+                    row[ts_begin + max_initial_ts_index + 1 :] = -np.inf
+            lp = row - np.log(np.exp(row - row.max()).sum()) - row.max()
+            with np.errstate(divide="ignore"):
+                ts_lp = np.logaddexp.reduce(lp[ts_begin:])
+            if ts_lp > lp[:ts_begin].max():
+                row[:ts_begin] = -np.inf
+            choice = int(np.argmax(row))
+            lp_final = row - np.log(np.exp(row - row[np.isfinite(row)].max()).sum()) - row[np.isfinite(row)].max()
+            out_tokens.append(choice)
+            out_logprobs.append(float(lp_final[choice]))
+            if choice == eot:
+                break
+            tokens.append(choice)
+    return out_tokens, out_logprobs
+
+
+def test_greedy_matches_sequential_reference(engine, mel):
+    hf_model = make_hf_model(seed=0)
+    tok = engine.tokenizer
+    opts = DecodingOptions(language="en")
+    for prompt in ([], [300, 301, 302, 260, 261]):
+        ours = engine.decode_window(mel, opts, prompt_tokens=prompt)[0]
+        ref_tokens, ref_logprobs = _sequential_reference_decode(hf_model, tok, mel, prompt)
+        if ref_tokens and ref_tokens[-1] == tok.eot:
+            ref_tokens = ref_tokens[:-1]
+        assert ours.tokens == ref_tokens, (ours.tokens[:20], ref_tokens[:20])
+        np.testing.assert_allclose(
+            ours.token_logprobs, np.array(ref_logprobs[: len(ours.tokens)]), atol=2e-3
+        )
+
+
+def test_transcribe_fallback_schedule(engine):
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+    # thresholds that force fallback through the schedule must still terminate
+    result = transcribe_windows(
+        engine, audio, temperature=[0.0, 0.5, 1.0],
+        compression_ratio_threshold=0.0,  # always "too repetitive" -> escalate
+        logprob_threshold=None, no_speech_threshold=None,
+    )
+    assert all(s.temperature == 1.0 for s in result.segments)

@@ -1,0 +1,464 @@
+"""Long-form transcription engine: the 30-second sliding-window loop.
+
+Owns what the reference delegates to ``whisper.transcribe`` (invoked at
+reference ``transcribe.py:902-904``): window seeking, the temperature-fallback
+schedule, quality thresholds (compression ratio 2.4 / logprob −1.0 / no-speech
+0.6, reference ``transcribe.py:111-113``), prompt threading via
+``condition_on_previous_text`` (``transcribe.py:201-204``), and timestamp-token
+segmentation. Each window is ONE jitted device call that also returns the
+per-token log-probabilities and alignment-head cross-attention the word
+aligner consumes — the data the reference collects via hooks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .audio import (
+    FRAMES_PER_SECOND,
+    HOP_LENGTH,
+    N_FRAMES,
+    N_SAMPLES,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from .decoding import (
+    MAX_NEW_TOKENS,
+    PROMPT_REGION,
+    DecodingOptions,
+    build_blank_mask,
+    build_suppress_mask,
+    compression_ratio,
+    decode_window_jit,
+    detect_language,
+)
+from .models.load import WhisperModel
+from .tokenizer import Tokenizer
+
+INPUT_STRIDE = 2  # mel frames per output token position (conv2 stride)
+TIME_PER_POSITION = INPUT_STRIDE * HOP_LENGTH / SAMPLE_RATE  # 0.02 s
+
+
+@dataclass
+class WindowDecodeResult:
+    """Everything one window decode produced (per batch element)."""
+
+    tokens: List[int]  # sampled tokens, EOT excluded
+    text: str
+    avg_logprob: float
+    no_speech_prob: float
+    temperature: float
+    compression_ratio: float
+    token_logprobs: np.ndarray  # (n_tokens,) logprob of each sampled token
+    attn: np.ndarray  # (n_tokens, K, T_audio) alignment-head cross-attention
+    sum_logprob: float = 0.0
+
+
+@dataclass
+class Segment:
+    """One transcription segment plus the alignment payload for its tokens."""
+
+    id: int
+    seek: int
+    start: float
+    end: float
+    text: str
+    tokens: List[int]
+    temperature: float
+    avg_logprob: float
+    compression_ratio: float
+    no_speech_prob: float
+    # span [a, b) into the window's sampled-token arrays
+    token_span: Tuple[int, int] = (0, 0)
+    window: Optional[WindowDecodeResult] = None
+    mel_frame_offset: int = 0  # window start frame in the full mel
+    segment_frames: int = N_FRAMES  # actual content frames in this window
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dict(
+            id=self.id,
+            seek=self.seek,
+            start=self.start,
+            end=self.end,
+            text=self.text,
+            tokens=list(self.tokens),
+            temperature=self.temperature,
+            avg_logprob=self.avg_logprob,
+            compression_ratio=self.compression_ratio,
+            no_speech_prob=self.no_speech_prob,
+        )
+
+
+class DecodeEngine:
+    """Bound (model, tokenizer, options-geometry) with cached jit buffers."""
+
+    def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.dims = model.dims
+        self.attn_dtype = attn_dtype
+        heads = model.alignment_heads
+        if not heads:
+            # fallback: all heads of the top half of decoder layers
+            # (reference transcribe.py:259-261 / perform_word_alignment default)
+            L, H = self.dims.n_text_layer, self.dims.n_text_head
+            heads = [(l, h) for l in range(L // 2, L) for h in range(H)]
+        self.align_heads: Tuple[Tuple[int, int], ...] = tuple(heads)
+        self._mask_cache: Dict[Any, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+    # ------------------------------------------------------------------
+    def _masks(self, options: DecodingOptions):
+        key = (options.suppress_tokens if not isinstance(options.suppress_tokens, list)
+               else tuple(options.suppress_tokens), options.suppress_blank)
+        if key not in self._mask_cache:
+            sm = jnp.asarray(build_suppress_mask(self.tokenizer, options, self.dims.n_vocab))
+            bm = jnp.asarray(build_blank_mask(self.tokenizer, self.dims.n_vocab))
+            self._mask_cache[key] = (sm, bm)
+        return self._mask_cache[key]
+
+    def build_prompt(
+        self,
+        prompt_tokens: Sequence[int],
+        options: DecodingOptions,
+    ) -> Tuple[np.ndarray, int, int]:
+        """Right-aligned prompt buffer. Returns (buffer (P,), prompt_len, sot_index_from_end)."""
+        tok = self.tokenizer
+        sot_seq = list(tok.sot_sequence)
+        if options.without_timestamps:
+            sot_seq.append(tok.no_timestamps)
+        prefix = list(options.prefix or [])
+        budget = min(
+            self.dims.n_text_ctx // 2 - 1,
+            PROMPT_REGION - len(sot_seq) - len(prefix) - 1,
+        )
+        initial: List[int] = []
+        if prompt_tokens:
+            initial.append(tok.sot_prev)
+            initial.extend(list(prompt_tokens)[-budget:])
+        initial.extend(sot_seq)
+        initial.extend(prefix)
+        assert len(initial) <= PROMPT_REGION
+        buf = np.full((PROMPT_REGION,), tok.eot, np.int32)
+        buf[PROMPT_REGION - len(initial):] = initial
+        sot_index_from_end = len(initial) - initial.index(tok.sot)
+        return buf, len(initial), sot_index_from_end
+
+    # ------------------------------------------------------------------
+    def decode_window(
+        self,
+        mel: np.ndarray,  # (n_mels, 3000) or (B, n_mels, 3000)
+        options: DecodingOptions,
+        prompt_tokens: Sequence[int] = (),
+        temperature: float = 0.0,
+        rng_seed: int = 0,
+    ) -> List[WindowDecodeResult]:
+        tok = self.tokenizer
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim == 2:
+            mel = mel[None]
+        B = mel.shape[0]
+        buf, plen, sot_from_end = self.build_prompt(prompt_tokens, options)
+        prompt = jnp.asarray(np.tile(buf[None], (B, 1)))
+        prompt_len = jnp.full((B,), plen, jnp.int32)
+        sm, bm = self._masks(options)
+        max_init_ts = (
+            round(options.max_initial_timestamp / TIME_PER_POSITION)
+            if options.max_initial_timestamp is not None
+            else None
+        )
+        out = decode_window_jit(
+            self.model.params,
+            jnp.asarray(mel),
+            prompt,
+            prompt_len,
+            sm,
+            bm,
+            jnp.float32(temperature),
+            jax.random.PRNGKey(rng_seed),
+            dims=self.dims,
+            align_heads=self.align_heads,
+            max_new=options.sample_len or MAX_NEW_TOKENS,
+            eot=tok.eot,
+            ts_begin=tok.timestamp_begin,
+            no_timestamps=tok.no_timestamps,
+            sot_index_from_end=sot_from_end,
+            max_initial_timestamp_index=max_init_ts,
+            suppress_blank=options.suppress_blank,
+            without_timestamps=options.without_timestamps,
+            attn_dtype=self.attn_dtype,
+        )
+        tokens_all = np.asarray(out["tokens"])
+        logprobs_all = np.asarray(out["token_logprobs"])
+        attn_all = np.asarray(out["attn"], np.float32)
+        sum_lp = np.asarray(out["sum_logprobs"])
+        nsp = np.asarray(out["no_speech_prob"])
+
+        results = []
+        for b in range(B):
+            toks = tokens_all[b]
+            eot_pos = np.nonzero(toks == tok.eot)[0]
+            n_text = int(eot_pos[0]) if len(eot_pos) else len(toks)
+            text_tokens = toks[:n_text].tolist()
+            text = tok.decode(text_tokens)
+            # whisper avg_logprob: sum over sampled (incl. final EOT) / (len+1)
+            avg_lp = float(sum_lp[b]) / (n_text + 1)
+            results.append(
+                WindowDecodeResult(
+                    tokens=text_tokens,
+                    text=text,
+                    avg_logprob=avg_lp,
+                    no_speech_prob=float(nsp[b]),
+                    temperature=float(temperature),
+                    compression_ratio=compression_ratio(text),
+                    token_logprobs=logprobs_all[b, :n_text],
+                    attn=attn_all[b, :n_text],
+                    sum_logprob=float(sum_lp[b]),
+                )
+            )
+        return results
+
+    # ------------------------------------------------------------------
+    def decode_with_fallback(
+        self,
+        mel: np.ndarray,
+        options: DecodingOptions,
+        prompt_tokens: Sequence[int],
+        temperatures: Sequence[float],
+        compression_ratio_threshold: Optional[float],
+        logprob_threshold: Optional[float],
+        no_speech_threshold: Optional[float],
+        rng_seed: int = 0,
+    ) -> WindowDecodeResult:
+        """whisper's decode_with_fallback: escalate temperature on bad output."""
+        result = None
+        for t in temperatures:
+            result = self.decode_window(
+                mel, options, prompt_tokens, temperature=float(t), rng_seed=rng_seed
+            )[0]
+            needs_fallback = False
+            if (
+                compression_ratio_threshold is not None
+                and result.compression_ratio > compression_ratio_threshold
+            ):
+                needs_fallback = True  # too repetitive
+            if logprob_threshold is not None and result.avg_logprob < logprob_threshold:
+                needs_fallback = True  # low confidence
+            if (
+                no_speech_threshold is not None
+                and result.no_speech_prob > no_speech_threshold
+                and logprob_threshold is not None
+                and result.avg_logprob < logprob_threshold
+            ):
+                needs_fallback = False  # silence: don't bother retrying
+            if not needs_fallback:
+                break
+        return result
+
+
+# ---------------------------------------------------------------------------
+# The sliding-window loop
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TranscribeResult:
+    text: str
+    segments: List[Segment]
+    language: Optional[str]
+    language_probs: Optional[dict] = None
+
+
+def transcribe_windows(
+    engine: DecodeEngine,
+    audio: np.ndarray,  # 16 kHz float32
+    *,
+    language: Optional[str] = None,
+    task: str = "transcribe",
+    temperature: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
+    initial_prompt: Optional[str] = None,
+    decode_options: Optional[DecodingOptions] = None,
+    return_language_probs: bool = False,
+    verbose_callback=None,
+    rng_seed: int = 0,
+) -> TranscribeResult:
+    """whisper-semantics long-form loop, emitting alignment-ready segments."""
+    tok = engine.tokenizer
+    dims = engine.dims
+    if isinstance(temperature, (int, float)):
+        temperature = [float(temperature)]
+
+    mel_full = np.asarray(
+        log_mel_spectrogram(np.asarray(audio, np.float32), n_mels=dims.n_mels, padding=N_SAMPLES)
+    )
+    content_frames = mel_full.shape[-1] - N_FRAMES
+    content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
+
+    # --- language ---
+    language_probs = None
+    if language is None:
+        if engine.model.is_multilingual:
+            window = pad_or_trim(mel_full[:, :N_FRAMES], N_FRAMES, axis=-1)
+            codes, probs = detect_language(engine.model.params, window[None], dims, tok)
+            language, language_probs = codes[0], probs[0]
+        else:
+            language = "en"
+    elif return_language_probs and engine.model.is_multilingual:
+        window = pad_or_trim(mel_full[:, :N_FRAMES], N_FRAMES, axis=-1)
+        _, probs = detect_language(engine.model.params, window[None], dims, tok)
+        language_probs = probs[0]
+
+    base_opts = decode_options or DecodingOptions()
+    base_opts = DecodingOptions(
+        **{
+            **base_opts.__dict__,
+            "task": task,
+            "language": language,
+        }
+    )
+    engine.tokenizer.language = language
+    engine.tokenizer.task = task
+
+    all_tokens: List[int] = []
+    initial_prompt_tokens: List[int] = []
+    if initial_prompt is not None:
+        initial_prompt_tokens = tok.encode(" " + initial_prompt.strip())
+        all_tokens.extend(initial_prompt_tokens)
+    prompt_reset_since = 0
+
+    segments: List[Segment] = []
+    seek = 0
+    while seek < content_frames:
+        time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+        mel_window = mel_full[:, seek : seek + N_FRAMES]
+        segment_size = min(N_FRAMES, content_frames - seek)
+        segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+        mel_window = pad_or_trim(mel_window, N_FRAMES, axis=-1)
+
+        result = engine.decode_with_fallback(
+            mel_window,
+            base_opts,
+            all_tokens[prompt_reset_since:],
+            temperature,
+            compression_ratio_threshold,
+            logprob_threshold,
+            no_speech_threshold,
+            rng_seed=rng_seed + seek,
+        )
+
+        if no_speech_threshold is not None:
+            should_skip = result.no_speech_prob > no_speech_threshold
+            if (
+                logprob_threshold is not None
+                and result.avg_logprob > logprob_threshold
+            ):
+                should_skip = False
+            if should_skip:
+                seek += segment_size
+                continue
+
+        tokens = np.array(result.tokens)
+        ts_begin = tok.timestamp_begin
+        timestamp_mask = tokens >= ts_begin
+        single_timestamp_ending = (
+            len(tokens) >= 2 and not timestamp_mask[-2] and timestamp_mask[-1]
+        )
+
+        consecutive = (
+            np.where(timestamp_mask[:-1] & timestamp_mask[1:])[0] + 1
+            if len(tokens) >= 2
+            else np.array([], int)
+        )
+        window_segments: List[Segment] = []
+        if len(consecutive) > 0:
+            slices = consecutive.tolist()
+            if single_timestamp_ending:
+                slices.append(len(tokens))
+            last_slice = 0
+            for current_slice in slices:
+                sliced = tokens[last_slice:current_slice]
+                start_pos = int(sliced[0]) - ts_begin
+                end_pos = int(sliced[-1]) - ts_begin
+                window_segments.append(
+                    _new_segment(
+                        seek,
+                        time_offset + start_pos * TIME_PER_POSITION,
+                        time_offset + end_pos * TIME_PER_POSITION,
+                        sliced.tolist(),
+                        result,
+                        token_span=(last_slice, current_slice),
+                        tok=tok,
+                        mel_frame_offset=seek,
+                        segment_frames=segment_size,
+                    )
+                )
+                last_slice = current_slice
+            if single_timestamp_ending:
+                seek += segment_size
+            else:
+                last_timestamp_pos = int(tokens[last_slice - 1]) - ts_begin
+                seek += last_timestamp_pos * INPUT_STRIDE
+        else:
+            duration = segment_duration
+            timestamps = tokens[timestamp_mask]
+            if len(timestamps) > 0 and int(timestamps[-1]) != ts_begin:
+                duration = (int(timestamps[-1]) - ts_begin) * TIME_PER_POSITION
+            window_segments.append(
+                _new_segment(
+                    seek,
+                    time_offset,
+                    time_offset + duration,
+                    tokens.tolist(),
+                    result,
+                    token_span=(0, len(tokens)),
+                    tok=tok,
+                    mel_frame_offset=seek,
+                    segment_frames=segment_size,
+                )
+            )
+            seek += segment_size
+
+        for seg in window_segments:
+            seg.id = len(segments)
+            segments.append(seg)
+            if verbose_callback is not None:
+                verbose_callback(seg)
+            all_tokens.extend(seg.tokens)
+
+        if not condition_on_previous_text or result.temperature > 0.5:
+            prompt_reset_since = len(all_tokens)
+
+    text = "".join(s.text for s in segments)
+    return TranscribeResult(
+        text=text, segments=segments, language=language, language_probs=language_probs
+    )
+
+
+def _new_segment(seek, start, end, seg_tokens, window: WindowDecodeResult, token_span, tok, mel_frame_offset, segment_frames):
+    text_tokens = [t for t in seg_tokens if t < tok.eot]
+    return Segment(
+        id=-1,
+        seek=int(seek),
+        start=float(start),
+        end=float(end),
+        text=tok.decode(text_tokens),
+        tokens=seg_tokens,
+        temperature=window.temperature,
+        avg_logprob=window.avg_logprob,
+        compression_ratio=window.compression_ratio,
+        no_speech_prob=window.no_speech_prob,
+        token_span=tuple(token_span),
+        window=window,
+        mel_frame_offset=mel_frame_offset,
+        segment_frames=segment_frames,
+    )

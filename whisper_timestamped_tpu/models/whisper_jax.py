@@ -336,10 +336,15 @@ def decode_step(
     cache: KVCache,
     pos: jnp.ndarray,
     dims: WhisperDims,
+    pos_offset: Optional[jnp.ndarray] = None,
+    kv_valid_from: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One decode step for S_new tokens (S_new=1 in the loop, >1 for the prompt).
 
     tokens: (B, S_new) int32; pos: scalar int32 — write offset in the cache.
+    pos_offset: optional (B,) — subtracted from cache slots to get positional
+    indices (supports left-padded prompts of varying length in one program).
+    kv_valid_from: optional (B,) — cache slots below this are masked out.
     Returns (logits (B, S_new, V), updated cache, cross-attn (L, B, H, S_new, T)).
 
     Emitting cross-attention + logits from the step is the functional
@@ -347,14 +352,28 @@ def decode_step(
     """
     dec = params["decoder"]
     B, S = tokens.shape
-    x = dec["tok_emb"][tokens] + lax.dynamic_slice_in_dim(dec["pos_emb"], pos, S, axis=0)
+    if pos_offset is None:
+        x = dec["tok_emb"][tokens] + lax.dynamic_slice_in_dim(dec["pos_emb"], pos, S, axis=0)
+    else:
+        pos_ids = jnp.clip(
+            pos + jnp.arange(S, dtype=jnp.int32)[None, :] - pos_offset[:, None],
+            0,
+            dims.n_text_ctx - 1,
+        )
+        x = dec["tok_emb"][tokens] + dec["pos_emb"][pos_ids]
     x = x.astype(cache.k.dtype)
 
     # mask over cache positions: new token i may attend to cache slots < pos+i+1
     ctx = dims.n_text_ctx
     col = jax.lax.broadcasted_iota(jnp.int32, (S, ctx), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (S, ctx), 0)
-    mask = jnp.where(col <= pos + row, 0.0, -jnp.inf).astype(x.dtype)
+    ok = col <= pos + row
+    if kv_valid_from is not None:
+        # keep the query's own slot attendable so no row is fully masked
+        ok = ok[None] & ((col[None] >= kv_valid_from[:, None, None]) | (col == pos + row)[None])
+        mask = jnp.where(ok, 0.0, -jnp.inf).astype(x.dtype)[:, None]  # (B,1,S,ctx)
+    else:
+        mask = jnp.where(ok, 0.0, -jnp.inf).astype(x.dtype)
 
     def block(carry, layer_in):
         x, = carry
