@@ -50,8 +50,10 @@ def test_greedy_window_obeys_timestamp_rules(engine, mel):
     assert res.token_logprobs.shape == (len(toks),)
     assert res.attn.shape == (len(toks), 3, 1500)
     assert np.isfinite(res.attn).all()
-    # attention rows are softmax distributions over frames
-    np.testing.assert_allclose(res.attn.sum(-1), 1.0, atol=1e-3)
+    # rows are pre-softmax qk scores; their softmax is a distribution
+    sm = np.exp(res.attn - res.attn.max(-1, keepdims=True))
+    sm /= sm.sum(-1, keepdims=True)
+    np.testing.assert_allclose(sm.sum(-1), 1.0, atol=1e-5)
 
 
 def test_greedy_deterministic(engine, mel):

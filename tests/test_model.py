@@ -70,9 +70,13 @@ def test_decoder_parity_with_cross_attention(oracle):
             output_attentions=True,
         )
     np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(), atol=3e-3)
-    # cross-attention: ours (L, B, H, S, T) vs theirs tuple of (B, H, S, T)
+    # ours are PRE-softmax qk scores (L, B, H, S, T); softmax to compare with
+    # HF's post-softmax cross_attentions
+    import jax.nn
+
+    ours_w = np.asarray(jax.nn.softmax(jnp.asarray(ws), axis=-1))
     theirs_w = np.stack([w.numpy() for w in out.cross_attentions])
-    np.testing.assert_allclose(np.asarray(ws), theirs_w, atol=2e-4)
+    np.testing.assert_allclose(ours_w, theirs_w, atol=2e-4)
 
 
 def test_incremental_decode_matches_full(oracle):

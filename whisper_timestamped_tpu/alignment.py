@@ -1,0 +1,355 @@
+"""Word alignment: DTW over cross-attention → word-level timestamps.
+
+Behavioral port of the reference's alignment core
+(``perform_word_alignment`` at reference ``transcribe.py:1428-1793``, token
+splitting at ``transcribe.py:1815-1868``), rebuilt on our own ops. This module
+is the *exact* host path (vectorized-numpy wavefront DTW, sliding-window
+median, pure-numpy find_peaks): segment shapes are dynamic, so it avoids
+per-shape XLA recompiles; the fixed-shape on-device fast path (Pallas) plugs
+in at the ``ops`` layer.
+
+Input layout difference: the engine hands attention as pre-softmax qk scores
+shaped (n_tokens, K, n_audio_ctx); the reference concatenates hook outputs to
+(K, n_tokens, frames). Semantics are otherwise kept 1:1, including the quirks
+goldens pin down (absolute-vs-sliced max_duration column masking, edge-time
+rules, recursive truncation on token overflow).
+"""
+
+from __future__ import annotations
+
+import string
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .audio import AUDIO_TIME_PER_TOKEN, N_FRAMES
+from .ops.dtw import dtw_path_numpy_wavefront as dtw_path
+from .ops.peaks import find_peaks
+from .ops.median import median_filter_numpy
+
+DISFLUENCY_MARK = "[*]"
+
+# punctuation set (reference ``transcribe.py:1813``)
+_punctuation = (
+    "".join(c for c in string.punctuation if c not in ["-", "'"]) + "。，！？：”、…"
+)
+
+
+def round_confidence(x: float) -> float:
+    return round(float(x), 3)
+
+
+def round_timestamp(x: float) -> float:
+    return round(float(x), 2)
+
+
+# ---------------------------------------------------------------------------
+# Token → word splitting (reference ``transcribe.py:1815-1868``)
+# ---------------------------------------------------------------------------
+
+
+def split_tokens_on_unicode(
+    tokens: Sequence[int],
+    tokenizer,
+    remove_punctuation_from_words: bool = False,
+    isolate_punctuations: bool = False,
+):
+    """Group tokens into unicode-complete chunks; glue punctuation backwards."""
+    words: List[str] = []
+    word_tokens: List[List[str]] = []
+    word_tokens_indices: List[List[int]] = []
+    current_tokens: List[int] = []
+
+    for token in tokens:
+        token = int(token)
+        current_tokens.append(token)
+        decoded = tokenizer.decode_with_timestamps(
+            [t for t in current_tokens if t < tokenizer.eot or t >= tokenizer.timestamp_begin]
+        )
+        if "�" not in decoded:
+            empty_tokens = [""] * (len(current_tokens) - 1)
+            punctuation = not isolate_punctuations and (
+                decoded.strip() and decoded.strip() in _punctuation
+            )
+            previous_special = len(word_tokens_indices) > 0 and (
+                word_tokens_indices[-1][-1] >= tokenizer.timestamp_begin
+            )
+            if punctuation and not previous_special:
+                if len(words) == 0:
+                    words = [""]
+                    word_tokens = [[]]
+                    word_tokens_indices = [[]]
+                if not remove_punctuation_from_words:
+                    words[-1] += decoded
+                word_tokens[-1].extend(empty_tokens + [decoded])
+                word_tokens_indices[-1].extend(current_tokens)
+            else:
+                words.append(decoded)
+                word_tokens.append(empty_tokens + [decoded])
+                word_tokens_indices.append(current_tokens)
+            current_tokens = []
+
+    return words, word_tokens, word_tokens_indices
+
+
+def split_tokens_on_spaces(
+    tokens: Sequence[int], tokenizer, remove_punctuation_from_words: bool = False
+):
+    """Group unicode chunks into space-delimited words (space languages)."""
+    subwords, subword_tokens_list, subword_tokens_indices_list = split_tokens_on_unicode(
+        tokens, tokenizer, remove_punctuation_from_words=remove_punctuation_from_words
+    )
+    words: List[str] = []
+    word_tokens: List[List[str]] = []
+    word_tokens_indices: List[List[int]] = []
+
+    for i, (subword, subword_tokens, subword_tokens_indices) in enumerate(
+        zip(subwords, subword_tokens_list, subword_tokens_indices_list)
+    ):
+        special = subword_tokens_indices[0] >= tokenizer.timestamp_begin
+        previous_special = (i > 0) and (
+            subword_tokens_indices_list[i - 1][0] >= tokenizer.timestamp_begin
+        )
+        next_special = (i < len(subword_tokens_indices_list) - 1) and (
+            subword_tokens_indices_list[i + 1][0] >= tokenizer.timestamp_begin
+        )
+        previous_space = (i > 0) and (not subwords[i - 1].strip())
+        is_space = not subword.strip()
+        with_space = subword.startswith(" ") and not is_space
+        punctuation = not is_space and subword.strip() in _punctuation
+        if special or (
+            not previous_space
+            and (
+                previous_special
+                or (with_space and not punctuation)
+                or (is_space and not next_special)
+            )
+        ):
+            words.append(subword.strip())
+            word_tokens.append(subword_tokens)
+            word_tokens_indices.append(subword_tokens_indices)
+        else:
+            words[-1] = words[-1] + subword.strip()
+            word_tokens[-1].extend(subword_tokens)
+            word_tokens_indices[-1].extend(subword_tokens_indices)
+
+    return words, word_tokens, word_tokens_indices
+
+
+# ---------------------------------------------------------------------------
+# Attention → cost matrix (device side)
+# ---------------------------------------------------------------------------
+
+
+def _attention_to_cost(
+    scores: np.ndarray,  # (K, n_tokens, span) pre-softmax qk, already sliced
+    medfilt_width: int,
+    qk_scale: float,
+) -> np.ndarray:
+    """median filter → softmax → head-mean → per-frame L2 norm → negate.
+
+    Mirrors reference ``transcribe.py:1546-1550``. Host numpy: segment shapes
+    are dynamic, so a jitted version would recompile per segment; the arrays
+    are tiny (≤ K×224×1500) and this costs ~ms. The fixed-shape on-device fast
+    path lives with the Pallas kernels.
+    """
+    w = median_filter_numpy(np.asarray(scores, np.float32), medfilt_width)
+    w = w * qk_scale
+    w = np.exp(w - w.max(axis=-1, keepdims=True))
+    w /= w.sum(axis=-1, keepdims=True)
+    w = w.mean(axis=0)  # (tokens, span)
+    w = w / np.linalg.norm(w, axis=-2, keepdims=True)
+    return -w.astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# perform_word_alignment (reference ``transcribe.py:1428-1793``)
+# ---------------------------------------------------------------------------
+
+
+def perform_word_alignment(
+    tokens: Sequence[int],
+    attention_scores: np.ndarray,  # (n_tokens, K, n_audio_ctx) pre-softmax
+    tokenizer,
+    use_space: bool = True,
+    max_duration: Optional[int] = None,  # token positions before padding (frames//2)
+    refine_whisper_precision_nframes: int = 0,
+    remove_punctuation_from_words: bool = False,
+    include_punctuation_in_timing: bool = False,
+    unfinished_decoding: bool = False,
+    medfilt_width: int = 9,
+    qk_scale: float = 1.0,
+    detect_disfluencies: bool = True,
+    subwords_can_be_empty: bool = True,
+) -> List[dict]:
+    tokens = [int(t) for t in tokens]
+    assert len(tokens) > 1, f"Got unexpected sequence of tokens of length {len(tokens)}"
+    start_token = tokens[0] - tokenizer.timestamp_begin
+    end_token = tokens[-1] - tokenizer.timestamp_begin
+
+    if start_token < 0:
+        raise RuntimeError(
+            f"Missing start token in: {tokenizer.decode_with_timestamps(tokens)}"
+        )
+    if len(tokens) == 1 or end_token < 0:
+        # happens when the model is stuck as a language model (no end timestamp)
+        end_token = N_FRAMES // 2
+    if end_token == start_token and refine_whisper_precision_nframes == 0:
+        return []
+
+    # minimal duration given the token count (reference issue #67 rule)
+    end_token = min(N_FRAMES // 2, max(end_token, start_token + len(tokens)))
+
+    if refine_whisper_precision_nframes > 0:
+        start_token = max(start_token - refine_whisper_precision_nframes, 0)
+        end_token = min(end_token + refine_whisper_precision_nframes, N_FRAMES // 2)
+
+    if end_token <= start_token:
+        raise RuntimeError(
+            f"Got segment with null or negative duration: {start_token} {end_token}"
+        )
+
+    start_time = start_token * AUDIO_TIME_PER_TOKEN
+
+    split_tokens = split_tokens_on_spaces if use_space else split_tokens_on_unicode
+    words, word_tokens, word_tokens_indices = split_tokens(
+        tokens, tokenizer, remove_punctuation_from_words=remove_punctuation_from_words
+    )
+
+    # final punctuation grouped with the final timestamp rather than trailing
+    # silence/noise
+    num_punctuations_per_tokens = [
+        0 if len(w) == 1 or w[-1] not in _punctuation else 1 for w in word_tokens
+    ]
+    if include_punctuation_in_timing:
+        num_punctuations_per_tokens[:-2] = [0] * (len(num_punctuations_per_tokens) - 2)
+
+    attention_scores = np.asarray(attention_scores)
+    assert attention_scores.shape[0] == len(tokens), (
+        f"Attention has wrong length: {attention_scores.shape[0]} != {len(tokens)}"
+    )
+    num_tokens = len(tokens)
+    num_frames = end_token - start_token
+    if num_tokens > num_frames:
+        # too much text for the audio span: drop the tail and retry, flagged
+        # unfinished (reference ``transcribe.py:1516-1535``)
+        return perform_word_alignment(
+            tokens[: num_frames - 1] + [tokens[-1]],
+            np.concatenate(
+                [attention_scores[: num_frames - 1], attention_scores[-1:]], axis=0
+            ),
+            tokenizer,
+            use_space=use_space,
+            max_duration=max_duration,
+            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+            medfilt_width=medfilt_width,
+            qk_scale=qk_scale,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            detect_disfluencies=detect_disfluencies,
+            subwords_can_be_empty=subwords_can_be_empty,
+            unfinished_decoding=True,
+        )
+
+    # (n_tokens, K, ctx) -> (K, n_tokens, span)
+    sliced = np.transpose(attention_scores, (1, 0, 2))[..., start_token:end_token]
+    weights = _attention_to_cost(sliced, medfilt_width, qk_scale)
+    worse_weight = 0.0
+
+    if max_duration:
+        if start_token < max_duration:
+            # NOTE: column index is absolute in the reference even though the
+            # matrix is sliced (transcribe.py:1565) — kept for parity
+            weights[:-1, max_duration:] = worse_weight
+
+    # encourage the path to start early
+    weights[0, 0] = weights.min()
+
+    index1s, index2s = dtw_path(weights, allow_vertical=subwords_can_be_empty)
+
+    jumps = np.diff(index1s)
+    jumps = np.pad(jumps, (1, 0), constant_values=1).astype(bool)
+    jumps = index2s[jumps]
+    jumps = np.pad(jumps, (0, 1), constant_values=index2s[-1])
+
+    jumps_start = jumps
+    disfluences = {}
+    if detect_disfluencies:
+        jumps_start = jumps.copy()
+        for i_token, (tok_id, begin, end) in enumerate(zip(tokens, jumps[:-1], jumps[1:])):
+            attention_row = -weights[i_token, begin:end]
+            peaks, properties = find_peaks(attention_row, width=3, prominence=0.02)
+            if len(peaks) > 1:
+                if "left_ips" in properties:
+                    left = [round(x) for x in properties["left_ips"]]
+                else:
+                    left = properties["left_bases"]
+                new_begin = left[-1] + begin
+                jumps_start[i_token] = new_begin
+                if new_begin != begin:
+                    is_punctuation = (
+                        tokenizer.decode_with_timestamps([tok_id]) in _punctuation
+                    )
+                    if not is_punctuation:
+                        disfluences[i_token] = (begin, jumps_start[i_token])
+                    else:
+                        disfluences[i_token + 1] = (begin, end)
+
+    word_boundaries = np.cumsum([len(t) for t in word_tokens])
+    word_boundaries = np.pad(word_boundaries, (1, 0))
+    begin_times = jumps_start[word_boundaries[:-1]]
+    end_times = jumps[word_boundaries[1:] - num_punctuations_per_tokens]
+
+    begin_times = begin_times * AUDIO_TIME_PER_TOKEN
+    end_times = end_times * AUDIO_TIME_PER_TOKEN
+
+    if detect_disfluencies:
+        to_be_added = []
+        i_start = 0
+        for i_word, toks in enumerate(word_tokens[:-1]):
+            i_end = i_start + len(toks)
+            if i_start in disfluences and i_word > 0:
+                begin, end = disfluences[i_start]
+                to_be_added.append(
+                    (i_word, begin * AUDIO_TIME_PER_TOKEN, end * AUDIO_TIME_PER_TOKEN)
+                )
+            i_start = i_end
+        for i_word, begin, end in to_be_added[::-1]:
+            words.insert(i_word, DISFLUENCY_MARK)
+            word_tokens.insert(i_word, [])
+            word_tokens_indices.insert(i_word, [])
+            begin_times = np.insert(begin_times, i_word, begin)
+            end_times = np.insert(end_times, i_word, end)
+
+    # edge rules: ignore the start/end timestamp pseudo-words.
+    # (len guards are ours: a segment whose only text is an incomplete UTF-8
+    # byte produces a single pseudo-word; the reference would crash here)
+    if not refine_whisper_precision_nframes and len(begin_times) > 1:
+        begin_times[1] = begin_times[0]
+    if not refine_whisper_precision_nframes and len(end_times) > 1:
+        end_times[-2] = end_times[-1]
+    if unfinished_decoding:
+        words = words[1:]
+        word_tokens = word_tokens[1:]
+        word_tokens_indices = word_tokens_indices[1:]
+        begin_times = begin_times[1:]
+        end_times = end_times[1:]
+    else:
+        words = words[1:-1]
+        word_tokens = word_tokens[1:-1]
+        word_tokens_indices = word_tokens_indices[1:-1]
+        begin_times = begin_times[1:-1]
+        end_times = end_times[1:-1]
+
+    return [
+        dict(
+            text=word,
+            start=round_timestamp(begin + start_time),
+            end=round_timestamp(end + start_time),
+            tokens=toks,
+            tokens_indices=toks_indices,
+        )
+        for word, begin, end, toks, toks_indices in zip(
+            words, begin_times, end_times, word_tokens, word_tokens_indices
+        )
+        if not word.startswith("<|")
+    ]

@@ -184,8 +184,14 @@ def _merge_heads(x):  # (B, H, S, dh) -> (B, S, D)
     return x.transpose(0, 2, 1, 3).reshape(B, S, H * dh)
 
 
-def _attention(q, k, v, n_head, mask=None, return_weights=False):
-    """Multi-head attention. q,k,v: (B, S, D) post-projection."""
+def _attention(q, k, v, n_head, mask=None, return_scores=False):
+    """Multi-head attention. q,k,v: (B, S, D) post-projection.
+
+    When ``return_scores``, the PRE-softmax scaled qk logits are returned in
+    f32 — the same quantity whisper's MultiHeadAttention returns and the
+    reference's alignment hooks capture (it is median-filtered and THEN
+    softmaxed by the word aligner, reference ``transcribe.py:1546-1550``).
+    """
     dh = q.shape[-1] // n_head
     qh = _split_heads(q, n_head) * dh**-0.25
     kh = _split_heads(k, n_head) * dh**-0.25
@@ -195,7 +201,7 @@ def _attention(q, k, v, n_head, mask=None, return_weights=False):
         scores = scores + mask
     w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh))
-    return (out, w) if return_weights else (out, None)
+    return (out, scores.astype(jnp.float32)) if return_scores else (out, None)
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +295,7 @@ def decode_full(
             _linear(xa, bp["cross"]["k"]),
             _linear(xa, bp["cross"]["v"]),
             dims.n_text_head,
-            return_weights=True,
+            return_scores=True,
         )
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
@@ -390,7 +396,7 @@ def decode_step(
         xc = _ln(x, bp["cross_ln"])
         c, w = _attention(
             _linear(xc, bp["cross"]["q"]), xk, xv, dims.n_text_head,
-            return_weights=True, mask=None,
+            return_scores=True, mask=None,
         )
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
