@@ -1,0 +1,171 @@
+"""End-to-end API tests: transcribe_timestamped result contract + behaviors."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_timestamped_tpu.api import transcribe_timestamped
+from whisper_timestamped_tpu.models.load import WhisperModel
+
+from model_utils import make_hf_model, hf_model_to_jax, make_tokenizer
+
+pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = make_hf_model(seed=0)
+    params, dims = hf_model_to_jax(m)
+    return WhisperModel(
+        params=jax.tree.map(jnp.asarray, params),
+        dims=dims,
+        alignment_heads=[(0, 1), (1, 0), (1, 2)],
+    )
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return make_tokenizer()
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(0)
+    return (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def base_result(model, tok, audio):
+    return transcribe_timestamped(
+        model, audio, language="en", tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+
+
+def test_result_schema(base_result):
+    import jsonschema
+
+    schema = json.load(open(os.path.join(os.path.dirname(__file__), "schema.json")))
+    jsonschema.validate(base_result, schema)
+    # serializable end-to-end
+    json.dumps(base_result)
+
+
+def test_words_monotonic_and_confident(base_result):
+    all_words = [w for s in base_result["segments"] for w in s.get("words", [])]
+    assert len(all_words) >= 1
+    prev_end = 0.0
+    for w in all_words:
+        assert w["start"] >= prev_end - 1e-9
+        assert w["end"] >= w["start"]
+        assert 0.0 <= w["confidence"] <= 1.0
+        prev_end = w["end"]
+    for s in base_result["segments"]:
+        assert 0.0 <= s["confidence"] <= 1.0
+        if s.get("words"):
+            # refined segment bounds hug the words (refine_whisper_precision=0.5)
+            assert s["start"] == s["words"][0]["start"]
+            assert s["end"] == s["words"][-1]["end"]
+
+
+def test_segment_text_is_word_concat(base_result):
+    for s in base_result["segments"]:
+        if s.get("words"):
+            joined = " ".join(w["text"] for w in s["words"])
+            # words glue punctuation; compare loosely on non-space content
+            assert joined.replace(" ", "") == s["text"].replace(" ", "")
+
+
+def test_language_autodetect_probs(model, tok, audio):
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 3], tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert res["language"] in res["language_probs"]
+    assert len(res["language_probs"]) == 99
+    assert abs(sum(res["language_probs"].values()) - 1.0) < 1e-2
+
+
+def test_vad_explicit_segments(model, tok, audio):
+    res = transcribe_timestamped(
+        model, audio, language="en", tokenizer=tok,
+        vad=[(0.0, 2.0), (4.0, 6.0)],
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert "speech_activity" in res
+    sa = res["speech_activity"]
+    assert [s["start"] for s in sa] == [0.0, 4.0]
+    # word timestamps mapped back: nothing inside the (2.0, 4.0) gap interior
+    for s in res["segments"]:
+        for w in s.get("words", []):
+            assert not (2.05 < w["start"] < 3.95 and 2.05 < w["end"] < 3.95), w
+
+
+def test_detect_disfluencies_runs(model, tok, audio):
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 4], language="en", tokenizer=tok,
+        detect_disfluencies=True,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    for s in res["segments"]:
+        for w in s.get("words", []):
+            # disfluency marks carry empty token lists but valid times
+            assert w["start"] <= w["end"]
+            assert isinstance(w["text"], str)
+
+
+def test_no_word_confidence_option(model, tok, audio):
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 4], language="en", tokenizer=tok,
+        compute_word_confidence=False,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    for s in res["segments"]:
+        assert "confidence" not in s
+        for w in s.get("words", []):
+            assert "confidence" not in w
+
+
+def test_reproducible_greedy(model, tok, audio):
+    a = transcribe_timestamped(
+        model, audio[: 16000 * 4], language="en", tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    b = transcribe_timestamped(
+        model, audio[: 16000 * 4], language="en", tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert a == b
+
+
+def test_beam_size_not_implemented_yet(model, tok, audio):
+    with pytest.raises(NotImplementedError):
+        transcribe_timestamped(
+            model, audio[:16000], language="en", tokenizer=tok, beam_size=2
+        )
+
+
+def test_model_path_loading(tmp_path, tok, audio):
+    from model_utils import save_openai_pt
+
+    m = make_hf_model(seed=0)
+    p = str(tmp_path / "m.pt")
+    save_openai_pt(m, p)
+    res = transcribe_timestamped(
+        p, audio[: 16000 * 2], language="en", tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert "text" in res

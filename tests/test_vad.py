@@ -1,0 +1,87 @@
+"""VAD subsystem tests: method normalization, energy splitter, timestamp maps."""
+
+import numpy as np
+import pytest
+
+from whisper_timestamped_tpu.vad import (
+    check_vad_method,
+    do_convert_timestamps,
+    get_vad_segments,
+    remove_non_speech,
+)
+
+
+def test_check_vad_method():
+    assert check_vad_method(True) == "silero"
+    assert check_vad_method(False) is None
+    assert check_vad_method(None) is None
+    assert check_vad_method("auditok") == "auditok"
+    assert check_vad_method([(0, 1), (2, 3)]) == [(0.0, 1.0), (2.0, 3.0)]
+    assert check_vad_method("[(0, 1)]") == [(0, 1)]
+    assert check_vad_method("silero:3.1", with_version=True) == ("silero", "v3.1")
+    with pytest.raises(ValueError):
+        check_vad_method("nonsense_method")
+
+
+def _speech_like(sr=16000):
+    """2s loud speech-ish noise, 2s silence, 2s loud again."""
+    rng = np.random.default_rng(0)
+    a = np.zeros(sr * 6, np.float32)
+    a[: sr * 2] = rng.standard_normal(sr * 2) * 0.3
+    a[sr * 4 :] = rng.standard_normal(sr * 2) * 0.3
+    return a
+
+
+def test_energy_vad_finds_speech_blocks():
+    a = _speech_like()
+    segs = get_vad_segments(a, method="energy", dilatation=0.0)
+    assert len(segs) == 2
+    assert segs[0]["start"] < 0.3 and abs(segs[0]["end"] - 2.0) < 0.3
+    assert abs(segs[1]["start"] - 4.0) < 0.3
+
+
+def test_dilation_merges_overlapping():
+    a = _speech_like()
+    segs = get_vad_segments(a, method="energy", dilatation=1.5)
+    assert len(segs) == 1  # dilation bridges the 2s gap
+
+
+def test_remove_non_speech_and_convert():
+    a = _speech_like()
+    speech, segments, convert = remove_non_speech(a, method="energy", dilatation=0.25)
+    assert len(segments) == 2
+    assert len(speech) < len(a)
+    # time 0.5 in speech-time falls in first segment
+    t = convert(0.5)
+    assert segments[0][0] <= t <= segments[0][1]
+    # a time in the second region maps past the cut gap
+    dur0 = segments[0][1] - segments[0][0]
+    t2 = convert(dur0 + 0.5)
+    assert segments[1][0] <= t2 <= segments[1][1]
+    # pair conversion keeps both ends in bounds
+    s, e = convert(dur0 + 0.2, dur0 + 0.8)
+    assert segments[1][0] <= s <= e <= segments[1][1]
+
+
+def test_convert_timestamps_identity_single_segment():
+    segs = [(0.0, 10.0)]
+    assert do_convert_timestamps(segs, 3.217) == 3.22  # rounds to 2 decimals
+
+
+def test_no_speech_at_all():
+    a = np.zeros(16000 * 2, np.float32)
+    speech, segments, convert = remove_non_speech(a, method="energy")
+    assert len(segments) == 0 and len(speech) == 0
+    assert convert(1.0) == 1.0  # identity fallback
+
+
+def test_avoid_empty_speech():
+    a = np.zeros(16000 * 2, np.float32)
+    speech, segments, _ = remove_non_speech(a, method="energy", avoid_empty_speech=True)
+    assert len(segments) == 1 and len(speech) == len(a)
+
+
+def test_silero_without_weights_raises():
+    a = _speech_like()
+    with pytest.raises(FileNotFoundError):
+        get_vad_segments(a, method="silero")

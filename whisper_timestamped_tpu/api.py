@@ -1,0 +1,531 @@
+"""Public API: ``transcribe_timestamped`` — the orchestrator.
+
+Port of the reference orchestrator (``transcribe_timestamped``,
+``transcribe.py:79-357``) plus the per-segment work its *efficient engine*
+does at flush time (``align_last_segment`` ``transcribe.py:482-579``, result
+compilation + confidence ``transcribe.py:915-1002``). Because this framework
+owns the decode loop, there is no efficient/naive split for attention capture:
+every decode already emits alignment attention and token log-probabilities.
+A true two-pass (teacher-forced) path exists for beam search / best_of
+(``naive_approach``) — see engine_naive.py.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from .alignment import (
+    DISFLUENCY_MARK,
+    _punctuation,
+    perform_word_alignment,
+    round_confidence,
+    round_timestamp,
+)
+from .audio import (
+    AUDIO_TIME_PER_TOKEN,
+    HOP_LENGTH,
+    N_FRAMES,
+    SAMPLE_RATE,
+    load_audio,
+)
+from .decoding import DecodingOptions
+from .engine import DecodeEngine, Segment, transcribe_windows
+from .languages import LANGUAGES_WITHOUT_SPACES, normalize_language
+from .models.load import WhisperModel, load_model
+from .postprocess import ensure_increasing_positions, remove_last_null_duration_words
+from .tokenizer import Tokenizer, get_tokenizer
+from .vad import check_vad_method, remove_non_speech
+
+logger = logging.getLogger("whisper_timestamped_tpu")
+
+
+def should_use_space(language: Optional[str]) -> bool:
+    return normalize_language(language or "en") not in LANGUAGES_WITHOUT_SPACES
+
+
+def format_timestamp(seconds: float, always_include_hours=False, decimal_marker="."):
+    assert seconds >= 0, "non-negative timestamp expected"
+    milliseconds = round(seconds * 1000.0)
+    hours = milliseconds // 3_600_000
+    milliseconds -= hours * 3_600_000
+    minutes = milliseconds // 60_000
+    milliseconds -= minutes * 60_000
+    secs = milliseconds // 1_000
+    milliseconds -= secs * 1_000
+    hours_marker = f"{hours:02d}:" if always_include_hours or hours > 0 else ""
+    return f"{hours_marker}{minutes:02d}:{secs:02d}{decimal_marker}{milliseconds:03d}"
+
+
+def print_timestamped(w: dict) -> None:
+    line = f"[{format_timestamp(w['start'])} --> {format_timestamp(w['end'])}] {w['text']}\n"
+    sys.stdout.write(line.encode(sys.getdefaultencoding(), errors="replace").decode())
+    sys.stdout.flush()
+
+
+def _resolve_tokenizer(model: WhisperModel, tokenizer, language, task) -> Tokenizer:
+    if isinstance(tokenizer, Tokenizer):
+        tokenizer.language = normalize_language(language) if language else tokenizer.language
+        tokenizer.task = task
+        return tokenizer
+    if isinstance(tokenizer, str):
+        return get_tokenizer(
+            multilingual=model.is_multilingual,
+            num_languages=model.num_languages,
+            language=language,
+            task=task,
+            vocab_path=tokenizer,
+        )
+    if model.tokenizer_ranks is not None:
+        return get_tokenizer(
+            multilingual=model.is_multilingual,
+            num_languages=model.num_languages,
+            language=language,
+            task=task,
+            ranks=model.tokenizer_ranks,
+        )
+    raise ValueError(
+        "No tokenizer vocabulary available: pass tokenizer=<Tokenizer or "
+        "path to .tiktoken/vocab.json>, or place the vocabulary next to the "
+        "model checkpoint."
+    )
+
+
+def transcribe_timestamped(
+    # Main options
+    model: Union[WhisperModel, str],
+    audio,
+    language: Optional[str] = None,
+    task: str = "transcribe",
+    # Word-alignment options
+    remove_punctuation_from_words: bool = False,
+    compute_word_confidence: bool = True,
+    include_punctuation_in_confidence: bool = False,
+    refine_whisper_precision: float = 0.5,
+    min_word_duration: float = 0.02,
+    plot_word_alignment: bool = False,
+    word_alignment_most_top_layers: Optional[int] = None,
+    remove_empty_words: bool = False,
+    use_backend_timestamps: bool = False,
+    # Reproducibility
+    seed: Optional[int] = 1234,
+    vad=False,
+    detect_disfluencies: bool = False,
+    trust_whisper_timestamps: bool = True,
+    naive_approach: bool = False,
+    # Whisper decode options
+    temperature=0.0,
+    best_of: Optional[int] = None,
+    beam_size: Optional[int] = None,
+    patience: Optional[float] = None,
+    length_penalty: Optional[float] = None,
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    fp16=None,
+    condition_on_previous_text: bool = True,
+    initial_prompt: Optional[str] = None,
+    suppress_tokens: Optional[str] = "-1",
+    sample_len: Optional[int] = None,
+    verbose: Optional[bool] = False,
+    # TPU-framework extras
+    tokenizer: Union[Tokenizer, str, None] = None,
+) -> dict:
+    """Transcribe audio with word-level timestamps and confidences.
+
+    Option surface and result schema match the reference
+    (``transcribe.py:79-120``; ``tests/json_schema.json``): a dict with
+    ``text``, ``segments`` (each with ``words`` carrying text/start/end/
+    confidence), ``language``, plus ``language_probs`` on auto-detection and
+    ``speech_activity`` when VAD runs.
+    """
+    # --- validation (reference transcribe.py:227-245) ---
+    assert (
+        refine_whisper_precision >= 0
+        and round(refine_whisper_precision / AUDIO_TIME_PER_TOKEN)
+        == refine_whisper_precision / AUDIO_TIME_PER_TOKEN
+    ), f"refine_whisper_precision must be a positive multiple of {AUDIO_TIME_PER_TOKEN}"
+    refine_whisper_precision_nframes = round(refine_whisper_precision / AUDIO_TIME_PER_TOKEN)
+    assert min_word_duration >= 0, "min_word_duration must be a positive number"
+    assert (
+        word_alignment_most_top_layers is None or word_alignment_most_top_layers > 0
+    ), "word_alignment_most_top_layers must be a strictly positive number"
+
+    if isinstance(temperature, (list, tuple)) and len(temperature) == 1:
+        temperature = temperature[0]
+    need_fallback_schedule = isinstance(temperature, (list, tuple))
+    if beam_size is not None or (best_of or 0) > 1:
+        naive_approach = True
+
+    vad = check_vad_method(vad)
+    if isinstance(model, str):
+        model = load_model(model)
+    if language is not None:
+        language = normalize_language(language)
+
+    tok = _resolve_tokenizer(model, tokenizer, language, task)
+
+    # alignment heads (reference transcribe.py:259-261)
+    alignment_heads = model.alignment_heads if word_alignment_most_top_layers is None else None
+    if alignment_heads is None:
+        top = word_alignment_most_top_layers or 6
+        L, H = model.dims.n_text_layer, model.dims.n_text_head
+        alignment_heads = [
+            (l, h) for l in range(max(0, L - top), L) for h in range(H)
+        ]
+    engine = DecodeEngine(
+        WhisperModel(
+            params=model.params,
+            dims=model.dims,
+            alignment_heads=alignment_heads,
+            model_name=model.model_name,
+            tokenizer_ranks=model.tokenizer_ranks,
+        ),
+        tok,
+    )
+
+    audio = load_audio(audio)
+    speech_convert = None
+    vad_segments = None
+    if vad is not None:
+        audio, vad_segments, speech_convert = remove_non_speech(
+            audio, method=vad, sample_rate=SAMPLE_RATE, avoid_empty_speech=True
+        )
+
+    temperatures = (
+        list(temperature) if isinstance(temperature, (list, tuple)) else [float(temperature)]
+    )
+
+    if naive_approach:
+        from .engine_naive import transcribe_naive
+
+        transcription, words = transcribe_naive(
+            engine,
+            audio,
+            language=language,
+            task=task,
+            temperatures=temperatures,
+            best_of=best_of,
+            beam_size=beam_size,
+            patience=patience,
+            length_penalty=length_penalty,
+            compression_ratio_threshold=compression_ratio_threshold,
+            logprob_threshold=logprob_threshold,
+            no_speech_threshold=no_speech_threshold,
+            condition_on_previous_text=condition_on_previous_text,
+            initial_prompt=initial_prompt,
+            suppress_tokens=suppress_tokens,
+            sample_len=sample_len,
+            seed=seed,
+            trust_whisper_timestamps=trust_whisper_timestamps,
+            use_backend_timestamps=use_backend_timestamps,
+            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            compute_word_confidence=compute_word_confidence,
+            include_punctuation_in_confidence=include_punctuation_in_confidence,
+            detect_disfluencies=detect_disfluencies,
+            verbose=verbose,
+        )
+    else:
+        transcription, words = _transcribe_efficient(
+            engine,
+            audio,
+            language=language,
+            task=task,
+            temperatures=temperatures,
+            compression_ratio_threshold=compression_ratio_threshold,
+            logprob_threshold=logprob_threshold,
+            no_speech_threshold=no_speech_threshold,
+            condition_on_previous_text=condition_on_previous_text,
+            initial_prompt=initial_prompt,
+            suppress_tokens=suppress_tokens,
+            sample_len=sample_len,
+            seed=seed,
+            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            compute_word_confidence=compute_word_confidence,
+            include_punctuation_in_confidence=include_punctuation_in_confidence,
+            detect_disfluencies=detect_disfluencies,
+            verbose=verbose,
+        )
+
+    if remove_empty_words:
+        transcription, words = remove_last_null_duration_words(
+            transcription, words, recompute_text=True
+        )
+
+    ensure_increasing_positions(
+        words, min_duration=min_word_duration if trust_whisper_timestamps else 0
+    )
+
+    # --- merge words into segments (reference transcribe.py:320-339) ---
+    whisper_segments = transcription["segments"]
+    for word in words:
+        if verbose and not naive_approach and not vad:
+            print_timestamped(word)
+        word.pop("tokens", None)
+        word.pop("tokens_indices", None)
+        word.pop("avg_logprob_reliable", None)
+        idx_segment = word.pop("idx_segment")
+        assert idx_segment < len(whisper_segments)
+        segment = whisper_segments[idx_segment]
+        if "words" in segment:
+            segment["words"].append(word)
+        else:
+            segment["words"] = [word]
+            if refine_whisper_precision:
+                segment["start"] = word["start"]
+        if refine_whisper_precision:
+            segment["end"] = word["end"]
+
+    if vad:
+        for segment in whisper_segments:
+            for word in segment.get("words", []):
+                word["start"], word["end"] = speech_convert(word["start"], word["end"])
+                if verbose:
+                    print_timestamped(word)
+            if refine_whisper_precision and len(segment.get("words", [])):
+                segment["start"] = segment["words"][0]["start"]
+                segment["end"] = segment["words"][-1]["end"]
+            else:
+                segment["start"], segment["end"] = speech_convert(
+                    segment["start"], segment["end"]
+                )
+
+    if vad_segments is not None:
+        transcription["speech_activity"] = [
+            {"start": s, "end": e} for (s, e) in vad_segments
+        ]
+
+    return transcription
+
+
+# ---------------------------------------------------------------------------
+# The unified single-pass engine path
+# ---------------------------------------------------------------------------
+
+
+def _transcribe_efficient(
+    engine: DecodeEngine,
+    audio: np.ndarray,
+    *,
+    language,
+    task,
+    temperatures,
+    compression_ratio_threshold,
+    logprob_threshold,
+    no_speech_threshold,
+    condition_on_previous_text,
+    initial_prompt,
+    suppress_tokens,
+    sample_len,
+    seed,
+    refine_whisper_precision_nframes,
+    remove_punctuation_from_words,
+    compute_word_confidence,
+    include_punctuation_in_confidence,
+    detect_disfluencies,
+    verbose,
+):
+    tok = engine.tokenizer
+
+    def verbose_cb(seg: Segment):
+        if verbose:
+            line = f"[{format_timestamp(seg.start)} --> {format_timestamp(seg.end)}] {seg.text}"
+            print(line.encode(sys.getdefaultencoding(), errors="replace").decode())
+
+    opts = DecodingOptions(suppress_tokens=suppress_tokens, sample_len=sample_len)
+    result = transcribe_windows(
+        engine,
+        audio,
+        language=language,
+        task=task,
+        temperature=temperatures,
+        compression_ratio_threshold=compression_ratio_threshold,
+        logprob_threshold=logprob_threshold,
+        no_speech_threshold=no_speech_threshold,
+        condition_on_previous_text=condition_on_previous_text,
+        initial_prompt=initial_prompt,
+        decode_options=opts,
+        return_language_probs=language is None,
+        verbose_callback=verbose_cb if verbose is not None else None,
+        rng_seed=seed or 0,
+    )
+    if verbose and language is None and result.language is not None:
+        print(f"Detected language: {LANGUAGE_NAMES.get(result.language, result.language)}")
+
+    use_space = should_use_space(result.language)
+    words: List[dict] = []
+    segment_dicts: List[dict] = []
+    for seg in result.segments:
+        ws, seg_dict = align_and_score_segment(
+            seg,
+            tok,
+            use_space=use_space,
+            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            compute_word_confidence=compute_word_confidence,
+            include_punctuation_in_confidence=include_punctuation_in_confidence,
+            detect_disfluencies=detect_disfluencies,
+        )
+        if ws is None:
+            continue  # segment dropped (no aligned words)
+        idx = len(segment_dicts)
+        for w in ws:
+            w["idx_segment"] = idx
+        seg_dict["id"] = idx
+        segment_dicts.append(seg_dict)
+        words.extend(ws)
+
+    transcription = {
+        "text": "".join(s["text"] for s in segment_dicts),
+        "segments": segment_dicts,
+        "language": result.language,
+    }
+    if result.language_probs:
+        transcription["language_probs"] = result.language_probs
+    return transcription, words
+
+
+LANGUAGE_NAMES = {}
+try:  # populate "Detected language: French"-style names
+    from .languages import LANGUAGES as _L
+
+    LANGUAGE_NAMES = {c: n.title() for c, n in _L.items()}
+except Exception:  # pragma: no cover
+    pass
+
+
+def align_and_score_segment(
+    seg: Segment,
+    tok: Tokenizer,
+    *,
+    use_space: bool,
+    refine_whisper_precision_nframes: int,
+    remove_punctuation_from_words: bool,
+    compute_word_confidence: bool,
+    include_punctuation_in_confidence: bool,
+    detect_disfluencies: bool,
+):
+    """Align one segment's tokens and compute confidences.
+
+    Reproduces the reference's per-segment flush work: end-token repair
+    (``transcribe.py:528-538``), early-EOT handling (``transcribe.py:518-523``),
+    stuck-LM flagging (``transcribe.py:490-517``), word confidence
+    (``transcribe.py:965-995``).
+    """
+    window = seg.window
+    a, b = seg.token_span
+    tokens = list(seg.tokens)
+    attn = window.attn[a:b]
+    is_last_of_window = b == len(window.tokens)
+    unfinished = False
+
+    if len(tokens) == 0:
+        return None, None
+
+    if tokens[-1] < tok.timestamp_begin:
+        # segment without a final timestamp
+        if is_last_of_window and window.hit_limit:
+            # stuck LM: decoding hit the token limit (reference :490-517)
+            unfinished = True
+        elif window.eot_attn is not None and is_last_of_window:
+            # early EOT: append <|endoftext|> + its attention row (:518-523)
+            tokens = tokens + [tok.eot]
+            attn = np.concatenate([attn, window.eot_attn[None]], axis=0)
+        else:
+            unfinished = True
+
+    # end<=start repair: re-estimate the end timestamp from the step's
+    # timestamp distribution (:528-538)
+    if (
+        len(tokens) >= 2
+        and tokens[-1] >= tok.timestamp_begin
+        and tokens[0] >= tok.timestamp_begin
+        and tokens[-1] <= tokens[0]
+        and window.ts_logprobs is not None
+        and b - 1 < len(window.ts_logprobs)
+    ):
+        start_off = tokens[0] - tok.timestamp_begin
+        row = window.ts_logprobs[b - 1]
+        if start_off + 1 < len(row):
+            new_end = int(np.argmax(row[start_off + 1 :])) + start_off + 1
+            tokens[-1] = tok.timestamp_begin + new_end
+
+    max_duration = seg.segment_frames // 2 if seg.segment_frames < N_FRAMES else None
+
+    if len(tokens) <= 1:
+        ws = []
+    else:
+        ws = perform_word_alignment(
+            tokens,
+            attn,
+            tok,
+            use_space=use_space,
+            max_duration=max_duration,
+            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            detect_disfluencies=detect_disfluencies,
+            unfinished_decoding=unfinished,
+        )
+    if len(ws) == 0:
+        return None, None
+
+    offset = seg.seek * HOP_LENGTH / SAMPLE_RATE
+    for w in ws:
+        w["start"] = round_timestamp(w["start"] + offset)
+        w["end"] = round_timestamp(w["end"] + offset)
+
+    seg_dict = seg.to_dict()
+
+    if compute_word_confidence:
+        # per-text-token logprobs for this segment (timestamps excluded)
+        lps = [
+            window.token_logprobs[a + i]
+            for i, t in enumerate(seg.tokens)
+            if t < tok.eot
+        ]
+        logprobs = np.array(lps, np.float64)
+        if include_punctuation_in_confidence:
+            seg_dict["confidence"] = round_confidence(
+                float(np.exp(logprobs.mean())) if len(logprobs) else 0.0
+            )
+            logprobs_nopunc = None
+        else:
+            logprobs_nopunc = []
+        i_end = 0
+        for w in ws:
+            i_start = i_end
+            tokens_w = w["tokens"]
+            i_end = min(i_end + len(tokens_w), len(logprobs))
+            if include_punctuation_in_confidence:
+                word_logprobs = logprobs[i_start:i_end]
+            else:
+                while (
+                    len(tokens_w) > 1
+                    and len(tokens_w[-1])
+                    and tokens_w[-1][-1] in _punctuation
+                ):
+                    tokens_w = tokens_w[:-1]
+                word_logprobs = logprobs[i_start : i_start + len(tokens_w)]
+                logprobs_nopunc.append(word_logprobs)
+            w["confidence"] = round_confidence(
+                float(np.exp(word_logprobs.mean())) if len(word_logprobs) else 0.0
+            )
+        if i_end not in (len(logprobs), len(logprobs) - 1):
+            # mirrors reference transcribe.py:990-991 (special tokens inside a
+            # segment break the word↔logprob tiling)
+            logger.warning(
+                "Got inconsistent length for segment (%d != %d). Some words have been ignored.",
+                len(logprobs), i_end,
+            )
+        if not include_punctuation_in_confidence:
+            cat = np.concatenate(logprobs_nopunc) if logprobs_nopunc else np.array([])
+            seg_dict["confidence"] = round_confidence(
+                float(np.exp(cat.mean())) if len(cat) else 0.0
+            )
+
+    return ws, seg_dict

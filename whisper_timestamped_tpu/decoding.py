@@ -308,6 +308,7 @@ def decode_window_jit(
         max_timestamp=jnp.full((B,), ts_begin - 1, jnp.int32),
         tokens=jnp.full((B, max_new), eot, jnp.int32),
         token_logprobs=jnp.zeros((B, max_new), jnp.float32),
+        ts_logprobs=jnp.zeros((B, max_new, V - ts_begin), jnp.float32),
         attn=jnp.zeros((B, max_new, K, T_audio), attn_dtype),
         sum_logprobs=jnp.zeros((B,), jnp.float32),
         finished=jnp.zeros((B,), bool),
@@ -350,6 +351,9 @@ def decode_window_jit(
         token_logprobs = c["token_logprobs"].at[:, i].set(
             jnp.where(newly_counted, tok_logprob, 0.0)
         )
+        # timestamp-token slice of the step's distribution: consumed by the
+        # end-token re-estimation heuristic (reference transcribe.py:528-538)
+        ts_logprobs = c["ts_logprobs"].at[:, i].set(logprobs[:, ts_begin:])
 
         # --- feed the chosen token through the decoder ---
         step_pos = P + i
@@ -372,6 +376,7 @@ def decode_window_jit(
             ),
             tokens=tokens,
             token_logprobs=token_logprobs,
+            ts_logprobs=ts_logprobs,
             attn=attn,
             sum_logprobs=sum_logprobs,
             finished=finished,
@@ -388,6 +393,7 @@ def decode_window_jit(
         n_steps=out["i"],
         sum_logprobs=out["sum_logprobs"],
         token_logprobs=out["token_logprobs"],
+        ts_logprobs=out["ts_logprobs"],
         attn=out["attn"],
         no_speech_prob=no_speech_prob,
         n_sampled=n_sampled,

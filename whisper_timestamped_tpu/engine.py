@@ -59,6 +59,14 @@ class WindowDecodeResult:
     token_logprobs: np.ndarray  # (n_tokens,) logprob of each sampled token
     attn: np.ndarray  # (n_tokens, K, T_audio) alignment-head cross-attention
     sum_logprob: float = 0.0
+    # timestamp-slice logprob rows per step (n_tokens, 1501): end-token
+    # re-estimation heuristic input (reference transcribe.py:528-538)
+    ts_logprobs: Optional[np.ndarray] = None
+    # attention row of the final EOT step, when EOT was sampled (early-EOT
+    # segments append <|endoftext|> and need its attention row — reference
+    # transcribe.py:518-523)
+    eot_attn: Optional[np.ndarray] = None  # (K, T_audio)
+    hit_limit: bool = False  # decode reached max_new without EOT ("stuck LM")
 
 
 @dataclass
@@ -130,7 +138,11 @@ class DecodeEngine:
     ) -> Tuple[np.ndarray, int, int]:
         """Right-aligned prompt buffer. Returns (buffer (P,), prompt_len, sot_index_from_end)."""
         tok = self.tokenizer
-        sot_seq = list(tok.sot_sequence)
+        # sot sequence from the options (not tokenizer state, which is shared)
+        sot_seq = [tok.sot]
+        if tok.is_multilingual:
+            sot_seq.append(tok.to_language_token(options.language or tok.language or "en"))
+            sot_seq.append(tok.translate if options.task == "translate" else tok.transcribe)
         if options.without_timestamps:
             sot_seq.append(tok.no_timestamps)
         prefix = list(options.prefix or [])
@@ -196,6 +208,7 @@ class DecodeEngine:
         )
         tokens_all = np.asarray(out["tokens"])
         logprobs_all = np.asarray(out["token_logprobs"])
+        ts_lp_all = np.asarray(out["ts_logprobs"])
         attn_all = np.asarray(out["attn"], np.float32)
         sum_lp = np.asarray(out["sum_logprobs"])
         nsp = np.asarray(out["no_speech_prob"])
@@ -204,6 +217,7 @@ class DecodeEngine:
         for b in range(B):
             toks = tokens_all[b]
             eot_pos = np.nonzero(toks == tok.eot)[0]
+            hit_limit = len(eot_pos) == 0
             n_text = int(eot_pos[0]) if len(eot_pos) else len(toks)
             text_tokens = toks[:n_text].tolist()
             text = tok.decode(text_tokens)
@@ -220,6 +234,9 @@ class DecodeEngine:
                     token_logprobs=logprobs_all[b, :n_text],
                     attn=attn_all[b, :n_text],
                     sum_logprob=float(sum_lp[b]),
+                    ts_logprobs=ts_lp_all[b, :n_text],
+                    eot_attn=attn_all[b, n_text] if not hit_limit else None,
+                    hit_limit=hit_limit,
                 )
             )
         return results
@@ -307,13 +324,13 @@ def transcribe_windows(
     # --- language ---
     language_probs = None
     if language is None:
-        if engine.model.is_multilingual:
+        if engine.tokenizer.is_multilingual:
             window = pad_or_trim(mel_full[:, :N_FRAMES], N_FRAMES, axis=-1)
             codes, probs = detect_language(engine.model.params, window[None], dims, tok)
             language, language_probs = codes[0], probs[0]
         else:
             language = "en"
-    elif return_language_probs and engine.model.is_multilingual:
+    elif return_language_probs and engine.tokenizer.is_multilingual:
         window = pad_or_trim(mel_full[:, :N_FRAMES], N_FRAMES, axis=-1)
         _, probs = detect_language(engine.model.params, window[None], dims, tok)
         language_probs = probs[0]
@@ -326,8 +343,6 @@ def transcribe_windows(
             "language": language,
         }
     )
-    engine.tokenizer.language = language
-    engine.tokenizer.task = task
 
     all_tokens: List[int] = []
     initial_prompt_tokens: List[int] = []

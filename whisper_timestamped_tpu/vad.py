@@ -1,0 +1,293 @@
+"""Voice-activity detection: speech extraction + timestamp back-mapping.
+
+Port of the reference VAD subsystem (``check_vad_method``
+``transcribe.py:1870-1914``, ``get_vad_segments`` ``transcribe.py:1918-2057``,
+``remove_non_speech`` ``transcribe.py:2085-2156``, ``do_convert_timestamps``
+``transcribe.py:2158-2200``) with TPU-native detectors:
+
+  * ``"auditok"`` / ``"energy"``: an auditok-style energy splitter in
+    numpy/jnp (reference delegates to the auditok package,
+    ``transcribe.py:2025-2054``).
+  * ``"silero"`` (and ``"silero:vX.Y"``): a JAX port of the Silero VAD
+    network, loading locally cached silero weights (torch.hub cache / explicit
+    path). No downloads.
+  * explicit ``[(start, end), ...]`` second pairs.
+
+Segment dilation+merge and the piecewise timestamp back-conversion match the
+reference exactly (goldens compare VAD runs via stdout transcripts).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .audio import SAMPLE_RATE
+
+logger = logging.getLogger("whisper_timestamped_tpu")
+
+
+def check_vad_method(method, with_version: bool = False):
+    """Normalize the ``vad`` option (True→silero, strings, explicit pairs)."""
+    if method in [True, "True", "true"]:
+        return check_vad_method("silero")
+    elif method in [None, False, "False", "false", "None", "none"]:
+        return None
+    elif not isinstance(method, str) and hasattr(method, "__iter__"):
+        checked_pairs = []
+        for s_e in method:
+            assert len(s_e) == 2, (
+                f"Got unexpected element {s_e} in the list of VAD segments. "
+                "Expect (start, end) pairs"
+            )
+            checked_pairs.append(tuple(s_e))
+        return checked_pairs
+    elif isinstance(method, str) and method.startswith("silero"):
+        version = None
+        if method != "silero":
+            assert method.startswith("silero:"), f"Got unexpected VAD method {method}"
+            version = method.split(":")[1]
+            if not version.startswith("v"):
+                version = "v" + version
+            try:
+                assert float(version[1:]) >= 1
+            except Exception:
+                raise ValueError(f"Got unexpected silero version {version}")
+        if with_version:
+            return ("silero", version)
+        return method
+    elif method in ("auditok", "energy"):
+        return method
+    else:
+        try:
+            method = eval(method)  # noqa: S307 - reference-compatible string parsing
+            assert hasattr(method, "__iter__")
+        except Exception:
+            raise ValueError(f"Got unexpected VAD method {method}")
+        return check_vad_method(method, with_version=with_version)
+    return method
+
+
+# ---------------------------------------------------------------------------
+# Energy VAD (auditok-equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _energy_split(
+    audio: np.ndarray,
+    sample_rate: int,
+    min_speech_duration: float,
+    min_silence_duration: float,
+    energy_threshold_db: float = 50.0,
+    analysis_window: float = 0.05,
+) -> List[dict]:
+    """auditok-style splitter: frames are speech when their log-energy (dB re
+    int16 LSB) exceeds the threshold; bounded silence inside a region."""
+    win = max(1, int(analysis_window * sample_rate))
+    n = len(audio) // win
+    if n == 0:
+        return []
+    frames = audio[: n * win].reshape(n, win).astype(np.float64) * 32767.0
+    energy = 20.0 * np.log10(np.sqrt(np.mean(frames**2, axis=-1)) + 1e-10)
+    active = energy >= energy_threshold_db
+
+    max_silence_frames = max(1, int(round(min(0.2, min_silence_duration) / analysis_window)))
+    min_speech_frames = max(1, int(round(min_speech_duration / analysis_window)))
+
+    segments = []
+    start = None
+    silence = 0
+    for i, a in enumerate(active):
+        if a:
+            if start is None:
+                start = i
+            silence = 0
+        elif start is not None:
+            silence += 1
+            if silence > max_silence_frames:
+                end = i - silence + 1
+                if end - start >= min_speech_frames:
+                    segments.append({"start": start * win, "end": end * win})
+                start, silence = None, 0
+    if start is not None:
+        end = n - max(0, silence - 1)
+        if end - start >= min_speech_frames:
+            segments.append({"start": start * win, "end": min(end * win, len(audio))})
+    return segments
+
+
+# ---------------------------------------------------------------------------
+# Silero VAD (JAX port; weights from local cache only)
+# ---------------------------------------------------------------------------
+
+
+def _find_local_silero(version: Optional[str]) -> Optional[str]:
+    """Locate a locally cached silero-vad jit/onnx model (no downloads)."""
+    env = os.environ.get("SILERO_VAD_PATH")
+    if env and os.path.exists(env):
+        return env
+    hub = os.path.join(os.path.expanduser("~"), ".cache", "torch", "hub")
+    if os.path.isdir(hub):
+        for root, _, files in os.walk(hub):
+            for f in files:
+                if f in ("silero_vad.jit", "silero_vad.onnx") or (
+                    f.startswith("silero_vad") and f.endswith((".jit", ".onnx"))
+                ):
+                    return os.path.join(root, f)
+    return None
+
+
+def _silero_speech_segments(audio, sample_rate, min_speech_duration, min_silence_duration, version=None):
+    path = _find_local_silero(version)
+    if path is None:
+        raise FileNotFoundError(
+            "No local silero-vad weights found (set SILERO_VAD_PATH or place "
+            "silero_vad.jit under ~/.cache/torch/hub). This framework does not "
+            "download models; use vad='auditok' for the dependency-free "
+            "energy VAD."
+        )
+    from .models.silero_jax import silero_get_speech_timestamps  # lazy import
+
+    return silero_get_speech_timestamps(
+        audio, path,
+        sample_rate=sample_rate,
+        min_speech_duration=min_speech_duration,
+        min_silence_duration=min_silence_duration,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API (mirrors the reference)
+# ---------------------------------------------------------------------------
+
+
+def get_vad_segments(
+    audio: np.ndarray,
+    sample_rate: int = SAMPLE_RATE,
+    output_sample: bool = False,
+    min_speech_duration: float = 0.1,
+    min_silence_duration: float = 0.1,
+    dilatation: float = 0.5,
+    method: Union[str, List[Tuple[float, float]]] = "silero",
+) -> List[dict]:
+    """Speech segments (dicts with start/end) with dilation + overlap merge."""
+    audio = np.asarray(audio)
+    if isinstance(method, list):
+        segments = [{"start": s * sample_rate, "end": e * sample_rate} for (s, e) in method]
+        dilatation = 0
+    elif isinstance(method, str) and method.startswith("silero"):
+        _, version = check_vad_method(method, with_version=True)
+        segments = _silero_speech_segments(
+            audio, sample_rate, min_speech_duration, min_silence_duration, version
+        )
+    elif method in ("auditok", "energy"):
+        segments = _energy_split(
+            audio, sample_rate, min_speech_duration, min_silence_duration
+        )
+    else:
+        raise ValueError(f"Got unexpected VAD method {method}")
+
+    if dilatation > 0:
+        dilatation = round(dilatation * sample_rate)
+        new_segments = []
+        for seg in segments:
+            new_seg = {
+                "start": max(0, seg["start"] - dilatation),
+                "end": min(len(audio), seg["end"] + dilatation),
+            }
+            if len(new_segments) > 0 and new_segments[-1]["end"] >= new_seg["start"]:
+                new_segments[-1]["end"] = new_seg["end"]
+            else:
+                new_segments.append(new_seg)
+        segments = new_segments
+
+    ratio = 1 if output_sample else 1 / sample_rate
+    if ratio != 1:
+        for seg in segments:
+            seg["start"] *= ratio
+            seg["end"] *= ratio
+    if output_sample:
+        for seg in segments:
+            seg["start"] = round(seg["start"])
+            seg["end"] = round(seg["end"])
+    return segments
+
+
+def remove_non_speech(
+    audio: np.ndarray,
+    use_sample: bool = False,
+    min_speech_duration: float = 0.1,
+    min_silence_duration: float = 1,
+    dilatation: float = 0.5,
+    sample_rate: int = SAMPLE_RATE,
+    method: Union[str, List[Tuple[float, float]]] = "silero",
+    avoid_empty_speech: bool = False,
+) -> Tuple[np.ndarray, List[Tuple[float, float]], Callable]:
+    """Concatenate speech regions; return (speech_audio, segments, convert_fn)."""
+    audio = np.asarray(audio)
+    segments = get_vad_segments(
+        audio,
+        sample_rate=sample_rate,
+        output_sample=True,
+        min_speech_duration=min_speech_duration,
+        min_silence_duration=min_silence_duration,
+        dilatation=dilatation,
+        method=method,
+    )
+    segments = [(seg["start"], seg["end"]) for seg in segments]
+    if len(segments) == 0:
+        if avoid_empty_speech:
+            segments = [(0, audio.shape[-1])]
+        else:
+            return (
+                np.array([], dtype=audio.dtype),
+                [],
+                lambda t, t2=None: t if t2 is None else [t, t2],
+            )
+
+    audio_speech = np.concatenate([audio[..., s:e] for s, e in segments], axis=-1)
+
+    if not use_sample:
+        segments = [(float(s) / sample_rate, float(e) / sample_rate) for s, e in segments]
+
+    return audio_speech, segments, lambda t, t2=None: do_convert_timestamps(segments, t, t2)
+
+
+def do_convert_timestamps(segments, t, t2=None):
+    """Map a timestamp in concatenated-speech time back to original-audio time
+    via the piecewise offsets (reference ``transcribe.py:2158-2200``)."""
+    assert len(segments)
+    ioffset = 0  # input offset
+    ooffset = 0  # output offset
+    ipreviousend = 0
+    result = []
+    for istart, iend in segments:
+        ostart = ooffset
+        oend = ostart + (iend - istart)
+        ooffset = oend
+        ioffset += istart - ipreviousend
+        ipreviousend = iend
+        t_in = t <= oend
+        t2_in = t_in if t2 is None else t2 <= oend
+        if t_in or t2_in:
+            result.append(
+                [
+                    max(istart, min(iend, ioffset + t)),
+                    max(istart, min(iend, ioffset + t2)) if t2 is not None else None,
+                ]
+            )
+            if t_in and t2_in:
+                break
+    if not len(result):
+        result.append([ioffset + t, ioffset + t2 if t2 is not None else None])
+
+    if len(result) > 1:
+        # pick the candidate that best preserves the duration
+        result = sorted(result, key=lambda x: abs(abs(t2 - t) - abs(x[1] - x[0])))
+    result = result[0]
+    if t2 is None:
+        return round(result[0], 2)
+    return [round(x, 2) for x in result]
