@@ -1,0 +1,194 @@
+"""Writers, CLI, and subtitle-tool tests."""
+
+import io
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from whisper_timestamped_tpu.writers import (
+    format_timestamp,
+    write_all_formats,
+    write_csv,
+    write_srt,
+    write_tsv,
+    write_txt,
+    write_vtt,
+)
+from whisper_timestamped_tpu.make_subtitles import split_long_segments
+
+SEGMENTS = [
+    {
+        "id": 0, "seek": 0, "start": 0.5, "end": 2.25, "text": " Hello world.",
+        "words": [
+            {"text": "Hello", "start": 0.5, "end": 1.0, "confidence": 0.9},
+            {"text": "world.", "start": 1.1, "end": 2.25, "confidence": 0.8},
+        ],
+    },
+    {
+        "id": 1, "seek": 0, "start": 2.5, "end": 4.0, "text": " Bye --> now.",
+        "words": [
+            {"text": "Bye", "start": 2.5, "end": 3.0, "confidence": 0.7},
+            {"text": "now.", "start": 3.2, "end": 4.0, "confidence": 0.6},
+        ],
+    },
+]
+RESULT = {"text": " Hello world. Bye --> now.", "segments": SEGMENTS, "language": "en"}
+
+
+def test_format_timestamp():
+    assert format_timestamp(0.5) == "00:00.500"
+    assert format_timestamp(3661.007, always_include_hours=True, decimal_marker=",") == "01:01:01,007"
+
+
+def test_write_txt():
+    buf = io.StringIO()
+    write_txt(SEGMENTS, buf)
+    assert buf.getvalue() == "Hello world.\nBye --> now.\n"
+
+
+def test_write_vtt_escapes_arrow():
+    buf = io.StringIO()
+    write_vtt(SEGMENTS, buf)
+    out = buf.getvalue()
+    assert out.startswith("WEBVTT\n\n")
+    assert "00:00.500 --> 00:02.250\nHello world.\n" in out
+    assert "Bye -> now." in out  # --> escaped inside text
+
+
+def test_write_srt():
+    buf = io.StringIO()
+    write_srt(SEGMENTS, buf)
+    out = buf.getvalue()
+    assert out.startswith("1\n00:00:00,500 --> 00:00:02,250\nHello world.\n")
+    assert "\n2\n" in out
+
+
+def test_write_csv_and_tsv():
+    buf = io.StringIO()
+    write_csv(SEGMENTS, buf)
+    rows = buf.getvalue().strip().splitlines()
+    assert rows[0] == "Hello world.,0.5,2.25"
+    buf = io.StringIO()
+    write_tsv(SEGMENTS, buf)
+    rows = buf.getvalue().strip().splitlines()
+    assert rows[0] == "start\tend\ttext"
+    assert rows[1] == "500\t2250\tHello world."
+
+
+def test_write_all_formats(tmp_path):
+    outname = str(tmp_path / "audio.wav")
+    write_all_formats(RESULT, outname, ["txt", "vtt", "srt", "tsv", "csv", "json"])
+    produced = sorted(os.listdir(tmp_path))
+    assert produced == sorted([
+        "audio.wav.words.json", "audio.wav.txt",
+        "audio.wav.vtt", "audio.wav.words.vtt",
+        "audio.wav.srt", "audio.wav.words.srt",
+        "audio.wav.csv", "audio.wav.words.csv",
+        "audio.wav.tsv", "audio.wav.words.tsv",
+    ])
+    with open(outname + ".words.json") as f:
+        assert json.load(f) == RESULT
+    # word-level srt has 4 entries
+    with open(outname + ".words.srt") as f:
+        assert f.read().count(" --> ") == 4
+
+
+def test_split_long_segments_prefers_punctuation():
+    seg = {
+        "text": "aaa bbb. ccc ddd",
+        "start": 0.0,
+        "end": 4.0,
+        "words": [
+            {"text": "aaa", "start": 0.0, "end": 1.0},
+            {"text": "bbb.", "start": 1.0, "end": 2.0},
+            {"text": "ccc", "start": 2.0, "end": 3.0},
+            {"text": "ddd", "start": 3.0, "end": 4.0},
+        ],
+    }
+    out = split_long_segments([seg], max_length=10)
+    assert [s["text"] for s in out] == ["aaa bbb.", "ccc ddd"]
+    assert out[0]["end"] == 2.0 and out[1]["start"] == 2.0
+
+
+def test_split_long_segments_short_passthrough():
+    seg = {"text": "short", "start": 0, "end": 1, "words": []}
+    assert split_long_segments([seg], max_length=100) == [seg]
+
+
+def test_make_subtitles_cli(tmp_path):
+    inp = tmp_path / "x.words.json"
+    inp.write_text(json.dumps(RESULT), encoding="utf-8")
+    outdir = tmp_path / "out"
+    from whisper_timestamped_tpu.make_subtitles import main
+
+    main([str(inp), str(outdir), "--max_length", "6"])
+    files = sorted(os.listdir(outdir))
+    assert files == ["x.srt", "x.vtt"]
+    srt = (outdir / "x.srt").read_text()
+    assert srt.count(" --> ") >= 3  # long segments were split
+
+
+def test_cli_help_and_parsing():
+    from whisper_timestamped_tpu.cli import build_parser, filtered_keys
+
+    parser = build_parser()
+    args = parser.parse_args(["a.wav", "--model", "tiny", "--accurate"])
+    assert args.beam_size == 5 and args.best_of == 5
+    assert args.temperature_increment_on_fallback == 0.2
+    args = parser.parse_args(["a.wav", "--accurate", "--efficient"])
+    assert args.beam_size is None
+
+    filtered = filtered_keys({"text": "x", "segments": [{"start": 0.123456, "end": 1.0,
+                              "seek": 3, "text": "y"}], "language": "en"})
+    assert filtered["segments"][0]["start"] == 0.12
+    assert "seek" not in filtered["segments"][0]
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full subprocess CLI run on a synthetic checkpoint + wav."""
+    import wave
+
+    from model_utils import make_hf_model, save_openai_pt
+
+    model = make_hf_model(seed=0)
+    ckpt = str(tmp_path / "model.pt")
+    save_openai_pt(model, ckpt)
+    # write the synthetic tokenizer next to the checkpoint as a tiktoken file
+    import base64
+
+    from whisper_timestamped_tpu.tokenizer import synthetic_ranks
+
+    with open(tmp_path / "multilingual.tiktoken", "wb") as f:
+        for k, v in synthetic_ranks().items():
+            f.write(base64.b64encode(k) + b" " + str(v).encode() + b"\n")
+
+    wav = str(tmp_path / "test.wav")
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal(16000 * 2) * 0.1 * 32767).astype("<i2")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    outdir = str(tmp_path / "out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from whisper_timestamped_tpu.cli import main; main()",
+         wav, "--model", ckpt, "--language", "en", "--output_dir", outdir,
+         "--output_format", "json,srt", "--no_speech_threshold", "None",
+         "--logprob_threshold", "None", "--compression_ratio_threshold", "None"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    files = sorted(os.listdir(outdir))
+    assert "test.wav.words.json" in files and "test.wav.srt" in files and "test.wav.words.srt" in files
+    data = json.load(open(os.path.join(outdir, "test.wav.words.json")))
+    assert "segments" in data and data["language"] == "en"

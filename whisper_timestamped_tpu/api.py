@@ -80,9 +80,20 @@ def _resolve_tokenizer(model: WhisperModel, tokenizer, language, task) -> Tokeni
             vocab_path=tokenizer,
         )
     if model.tokenizer_ranks is not None:
+        # derive the special-token layout from the actual vocabulary size:
+        # n_vocab = n_base + 2 + n_langs + 6 + 1501
+        n_base = max(model.tokenizer_ranks.values()) + 1
+        n_langs = model.dims.n_vocab - n_base - 1509
+        if not (0 < n_langs <= 100):
+            n_langs = model.num_languages
+        multilingual = (
+            model.tokenizer_multilingual
+            if model.tokenizer_multilingual is not None
+            else model.is_multilingual
+        )
         return get_tokenizer(
-            multilingual=model.is_multilingual,
-            num_languages=model.num_languages,
+            multilingual=multilingual,
+            num_languages=n_langs,
             language=language,
             task=task,
             ranks=model.tokenizer_ranks,

@@ -1,0 +1,244 @@
+"""Command-line interface.
+
+Flag-compatible with the reference CLI (``transcribe.py:2964-3201``): same
+option names, ``--accurate``/``--efficient`` presets, temperature fallback
+schedule construction, multi-file loop, six output formats with ``.words.*``
+variants, and filtered-stdout JSON. Device flags differ where the hardware
+does (TPU/JAX instead of cuda/xpu).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from . import __version__
+from .api import transcribe_timestamped
+from .languages import LANGUAGES, TO_LANGUAGE_CODE
+from .models.load import available_models, load_model
+from .writers import VALID_FORMATS, write_all_formats
+
+logger = logging.getLogger("whisper_timestamped_tpu")
+
+
+def str2bool(string):
+    str2val = {"true": True, "false": False}
+    if string and string.lower() in str2val:
+        return str2val[string.lower()]
+    raise ValueError(f"Expected one of {set(str2val.keys())}, got {string}")
+
+
+def optional_int(string):
+    return None if string == "None" else int(string)
+
+
+def optional_float(string):
+    return None if string == "None" else float(string)
+
+
+def str2output_formats(string):
+    if string == "all":
+        return list(VALID_FORMATS)
+    formats = string.split(",")
+    for fmt in formats:
+        if fmt not in VALID_FORMATS:
+            raise ValueError(f"Expected one of {VALID_FORMATS}, got {fmt}")
+    return formats
+
+
+def filtered_keys(result, keys=(
+    "text", "segments", "words", "language", "start", "end", "confidence",
+    "language_probs", "speech_activity",
+)):
+    """Round floats + keep the user-facing keys for stdout JSON
+    (reference ``transcribe.py:3185-3201``)."""
+    if isinstance(result, dict):
+        return {
+            k: (filtered_keys(v, keys) if k not in ["language_probs"] else v)
+            for k, v in result.items()
+            if k in keys
+        }
+    if isinstance(result, list):
+        return [filtered_keys(v, keys) for v in result]
+    if isinstance(result, float):
+        return round(result, 2)
+    return result
+
+
+class _ActionSetAccurate(argparse.Action):
+    def __init__(self, option_strings, dest, nargs=None, **kwargs):
+        super().__init__(option_strings, dest, nargs=0, **kwargs)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, "best_of", 5)
+        setattr(namespace, "beam_size", 5)
+        setattr(namespace, "temperature_increment_on_fallback", 0.2)
+
+
+class _ActionSetEfficient(argparse.Action):
+    def __init__(self, option_strings, dest, nargs=None, **kwargs):
+        super().__init__(option_strings, dest, nargs=0, **kwargs)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, "best_of", None)
+        setattr(namespace, "beam_size", None)
+        setattr(namespace, "temperature_increment_on_fallback", None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Transcribe audio with word timestamps on TPU (JAX/XLA)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("-v", "--version", action="version", version=f"{__version__}")
+    parser.add_argument("audio", help="audio file(s) to transcribe", nargs="+")
+    parser.add_argument(
+        "--model",
+        help=f"Whisper model: a local .pt / HF dir / safetensors, or one of "
+        f"{', '.join(available_models())} (resolved against --model_dir)",
+        default="small",
+    )
+    parser.add_argument("--model_dir", default=None, type=str,
+                        help="path where model files are cached (default ~/.cache/whisper)")
+    parser.add_argument("--tokenizer", default=None, type=str,
+                        help="path to a .tiktoken vocabulary or HF tokenizer dir "
+                        "(defaults to files found next to the model)")
+    parser.add_argument("--device", default="tpu",
+                        help="JAX platform to use (tpu, cpu)")
+    parser.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"],
+                        help="model compute dtype (bfloat16 recommended on TPU)")
+    parser.add_argument("--output_dir", "-o", default=None, type=str,
+                        help="directory to save the outputs")
+    parser.add_argument("--output_format", "-f", default="all", type=str2output_formats,
+                        help=f"format(s) of the output files: {', '.join(VALID_FORMATS)}, "
+                        "comma-separated, or 'all'")
+    parser.add_argument("--task", default="transcribe", choices=["transcribe", "translate"],
+                        help="speech recognition ('transcribe') or X->English translation ('translate')")
+    parser.add_argument(
+        "--language", default=None,
+        choices=sorted(LANGUAGES.keys()) + sorted(k.title() for k in TO_LANGUAGE_CODE.keys()),
+        help="language spoken in the audio; None for auto-detection",
+    )
+    parser.add_argument("--vad", default=False,
+                        help="VAD before transcription: True, False, auditok, energy, silero, "
+                        "silero:3.1, or explicit '[(start, end), ...]' pairs")
+    parser.add_argument("--detect_disfluencies", default=False, type=str2bool,
+                        help="detect disfluencies, marked as [*]")
+    parser.add_argument("--recompute_all_timestamps", default=False, type=str2bool,
+                        help="do not rely on Whisper timestamps (experimental)")
+    parser.add_argument("--punctuations_with_words", default=True, type=str2bool,
+                        help="include punctuations in the words")
+    parser.add_argument("--temperature", default=0.0, type=float, help="sampling temperature")
+    parser.add_argument("--best_of", type=optional_int, default=None,
+                        help="candidates when sampling with non-zero temperature")
+    parser.add_argument("--beam_size", type=optional_int, default=None,
+                        help="number of beams in beam search (temperature zero)")
+    parser.add_argument("--patience", type=optional_float, default=None,
+                        help="beam decoding patience")
+    parser.add_argument("--length_penalty", type=optional_float, default=None,
+                        help="token length penalty (alpha)")
+    parser.add_argument("--suppress_tokens", default="-1", type=str,
+                        help="comma-separated token ids to suppress; '-1' = most specials")
+    parser.add_argument("--initial_prompt", default=None, type=str,
+                        help="prompt text for the first window")
+    parser.add_argument("--condition_on_previous_text", default=True, type=str2bool,
+                        help="feed previous output as prompt for the next window")
+    parser.add_argument("--fp16", default=None, type=str2bool,
+                        help="accepted for reference compatibility (bf16 via --dtype on TPU)")
+    parser.add_argument("--temperature_increment_on_fallback", default=0.0, type=optional_float,
+                        help="temperature step when decoding fails the thresholds")
+    parser.add_argument("--compression_ratio_threshold", default=2.4, type=optional_float)
+    parser.add_argument("--logprob_threshold", default=-1.0, type=optional_float)
+    parser.add_argument("--no_speech_threshold", default=0.6, type=optional_float)
+    parser.add_argument("--threads", default=0, type=optional_int,
+                        help="host CPU threads for inference (CPU platform)")
+    parser.add_argument("--compute_confidence", default=True, type=str2bool)
+    parser.add_argument("--verbose", type=str2bool, default=False)
+    parser.add_argument("--plot", default=False, action="store_true",
+                        help="plot word alignments (requires matplotlib)")
+    parser.add_argument("--debug", default=False, action="store_true")
+    parser.add_argument("--accurate", action=_ActionSetAccurate,
+                        help="shortcut for best_of=5, beam_size=5, fallback step 0.2")
+    parser.add_argument("--efficient", action=_ActionSetEfficient,
+                        help="shortcut for single greedy decoding")
+    parser.add_argument("--naive", default=False, action="store_true",
+                        help="two-pass approach (decode then re-forward for alignment)")
+    return parser
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv).__dict__
+    args.pop("accurate", None)
+    args.pop("efficient", None)
+
+    temperature = args.pop("temperature")
+    increment = args.pop("temperature_increment_on_fallback")
+    if increment:
+        temperature = tuple(np.arange(temperature, 1.0 + 1e-6, increment))
+    else:
+        temperature = [temperature]
+
+    threads = args.pop("threads")
+    if threads:
+        os.environ.setdefault("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] += f" --xla_cpu_multi_thread_eigen_thread_count={threads}"
+
+    device = args.pop("device")
+    if device and device != "tpu":
+        import jax
+
+        jax.config.update("jax_platforms", device)
+
+    audio_files = args.pop("audio")
+    model_name = args.pop("model")
+    model_dir = args.pop("model_dir")
+    dtype = args.pop("dtype")
+    tokenizer = args.pop("tokenizer")
+    output_format = args.pop("output_format")
+    plot_word_alignment = args.pop("plot")
+    args.pop("fp16")
+
+    debug = args.pop("debug")
+    logging.basicConfig()
+    if debug:
+        logger.setLevel(logging.DEBUG)
+
+    output_dir = args.pop("output_dir")
+    if output_dir and not os.path.isdir(output_dir):
+        os.makedirs(output_dir)
+
+    args["naive_approach"] = args.pop("naive")
+    args["remove_punctuation_from_words"] = not args.pop("punctuations_with_words")
+    args["compute_word_confidence"] = args.pop("compute_confidence")
+    args["trust_whisper_timestamps"] = not args.pop("recompute_all_timestamps")
+    args["plot_word_alignment"] = plot_word_alignment
+
+    import jax.numpy as jnp
+
+    model = load_model(
+        model_name,
+        download_root=model_dir,
+        dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(dtype),
+    )
+
+    for audio_path in audio_files:
+        outname = (
+            os.path.join(output_dir, os.path.basename(audio_path)) if output_dir else None
+        )
+        result = transcribe_timestamped(
+            model, audio_path, temperature=temperature, tokenizer=tokenizer, **args
+        )
+        if output_dir:
+            write_all_formats(result, outname, output_format)
+        elif not args["verbose"]:
+            json.dump(filtered_keys(result), sys.stdout, indent=2, ensure_ascii=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,7 @@ class WhisperModel:
     alignment_heads: Optional[list] = None
     model_name: Optional[str] = None
     tokenizer_ranks: Optional[dict] = None  # byte->rank, when the checkpoint dir has one
+    tokenizer_multilingual: Optional[bool] = None  # hint from the vocab filename
 
     @property
     def is_multilingual(self) -> bool:
@@ -369,18 +370,19 @@ def _load_hf_dir(dirname: str) -> Tuple[Params, WhisperDims, Optional[dict]]:
     return params, dims, config
 
 
-def _tokenizer_ranks_from_dir(dirname: str) -> Optional[dict]:
+def _tokenizer_ranks_from_dir(dirname: str) -> Tuple[Optional[dict], Optional[bool]]:
+    """(byte->rank table, multilingual hint) from files next to a checkpoint."""
     from ..tokenizer import load_hf_vocab_ranks, load_tiktoken_ranks
 
-    for cand, loader in (
-        ("multilingual.tiktoken", load_tiktoken_ranks),
-        ("gpt2.tiktoken", load_tiktoken_ranks),
-        ("vocab.json", load_hf_vocab_ranks),
+    for cand, loader, multi in (
+        ("multilingual.tiktoken", load_tiktoken_ranks, True),
+        ("gpt2.tiktoken", load_tiktoken_ranks, False),
+        ("vocab.json", load_hf_vocab_ranks, None),
     ):
         p = os.path.join(dirname, cand)
         if os.path.exists(p):
-            return loader(p)
-    return None
+            return loader(p), multi
+    return None, None
 
 
 def _num_parameters_for_name_inference(params: Params) -> int:
@@ -421,9 +423,9 @@ def load_model(
         params, dims, config = _load_hf_dir(name_or_path)
         if config and config.get("_name_or_path"):
             model_name = config["_name_or_path"]
-        ranks = _tokenizer_ranks_from_dir(name_or_path)
+        ranks, multi_hint = _tokenizer_ranks_from_dir(name_or_path)
     elif os.path.isfile(name_or_path):
-        ranks = _tokenizer_ranks_from_dir(os.path.dirname(os.path.abspath(name_or_path)))
+        ranks, multi_hint = _tokenizer_ranks_from_dir(os.path.dirname(os.path.abspath(name_or_path)))
         if name_or_path.endswith(".safetensors"):
             sd = _load_safetensors(name_or_path)
             try:
@@ -486,4 +488,5 @@ def load_model(
         alignment_heads=inferred,
         model_name=model_name,
         tokenizer_ranks=ranks,
+        tokenizer_multilingual=multi_hint,
     )
