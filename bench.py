@@ -1,0 +1,124 @@
+"""Benchmark: long-form transcription throughput (RTF) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: audio-seconds transcribed per wall-clock second per chip ("x realtime")
+for the batched efficient path at large-v3 geometry — batched 30-s window
+decode (bf16, KV cache, on-the-fly alignment-head attention capture) plus the
+host DTW word alignment. The reference publishes no throughput numbers
+(BASELINE.md); the north-star target is >=100x realtime per v5e chip at
+large-v3, so ``vs_baseline`` reports value/100.
+
+Environment knobs: BENCH_MODEL (large-v3|turbo|base|tiny), BENCH_BATCH,
+BENCH_TOKENS (decoded tokens per 30-s window; ~2.5 tok/s speech -> default 75),
+BENCH_REPS.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import numpy as np
+
+GEOMETRIES = {
+    "tiny": dict(n_audio_state=384, n_audio_head=6, n_audio_layer=4,
+                 n_text_state=384, n_text_head=6, n_text_layer=4, n_mels=80, n_vocab=51865),
+    "base": dict(n_audio_state=512, n_audio_head=8, n_audio_layer=6,
+                 n_text_state=512, n_text_head=8, n_text_layer=6, n_mels=80, n_vocab=51865),
+    "small": dict(n_audio_state=768, n_audio_head=12, n_audio_layer=12,
+                  n_text_state=768, n_text_head=12, n_text_layer=12, n_mels=80, n_vocab=51865),
+    "medium": dict(n_audio_state=1024, n_audio_head=16, n_audio_layer=24,
+                   n_text_state=1024, n_text_head=16, n_text_layer=24, n_mels=80, n_vocab=51865),
+    "turbo": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                  n_text_state=1280, n_text_head=20, n_text_layer=4, n_mels=128, n_vocab=51866),
+    "large-v3": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                     n_text_state=1280, n_text_head=20, n_text_layer=32, n_mels=128, n_vocab=51866),
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_timestamped_tpu.alignment import perform_word_alignment
+    from whisper_timestamped_tpu.audio import log_mel_spectrogram, pad_or_trim
+    from whisper_timestamped_tpu.decoding import DecodingOptions
+    from whisper_timestamped_tpu.engine import DecodeEngine
+    from whisper_timestamped_tpu.models.alignment_heads import ALIGNMENT_HEADS
+    from whisper_timestamped_tpu.models.load import WhisperModel
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        WhisperDims, cast_params, init_params,
+    )
+    from whisper_timestamped_tpu.tokenizer import Tokenizer, BytePairEncoder, synthetic_ranks
+
+    model_name = os.environ.get("BENCH_MODEL", "large-v3")
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    dims = WhisperDims(n_audio_ctx=1500, n_text_ctx=448, **GEOMETRIES[model_name])
+    params = cast_params(init_params(dims, jax.random.PRNGKey(0)), jnp.bfloat16)
+
+    # real multilingual special-token layout over a synthetic byte BPE
+    # (decode speed depends on the vocab SIZE, not its contents)
+    ranks = synthetic_ranks()
+    pad_base = dims.n_vocab - 1509 - (100 if dims.n_vocab == 51866 else 99) - len(ranks)
+    for i in range(pad_base):
+        ranks[b"\x00" + str(i).encode()] = len(ranks)
+    n_langs = 100 if dims.n_vocab == 51866 else 99
+    tok = Tokenizer(bpe=BytePairEncoder(ranks), multilingual=True,
+                    num_languages=n_langs, language="en", task="transcribe")
+    assert tok.n_vocab == dims.n_vocab, (tok.n_vocab, dims.n_vocab)
+
+    heads = ALIGNMENT_HEADS.get(model_name) or [(dims.n_text_layer - 1, h) for h in range(6)]
+    wm = WhisperModel(params=params, dims=dims, alignment_heads=heads)
+    engine = DecodeEngine(wm, tok, attn_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(B * 30 * 16000) * 0.1).astype(np.float32)
+    mel = np.asarray(
+        log_mel_spectrogram(audio.reshape(B, -1), n_mels=dims.n_mels)
+    )
+    mel = pad_or_trim(mel, 3000, axis=-1)
+
+    opts = DecodingOptions(language="en", sample_len=n_tokens)
+
+    # warmup + compile
+    res = engine.decode_window(mel, opts)
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = engine.decode_window(mel, opts)
+        # on-the-fly word alignment for each window (single segment each)
+        for r in res:
+            toks = [tok.timestamp_begin] + [t for t in r.tokens if t < tok.eot][: n_tokens - 2] + [
+                tok.timestamp_begin + 1500
+            ]
+            attn = np.concatenate(
+                [r.attn[:1], r.attn[: len(toks) - 2], r.attn[-1:]], axis=0
+            )[: len(toks)]
+            if attn.shape[0] == len(toks) and len(toks) > 2:
+                perform_word_alignment(toks, attn, tok, detect_disfluencies=False)
+        times.append(time.time() - t0)
+
+    best = min(times)
+    audio_seconds = B * 30.0
+    rtf = audio_seconds / best
+    print(
+        json.dumps(
+            {
+                "metric": f"audio_sec_per_sec_per_chip_{model_name}_b{B}",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -150,11 +150,48 @@ def test_reproducible_greedy(model, tok, audio):
     assert a == b
 
 
-def test_beam_size_not_implemented_yet(model, tok, audio):
-    with pytest.raises(NotImplementedError):
-        transcribe_timestamped(
-            model, audio[:16000], language="en", tokenizer=tok, beam_size=2
-        )
+def test_beam_search_naive_path(model, tok, audio):
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 4], language="en", tokenizer=tok, beam_size=3,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert "text" in res and len(res["segments"]) >= 1
+    for s in res["segments"]:
+        for w in s.get("words", []):
+            assert w["start"] <= w["end"]
+            assert 0.0 <= w.get("confidence", 0.0) <= 1.0
+
+
+def test_naive_approach_greedy(model, tok, audio):
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 4], language="en", tokenizer=tok, naive_approach=True,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert len(res["segments"]) >= 1
+    all_words = [w for s in res["segments"] for w in s.get("words", [])]
+    assert len(all_words) >= 1
+
+
+def test_best_of_sampling(model, tok, audio):
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 3], language="en", tokenizer=tok,
+        temperature=0.7, best_of=3,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert "text" in res
+
+
+def test_recompute_all_timestamps(model, tok, audio):
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 4], language="en", tokenizer=tok,
+        trust_whisper_timestamps=False, naive_approach=True,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert "text" in res
 
 
 def test_model_path_loading(tmp_path, tok, audio):

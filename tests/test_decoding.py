@@ -223,3 +223,28 @@ def test_transcribe_fallback_schedule(engine):
         logprob_threshold=None, no_speech_threshold=None,
     )
     assert all(s.temperature == 1.0 for s in result.segments)
+
+
+def test_beam_size_one_equals_greedy(engine, mel):
+    opts_g = DecodingOptions(language="en")
+    greedy = engine.decode_window(mel, opts_g)[0]
+    opts_b = DecodingOptions(language="en", beam_size=1)
+    beam = engine.decode_window_beam(mel, opts_b)
+    assert beam.tokens == greedy.tokens
+    np.testing.assert_allclose(beam.sum_logprob, greedy.sum_logprob, atol=2e-2)
+
+
+def test_beam_search_basic_properties(engine, mel):
+    opts = DecodingOptions(language="en", beam_size=3)
+    res = engine.decode_window_beam(mel, opts)
+    tok = engine.tokenizer
+    assert len(res.tokens) > 0
+    assert tok.timestamp_begin <= res.tokens[0] <= tok.timestamp_begin + 50
+    ts = [t for t in res.tokens if t >= tok.timestamp_begin]
+    assert ts == sorted(ts)
+    assert res.avg_logprob <= 0.0
+    # beam score should be at least as good as greedy's (same ranking metric)
+    greedy = engine.decode_window(mel, DecodingOptions(language="en"))[0]
+    def score(r):
+        return r.sum_logprob / max(len(r.tokens), 1)
+    assert score(res) >= score(greedy) - 1e-3

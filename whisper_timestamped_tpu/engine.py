@@ -242,6 +242,100 @@ class DecodeEngine:
         return results
 
     # ------------------------------------------------------------------
+    def decode_window_beam(
+        self,
+        mel: np.ndarray,  # (n_mels, 3000)
+        options: DecodingOptions,
+        prompt_tokens: Sequence[int] = (),
+    ) -> WindowDecodeResult:
+        """Beam-search decode of one window (no attention capture — the
+        teacher-forced pass supplies alignment data in the naive engine)."""
+        from .decoding_beam import decode_window_beam_jit, rank_beam_results
+
+        tok = self.tokenizer
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim == 2:
+            mel = mel[None]
+        assert mel.shape[0] == 1, "beam decode is per-window (B=1)"
+        buf, plen, sot_from_end = self.build_prompt(prompt_tokens, options)
+        sm, bm = self._masks(options)
+        K = options.beam_size
+        patience = options.patience if options.patience is not None else 1.0
+        max_candidates = max(1, round(K * patience))
+        max_init_ts = (
+            round(options.max_initial_timestamp / TIME_PER_POSITION)
+            if options.max_initial_timestamp is not None
+            else None
+        )
+        out = decode_window_beam_jit(
+            self.model.params,
+            jnp.asarray(mel),
+            jnp.asarray(buf),
+            jnp.int32(plen),
+            sm,
+            bm,
+            dims=self.dims,
+            beam_size=K,
+            max_candidates=max_candidates,
+            max_new=options.sample_len or MAX_NEW_TOKENS,
+            sample_begin=PROMPT_REGION,
+            eot=tok.eot,
+            ts_begin=tok.timestamp_begin,
+            no_timestamps=tok.no_timestamps,
+            sot_index_from_end=sot_from_end,
+            max_initial_timestamp_index=max_init_ts,
+            suppress_blank=options.suppress_blank,
+            without_timestamps=options.without_timestamps,
+        )
+        tokens, sum_lp = rank_beam_results(
+            {k: np.asarray(v) if hasattr(v, "shape") else v for k, v in out.items()},
+            tok.eot,
+            options.length_penalty,
+        )
+        text = tok.decode(tokens)
+        return WindowDecodeResult(
+            tokens=tokens,
+            text=text,
+            avg_logprob=float(sum_lp) / (len(tokens) + 1),
+            no_speech_prob=float(np.asarray(out["no_speech_prob"])),
+            temperature=0.0,
+            compression_ratio=compression_ratio(text),
+            token_logprobs=np.zeros(len(tokens), np.float32),
+            attn=np.zeros((0,)),
+            sum_logprob=float(sum_lp),
+            hit_limit=int(np.asarray(out["n_steps"])) >= (options.sample_len or MAX_NEW_TOKENS)
+            and int(np.asarray(out["n_finished"])) == 0,
+        )
+
+    def decode_window_best_of(
+        self,
+        mel: np.ndarray,
+        options: DecodingOptions,
+        prompt_tokens: Sequence[int],
+        temperature: float,
+        rng_seed: int,
+    ) -> WindowDecodeResult:
+        """best_of sampling: n_group independent samples, best avg-logprob wins
+        (whisper GreedyDecoder + MaximumLikelihoodRanker with no penalty)."""
+        n = options.best_of or 1
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim == 2:
+            mel = mel[None]
+        batch = np.repeat(mel, n, axis=0)
+        results = self.decode_window(
+            batch, options, prompt_tokens, temperature=temperature, rng_seed=rng_seed
+        )
+        # NOTE: decode_window uses one PRNG key folded per batch element via
+        # jax.random.categorical over the batch, so samples differ per row.
+        def score(r):
+            length = len(r.tokens)
+            if options.length_penalty is None:
+                return r.sum_logprob / max(length, 1)
+            return r.sum_logprob / (((5.0 + length) / 6.0) ** options.length_penalty)
+
+        return max(results, key=score)
+
+    # ------------------------------------------------------------------
     def decode_with_fallback(
         self,
         mel: np.ndarray,
@@ -253,12 +347,24 @@ class DecodeEngine:
         no_speech_threshold: Optional[float],
         rng_seed: int = 0,
     ) -> WindowDecodeResult:
-        """whisper's decode_with_fallback: escalate temperature on bad output."""
+        """whisper's decode_with_fallback: escalate temperature on bad output.
+
+        At t==0 beam search is used when beam_size is set; at t>0 best_of
+        sampling (whisper transcribe.py's decode_with_fallback semantics).
+        """
         result = None
         for t in temperatures:
-            result = self.decode_window(
-                mel, options, prompt_tokens, temperature=float(t), rng_seed=rng_seed
-            )[0]
+            if t == 0 and options.beam_size:
+                result = self.decode_window_beam(mel, options, prompt_tokens)
+            elif t > 0 and (options.best_of or 0) > 1:
+                result = self.decode_window_best_of(
+                    mel, options, prompt_tokens, float(t), rng_seed
+                )
+                result.temperature = float(t)
+            else:
+                result = self.decode_window(
+                    mel, options, prompt_tokens, temperature=float(t), rng_seed=rng_seed
+                )[0]
             needs_fallback = False
             if (
                 compression_ratio_threshold is not None

@@ -224,6 +224,7 @@ def encode(params: Params, mel: jnp.ndarray, dims: WhisperDims) -> jnp.ndarray:
     """Audio encoder: mel (B, n_mels, T) -> features (B, T//2, D)."""
     enc = params["encoder"]
     x = jnp.swapaxes(mel, -1, -2)  # (B, T, n_mels)
+    x = x.astype(enc["conv1"]["w"].dtype)  # bf16 params -> bf16 compute
     x = jax.nn.gelu(_conv1d(x, enc["conv1"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, enc["conv2"], 2), approximate=False)
     pos = enc.get("pos_emb")
