@@ -85,3 +85,48 @@ def test_silero_without_weights_raises():
     a = _speech_like()
     with pytest.raises(FileNotFoundError):
         get_vad_segments(a, method="silero")
+
+
+def test_silero_state_machine_synthetic():
+    from whisper_timestamped_tpu.models.silero_jax import speech_probs_to_timestamps
+
+    # 100 windows of 512 samples: speech at windows 10-30 and 60-80
+    probs = np.zeros(100)
+    probs[10:30] = 0.9
+    probs[60:80] = 0.9
+    segs = speech_probs_to_timestamps(probs, 100 * 512, min_silence_duration_ms=100)
+    assert len(segs) == 2
+    assert abs(segs[0]["start"] - 10 * 512) < 1000
+    assert segs[0]["end"] < segs[1]["start"]
+    # short blip below min_speech ignored
+    probs2 = np.zeros(100)
+    probs2[50] = 0.9  # 512 samples = 32ms < 250ms min_speech
+    assert speech_probs_to_timestamps(probs2, 100 * 512) == []
+
+
+def test_silero_hysteresis_brief_dip():
+    from whisper_timestamped_tpu.models.silero_jax import speech_probs_to_timestamps
+
+    probs = np.zeros(100)
+    probs[10:50] = 0.9
+    probs[30] = 0.1  # single-window dip (~32ms) under min_silence 100ms
+    segs = speech_probs_to_timestamps(probs, 100 * 512)
+    assert len(segs) == 1  # dip bridged
+
+
+def test_silero_fake_prob_model_end_to_end():
+    from whisper_timestamped_tpu.models.silero_jax import silero_get_speech_timestamps
+
+    rng = np.random.default_rng(0)
+    audio = np.zeros(16000 * 4, np.float32)
+    audio[16000:32000] = rng.standard_normal(16000) * 0.5
+
+    def fake_probs(chunks, sr):
+        return (np.abs(chunks).mean(axis=-1) > 0.05).astype(float)
+
+    segs = silero_get_speech_timestamps(
+        audio, model_path="(unused)", probs_fn=fake_probs
+    )
+    assert len(segs) == 1
+    assert abs(segs[0]["start"] - 16000) < 2000
+    assert abs(segs[0]["end"] - 32000) < 2000

@@ -288,12 +288,13 @@ def decode_window_jit(
         prefill_block, (x,), (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv)
     )
     cache = cache._replace(k=k_c, v=v_c)
-    prefill_logits = _logits(_ln(x, dec["ln"]), dec)  # (B, P, V)
-
-    # no-speech probability: softmax at the <|startoftranscript|> position
+    # logits only where needed: the sot position (no-speech prob) and the last
+    # position (first sampled token) — not all P prompt positions
     sot_slot = P - sot_index_from_end
-    sot_logits = prefill_logits[:, sot_slot]  # (B, V)
-    no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), axis=-1)[:, no_speech]
+    x_sel = jnp.stack([x[:, sot_slot], x[:, -1]], axis=1)  # (B, 2, D)
+    sel_logits = _logits(_ln(x_sel, dec["ln"]), dec)  # (B, 2, V)
+    no_speech_prob = jax.nn.softmax(sel_logits[:, 0].astype(jnp.float32), axis=-1)[:, no_speech]
+    prefill_last_logits = sel_logits[:, 1]
 
     K = len(align_heads)
     layer_idx = np.array([l for l, _ in align_heads])
@@ -302,7 +303,7 @@ def decode_window_jit(
 
     init = dict(
         i=jnp.int32(0),
-        last_logits=prefill_logits[:, -1],  # (B, V)
+        last_logits=prefill_last_logits,  # (B, V)
         last_token=prompt[:, -1],
         penult_token=prompt[:, -2],
         max_timestamp=jnp.full((B,), ts_begin - 1, jnp.int32),

@@ -107,14 +107,16 @@ def decode_window_beam_jit(
         prefill_block, (x,), (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv)
     )
     cache = cache._replace(k=k_c, v=v_c)
-    prefill_logits = _logits(_ln(x, dec["ln"]), dec)  # (K, P, V)
-    sot_logits = prefill_logits[0, P - sot_index_from_end]
-    no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32))[no_speech]
+    sot_slot = P - sot_index_from_end
+    x_sel = jnp.stack([x[:, sot_slot], x[:, -1]], axis=1)  # (K, 2, D)
+    sel_logits = _logits(_ln(x_sel, dec["ln"]), dec)
+    no_speech_prob = jax.nn.softmax(sel_logits[0, 0].astype(jnp.float32))[no_speech]
+    prefill_last_logits = sel_logits[:, 1]
 
     C = max_candidates
     init = dict(
         i=jnp.int32(0),
-        last_logits=prefill_logits[:, -1].astype(jnp.float32),  # (K, V)
+        last_logits=prefill_last_logits.astype(jnp.float32),  # (K, V)
         last_token=prompt_k[:, -1],
         penult_token=prompt_k[:, -2],
         max_timestamp=jnp.full((K,), ts_begin - 1, jnp.int32),

@@ -460,10 +460,8 @@ def transcribe_windows(
     segments: List[Segment] = []
     seek = 0
     while seek < content_frames:
-        time_offset = seek * HOP_LENGTH / SAMPLE_RATE
         mel_window = mel_full[:, seek : seek + N_FRAMES]
         segment_size = min(N_FRAMES, content_frames - seek)
-        segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
         mel_window = pad_or_trim(mel_window, N_FRAMES, axis=-1)
 
         result = engine.decode_with_fallback(
@@ -477,77 +475,9 @@ def transcribe_windows(
             rng_seed=rng_seed + seek,
         )
 
-        if no_speech_threshold is not None:
-            should_skip = result.no_speech_prob > no_speech_threshold
-            if (
-                logprob_threshold is not None
-                and result.avg_logprob > logprob_threshold
-            ):
-                should_skip = False
-            if should_skip:
-                seek += segment_size
-                continue
-
-        tokens = np.array(result.tokens)
-        ts_begin = tok.timestamp_begin
-        timestamp_mask = tokens >= ts_begin
-        single_timestamp_ending = (
-            len(tokens) >= 2 and not timestamp_mask[-2] and timestamp_mask[-1]
+        window_segments, seek = extract_window_segments(
+            result, seek, segment_size, tok, no_speech_threshold, logprob_threshold
         )
-
-        consecutive = (
-            np.where(timestamp_mask[:-1] & timestamp_mask[1:])[0] + 1
-            if len(tokens) >= 2
-            else np.array([], int)
-        )
-        window_segments: List[Segment] = []
-        if len(consecutive) > 0:
-            slices = consecutive.tolist()
-            if single_timestamp_ending:
-                slices.append(len(tokens))
-            last_slice = 0
-            for current_slice in slices:
-                sliced = tokens[last_slice:current_slice]
-                start_pos = int(sliced[0]) - ts_begin
-                end_pos = int(sliced[-1]) - ts_begin
-                window_segments.append(
-                    _new_segment(
-                        seek,
-                        time_offset + start_pos * TIME_PER_POSITION,
-                        time_offset + end_pos * TIME_PER_POSITION,
-                        sliced.tolist(),
-                        result,
-                        token_span=(last_slice, current_slice),
-                        tok=tok,
-                        mel_frame_offset=seek,
-                        segment_frames=segment_size,
-                    )
-                )
-                last_slice = current_slice
-            if single_timestamp_ending:
-                seek += segment_size
-            else:
-                last_timestamp_pos = int(tokens[last_slice - 1]) - ts_begin
-                seek += last_timestamp_pos * INPUT_STRIDE
-        else:
-            duration = segment_duration
-            timestamps = tokens[timestamp_mask]
-            if len(timestamps) > 0 and int(timestamps[-1]) != ts_begin:
-                duration = (int(timestamps[-1]) - ts_begin) * TIME_PER_POSITION
-            window_segments.append(
-                _new_segment(
-                    seek,
-                    time_offset,
-                    time_offset + duration,
-                    tokens.tolist(),
-                    result,
-                    token_span=(0, len(tokens)),
-                    tok=tok,
-                    mel_frame_offset=seek,
-                    segment_frames=segment_size,
-                )
-            )
-            seek += segment_size
 
         for seg in window_segments:
             seg.id = len(segments)
@@ -563,6 +493,90 @@ def transcribe_windows(
     return TranscribeResult(
         text=text, segments=segments, language=language, language_probs=language_probs
     )
+
+
+def extract_window_segments(
+    result: WindowDecodeResult,
+    seek: int,
+    segment_size: int,
+    tok: Tokenizer,
+    no_speech_threshold: Optional[float],
+    logprob_threshold: Optional[float],
+) -> Tuple[List[Segment], int]:
+    """Timestamp-token segmentation + seek advance for one decoded window
+    (whisper's transcribe-loop semantics). Returns (segments, new_seek).
+    Shared by the serial loop and the batched multi-file pipeline."""
+    time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+    segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+
+    if no_speech_threshold is not None:
+        should_skip = result.no_speech_prob > no_speech_threshold
+        if logprob_threshold is not None and result.avg_logprob > logprob_threshold:
+            should_skip = False
+        if should_skip:
+            return [], seek + segment_size
+
+    tokens = np.array(result.tokens)
+    ts_begin = tok.timestamp_begin
+    timestamp_mask = tokens >= ts_begin
+    single_timestamp_ending = (
+        len(tokens) >= 2 and not timestamp_mask[-2] and timestamp_mask[-1]
+    )
+
+    consecutive = (
+        np.where(timestamp_mask[:-1] & timestamp_mask[1:])[0] + 1
+        if len(tokens) >= 2
+        else np.array([], int)
+    )
+    window_segments: List[Segment] = []
+    if len(consecutive) > 0:
+        slices = consecutive.tolist()
+        if single_timestamp_ending:
+            slices.append(len(tokens))
+        last_slice = 0
+        for current_slice in slices:
+            sliced = tokens[last_slice:current_slice]
+            start_pos = int(sliced[0]) - ts_begin
+            end_pos = int(sliced[-1]) - ts_begin
+            window_segments.append(
+                _new_segment(
+                    seek,
+                    time_offset + start_pos * TIME_PER_POSITION,
+                    time_offset + end_pos * TIME_PER_POSITION,
+                    sliced.tolist(),
+                    result,
+                    token_span=(last_slice, current_slice),
+                    tok=tok,
+                    mel_frame_offset=seek,
+                    segment_frames=segment_size,
+                )
+            )
+            last_slice = current_slice
+        if single_timestamp_ending:
+            seek += segment_size
+        else:
+            last_timestamp_pos = int(tokens[last_slice - 1]) - ts_begin
+            seek += last_timestamp_pos * INPUT_STRIDE
+    else:
+        duration = segment_duration
+        timestamps = tokens[timestamp_mask]
+        if len(timestamps) > 0 and int(timestamps[-1]) != ts_begin:
+            duration = (int(timestamps[-1]) - ts_begin) * TIME_PER_POSITION
+        window_segments.append(
+            _new_segment(
+                seek,
+                time_offset,
+                time_offset + duration,
+                tokens.tolist(),
+                result,
+                token_span=(0, len(tokens)),
+                tok=tok,
+                mel_frame_offset=seek,
+                segment_frames=segment_size,
+            )
+        )
+        seek += segment_size
+    return window_segments, seek
 
 
 def _new_segment(seek, start, end, seg_tokens, window: WindowDecodeResult, token_span, tok, mel_frame_offset, segment_frames):

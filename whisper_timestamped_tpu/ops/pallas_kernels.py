@@ -1,0 +1,267 @@
+"""Pallas TPU kernels for the alignment hot path.
+
+Three kernels (each with an interpret-mode path so tests run on CPU):
+
+  * ``median9_pallas`` — width-9 sliding median along the last axis via a
+    compare–exchange (Paeth) network: 9 shifted vector loads + min/max ops,
+    no sorting or data-dependent control flow. Replaces the
+    ``scipy.ndimage.median_filter`` dependency (reference ``transcribe.py:1546``)
+    on-device.
+  * ``attention_to_cost_pallas`` — the fused cost-matrix preparation
+    (median9 → scale → softmax over frames → head-mean → per-frame L2 norm →
+    negate, reference ``transcribe.py:1546-1550``) in one VMEM-resident pass:
+    the (K, N, M) attention block never round-trips to HBM between steps.
+  * ``dtw_pallas`` — the anti-diagonal wavefront DP producing the step-choice
+    matrix in diagonal-major layout (same contract as ``dtw_cost_jnp``), with
+    the whole DP state held in VMEM scratch.
+
+Sizes: N (tokens) and M (frames) are padded by callers to lane-friendly
+multiples; the kernels mask with +inf cost outside the true extent so the
+optimal path is unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DIAG, LEFT, UP = 0, 1, 2
+
+
+# ---------------------------------------------------------------------------
+# median of 9 (compare-exchange network)
+# ---------------------------------------------------------------------------
+
+
+def _median9(v0, v1, v2, v3, v4, v5, v6, v7, v8):
+    """Vectorized median of 9 same-shape arrays (Paeth's 19-exchange network)."""
+
+    def cx(a, b):
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    v1, v2 = cx(v1, v2)
+    v4, v5 = cx(v4, v5)
+    v7, v8 = cx(v7, v8)
+    v0, v1 = cx(v0, v1)
+    v3, v4 = cx(v3, v4)
+    v6, v7 = cx(v6, v7)
+    v1, v2 = cx(v1, v2)
+    v4, v5 = cx(v4, v5)
+    v7, v8 = cx(v7, v8)
+    v0, v3 = cx(v0, v3)
+    v5, v8 = cx(v5, v8)
+    v4, v7 = cx(v4, v7)
+    v3, v6 = cx(v3, v6)
+    v1, v4 = cx(v1, v4)
+    v2, v5 = cx(v2, v5)
+    v4, v7 = cx(v4, v7)
+    v4, v2 = cx(v4, v2)
+    v6, v4 = cx(v6, v4)
+    v4, v2 = cx(v4, v2)
+    return v4
+
+
+def _median9_kernel(x_ref, out_ref):
+    # x_ref: (R, M + 8) with symmetric edge padding already applied
+    x = x_ref[:]
+    M = out_ref.shape[-1]
+    shifted = [x[:, i : i + M] for i in range(9)]
+    out_ref[:] = _median9(*shifted)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def median9_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Width-9 median along the last axis, symmetric edges. x: (..., M)."""
+    orig_shape = x.shape
+    M = orig_shape[-1]
+    rows = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
+    x2 = x.reshape(rows, M)
+    xp = jnp.pad(x2, ((0, 0), (4, 4)), mode="symmetric")
+    out = pl.pallas_call(
+        _median9_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, M), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp)
+    return out.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# fused attention -> DTW cost matrix
+# ---------------------------------------------------------------------------
+
+
+def _cost_kernel(w_ref, span_ref, out_ref):
+    # w_ref: (K, N, M) raw scores; span_ref: (1,) SMEM true frame count
+    K, N, M = w_ref.shape
+    span = span_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
+    valid = col < span
+
+    # the host path slices [:span] BEFORE the median, so the window must
+    # reflect symmetrically at 0 and at span — build each shifted view with a
+    # reflected-index gather
+    def reflected(x, shift):
+        idx = col + shift
+        idx = jnp.where(idx < 0, -idx - 1, idx)
+        idx = jnp.where(idx >= span, 2 * span - 1 - idx, idx)
+        idx = jnp.clip(idx, 0, M - 1)
+        return jnp.take_along_axis(x, idx, axis=1)
+
+    acc = jnp.zeros((N, M), jnp.float32)
+    for k in range(K):  # K is small (<= 23) and static: unrolled
+        x = w_ref[k]
+        med = _median9(*[reflected(x, s) for s in range(-4, 5)])
+        med = jnp.where(valid, med, -jnp.inf)
+        # softmax over frames
+        mx = jnp.max(med, axis=-1, keepdims=True)
+        e = jnp.where(valid, jnp.exp(med - mx), 0.0)
+        acc = acc + e / jnp.sum(e, axis=-1, keepdims=True)
+    mean = acc * (1.0 / K)
+    norm = jnp.sqrt(jnp.sum(mean * mean, axis=0, keepdims=True))
+    out_ref[:] = jnp.where(valid, -(mean / jnp.maximum(norm, 1e-30)), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attention_to_cost_pallas(
+    scores: jnp.ndarray,  # (K, N, M) pre-softmax qk, frame-padded to M
+    span: jnp.ndarray,  # scalar int32: true number of frames (<= M)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused median9+softmax+mean+L2norm+negate. Returns (N, M) f32 cost
+    (zeros beyond ``span``; callers mask further)."""
+    K, N, M = scores.shape
+    return pl.pallas_call(
+        _cost_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, M), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(scores.astype(jnp.float32), jnp.asarray(span, jnp.int32).reshape(1))
+
+
+# ---------------------------------------------------------------------------
+# wavefront DTW
+# ---------------------------------------------------------------------------
+
+
+def _dtw_kernel(x_ref, shape_ref, codes_ref, g1_ref, g2_ref):
+    """x_ref: (D, N) SKEWED cost — row d holds the anti-diagonal d, i.e.
+    x_ref[d, i] = cost[i, d-i] (pre-skewed in XLA so the kernel reads whole
+    rows; Mosaic has no general gather). shape_ref: (2,) SMEM true extents.
+    codes_ref: (D, N) int32 diagonal-major step codes. g1/g2: (1, N) scratch."""
+    D, N = x_ref.shape
+    n = shape_ref[0]
+    m = shape_ref[1]
+    INF = jnp.float32(3e38)
+
+    i_vec = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+
+    g1_ref[:] = jnp.full((1, N), INF)
+    g2_ref[:] = jnp.full((1, N), INF)
+
+    def body(d, _):
+        g1 = g1_ref[:]
+        g2 = g2_ref[:]
+        j_vec = d - i_vec
+        valid = (j_vec >= 0) & (j_vec < m) & (i_vec < n)
+
+        x_d = x_ref[pl.ds(d, 1), :]  # (1, N): the whole anti-diagonal
+        x_d = jnp.where(valid, x_d, INF)
+
+        g1_up = pltpu.roll(g1, 1, axis=1)
+        g2_diag = pltpu.roll(g2, 1, axis=1)
+
+        cand_diag = jnp.where((i_vec >= 1) & (j_vec >= 1), g2_diag, INF)
+        cand_left = jnp.where(j_vec >= 1, g1, INF)
+        cand_up = jnp.where(i_vec >= 1, g1_up, INF)
+
+        best = cand_diag
+        code = jnp.full((1, N), DIAG, jnp.int32)
+        code = jnp.where(cand_left < best, LEFT, code)
+        best = jnp.minimum(best, cand_left)
+        code = jnp.where(cand_up < best, UP, code)
+        best = jnp.minimum(best, cand_up)
+
+        origin = (i_vec == 0) & (j_vec == 0)
+        g_new = jnp.where(origin, x_d, x_d + best)
+        g_new = jnp.where(valid, g_new, INF)
+
+        codes_ref[pl.ds(d, 1), :] = code
+        g2_ref[:] = g1
+        g1_ref[:] = g_new
+        return 0
+
+    jax.lax.fori_loop(0, n + m - 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_pallas(
+    x: jnp.ndarray,  # (N, M) padded cost matrix
+    n: jnp.ndarray,  # scalar int32 true rows
+    m: jnp.ndarray,  # scalar int32 true cols
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Wavefront DP. Returns (N+M-1, N) int32 step codes (diagonal-major)."""
+    N, M = x.shape
+    D = N + M - 1
+    # skew in XLA: xs[d, i] = x[i, d - i] (cheap gather outside the kernel)
+    d_ids = jnp.arange(D)[:, None]
+    i_ids = jnp.arange(N)[None, :]
+    j_ids = jnp.clip(d_ids - i_ids, 0, M - 1)
+    xs = x.astype(jnp.float32)[i_ids, j_ids]  # (D, N)
+    shape = jnp.stack([jnp.asarray(n, jnp.int32), jnp.asarray(m, jnp.int32)])
+    return pl.pallas_call(
+        _dtw_kernel,
+        out_shape=jax.ShapeDtypeStruct((D, N), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, N), jnp.float32),
+            pltpu.VMEM((1, N), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xs, shape)
+
+
+def dtw_path_pallas(x: np.ndarray, interpret: bool = False):
+    """Full DTW path via the Pallas kernel (host backtrace)."""
+    x = np.asarray(x, np.float32)
+    n, m = x.shape
+    N = int(np.ceil(n / 8) * 8)
+    M = int(np.ceil(m / 128) * 128)
+    xp = np.full((N, M), 3e38, np.float32)
+    xp[:n, :m] = x
+    codes = np.asarray(dtw_pallas(jnp.asarray(xp), n, m, interpret=interpret))
+    i, j = n - 1, m - 1
+    path = [(i, j)]
+    while i > 0 or j > 0:
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            s = codes[i + j, i]
+            if s == DIAG:
+                i, j = i - 1, j - 1
+            elif s == LEFT:
+                j -= 1
+            else:
+                i -= 1
+        path.append((i, j))
+    path.reverse()
+    arr = np.array(path, np.int64)
+    return arr[:, 0], arr[:, 1]

@@ -1,0 +1,356 @@
+"""Batched multi-file transcription pipeline (data parallelism over streams).
+
+The reference processes files serially, one 30-s window at a time
+(``transcribe.py:3129``, batch-1 asserted at ``transcribe.py:806``). This
+pipeline keeps many audio streams in flight: at every step it gathers one
+pending window from each active stream, decodes them as ONE batched jitted
+call (sharded over the mesh's ``dp`` axis when given), then advances each
+stream's seek/prompt state on the host. Temperature fallback re-decodes only
+the failing subset — still batched.
+
+Windows of one stream are serially dependent through
+``condition_on_previous_text``; with it disabled, all windows of every stream
+are independent and enter the batch pool immediately.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..audio import HOP_LENGTH, N_FRAMES, SAMPLE_RATE, load_audio, log_mel_spectrogram, pad_or_trim
+from ..decoding import DecodingOptions
+from ..engine import (
+    DecodeEngine,
+    Segment,
+    WindowDecodeResult,
+    extract_window_segments,
+)
+from ..postprocess import ensure_increasing_positions
+from ..tokenizer import Tokenizer
+
+logger = logging.getLogger("whisper_timestamped_tpu")
+
+
+@dataclass
+class _Stream:
+    """Per-file decoding state."""
+
+    name: str
+    mel: np.ndarray  # (n_mels, total_frames) incl. 30s zero padding
+    content_frames: int
+    seek: int = 0
+    all_tokens: List[int] = field(default_factory=list)
+    prompt_reset_since: int = 0
+    segments: List[Segment] = field(default_factory=list)
+    done: bool = False
+
+    # window in flight
+    pending_windows: List[Tuple[int, int]] = field(default_factory=list)  # (seek, size)
+
+
+class BatchTranscriber:
+    """Fixed-batch window decoder over many audio streams.
+
+    ``batch_size`` windows are decoded per device call (padded with silence
+    when fewer are pending, so one program serves the whole run). When a
+    ``jax.sharding.Mesh`` is provided, the window batch is sharded over its
+    ``dp`` axis.
+    """
+
+    def __init__(
+        self,
+        engine: DecodeEngine,
+        batch_size: int = 8,
+        mesh=None,
+    ):
+        self.engine = engine
+        self.batch_size = batch_size
+        self.mesh = mesh
+
+    # --------------------------------------------------------------
+    def _decode_batch(
+        self,
+        mels: np.ndarray,  # (B, n_mels, 3000)
+        prompts: List[Sequence[int]],
+        options: DecodingOptions,
+        temperature: float,
+        rng_seed: int,
+    ) -> List[WindowDecodeResult]:
+        """One batched device call. Prompts may differ per row — they are
+        right-aligned into the shared prompt region with per-row lengths."""
+        engine = self.engine
+        tok = engine.tokenizer
+        import whisper_timestamped_tpu.engine as E
+
+        bufs, lens, sot_from_end = [], [], None
+        for p in prompts:
+            buf, plen, sfe = engine.build_prompt(p, options)
+            bufs.append(buf)
+            lens.append(plen)
+            sot_from_end = sfe
+        prompt = np.stack(bufs)
+        prompt_len = np.asarray(lens, np.int32)
+
+        sm, bm = engine._masks(options)
+        from ..decoding import MAX_NEW_TOKENS, decode_window_jit
+        from ..engine import TIME_PER_POSITION
+
+        max_init_ts = (
+            round(options.max_initial_timestamp / TIME_PER_POSITION)
+            if options.max_initial_timestamp is not None
+            else None
+        )
+
+        def put(x):
+            if self.mesh is None:
+                return jnp.asarray(x)
+            from .mesh import shard_batch
+
+            return shard_batch(jnp.asarray(x), self.mesh)
+
+        out = decode_window_jit(
+            engine.model.params,
+            put(np.asarray(mels, np.float32)),
+            put(prompt),
+            put(prompt_len),
+            sm,
+            bm,
+            jnp.float32(temperature),
+            jax.random.PRNGKey(rng_seed),
+            dims=engine.dims,
+            align_heads=engine.align_heads,
+            max_new=options.sample_len or MAX_NEW_TOKENS,
+            eot=tok.eot,
+            ts_begin=tok.timestamp_begin,
+            no_timestamps=tok.no_timestamps,
+            sot_index_from_end=sot_from_end,
+            max_initial_timestamp_index=max_init_ts,
+            suppress_blank=options.suppress_blank,
+            without_timestamps=options.without_timestamps,
+            attn_dtype=engine.attn_dtype,
+        )
+        return self._unpack(out, temperature)
+
+    def _unpack(self, out, temperature) -> List[WindowDecodeResult]:
+        from ..decoding import compression_ratio
+
+        tok = self.engine.tokenizer
+        tokens_all = np.asarray(out["tokens"])
+        logprobs_all = np.asarray(out["token_logprobs"])
+        ts_lp_all = np.asarray(out["ts_logprobs"])
+        attn_all = np.asarray(out["attn"], np.float32)
+        sum_lp = np.asarray(out["sum_logprobs"])
+        nsp = np.asarray(out["no_speech_prob"])
+        results = []
+        for b in range(tokens_all.shape[0]):
+            toks = tokens_all[b]
+            eot_pos = np.nonzero(toks == tok.eot)[0]
+            hit_limit = len(eot_pos) == 0
+            n_text = int(eot_pos[0]) if len(eot_pos) else len(toks)
+            text_tokens = toks[:n_text].tolist()
+            text = tok.decode(text_tokens)
+            results.append(
+                WindowDecodeResult(
+                    tokens=text_tokens,
+                    text=text,
+                    avg_logprob=float(sum_lp[b]) / (n_text + 1),
+                    no_speech_prob=float(nsp[b]),
+                    temperature=float(temperature),
+                    compression_ratio=compression_ratio(text),
+                    token_logprobs=logprobs_all[b, :n_text],
+                    attn=attn_all[b, :n_text],
+                    sum_logprob=float(sum_lp[b]),
+                    ts_logprobs=ts_lp_all[b, :n_text],
+                    eot_attn=attn_all[b, n_text] if not hit_limit else None,
+                    hit_limit=hit_limit,
+                )
+            )
+        return results
+
+    # --------------------------------------------------------------
+    def transcribe_streams(
+        self,
+        audios: Dict[str, Any],  # name -> path/array
+        *,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        temperature: Sequence[float] = (0.0,),
+        compression_ratio_threshold: Optional[float] = 2.4,
+        logprob_threshold: Optional[float] = -1.0,
+        no_speech_threshold: Optional[float] = 0.6,
+        condition_on_previous_text: bool = True,
+        decode_options: Optional[DecodingOptions] = None,
+        rng_seed: int = 0,
+    ) -> Dict[str, List[Segment]]:
+        """Decode all streams; returns name -> alignment-ready segments."""
+        engine = self.engine
+        tok = engine.tokenizer
+        dims = engine.dims
+        if isinstance(temperature, (int, float)):
+            temperature = [float(temperature)]
+
+        if language is None:
+            if tok.is_multilingual:
+                raise ValueError(
+                    "the batched pipeline requires an explicit language= "
+                    "(per-stream auto-detection would fragment the batch)"
+                )
+            language = "en"
+
+        opts = DecodingOptions(
+            **{**(decode_options.__dict__ if decode_options else DecodingOptions().__dict__),
+               "task": task, "language": language}
+        )
+
+        streams: List[_Stream] = []
+        for name, audio in audios.items():
+            wav = load_audio(audio)
+            mel = np.asarray(
+                log_mel_spectrogram(wav, n_mels=dims.n_mels, padding=N_FRAMES * HOP_LENGTH)
+            )
+            streams.append(
+                _Stream(
+                    name=name,
+                    mel=mel,
+                    content_frames=mel.shape[-1] - N_FRAMES,
+                )
+            )
+
+        B = self.batch_size
+        while True:
+            active = [s for s in streams if not s.done and s.seek < s.content_frames]
+            if not active:
+                break
+            batch = active[:B]
+            mels = []
+            prompts = []
+            sizes = []
+            for s in batch:
+                mel_window = pad_or_trim(
+                    s.mel[:, s.seek : s.seek + N_FRAMES], N_FRAMES, axis=-1
+                )
+                mels.append(mel_window)
+                prompts.append(s.all_tokens[s.prompt_reset_since:] if condition_on_previous_text else [])
+                sizes.append(min(N_FRAMES, s.content_frames - s.seek))
+            # pad the batch to the fixed size with silent windows
+            n_real = len(mels)
+            while len(mels) < B:
+                mels.append(np.zeros_like(mels[0]))
+                prompts.append([])
+            mels = np.stack(mels)
+
+            results = self._decode_batch(mels, prompts, opts, temperature[0], rng_seed)
+
+            # temperature fallback on the failing subset (batched re-decode)
+            for t in temperature[1:]:
+                failing = [
+                    i for i in range(n_real)
+                    if _needs_fallback(
+                        results[i], compression_ratio_threshold, logprob_threshold,
+                        no_speech_threshold,
+                    )
+                ]
+                if not failing:
+                    break
+                sub_mels = np.stack([mels[i] for i in failing] + [mels[0]] * (B - len(failing)))
+                sub_prompts = [prompts[i] for i in failing] + [[]] * (B - len(failing))
+                retry = self._decode_batch(sub_mels, sub_prompts, opts, t, rng_seed + 1)
+                for k, i in enumerate(failing):
+                    results[i] = retry[k]
+
+            for s, result, size in zip(batch, results[:n_real], sizes):
+                segs, new_seek = extract_window_segments(
+                    result, s.seek, size, tok, no_speech_threshold, logprob_threshold
+                )
+                s.seek = new_seek
+                for seg in segs:
+                    seg.id = len(s.segments)
+                    s.segments.append(seg)
+                    s.all_tokens.extend(seg.tokens)
+                if not condition_on_previous_text or result.temperature > 0.5:
+                    s.prompt_reset_since = len(s.all_tokens)
+                if s.seek >= s.content_frames:
+                    s.done = True
+
+        return {s.name: s.segments for s in streams}
+
+
+def _needs_fallback(result, crt, lpt, nst):
+    nf = False
+    if crt is not None and result.compression_ratio > crt:
+        nf = True
+    if lpt is not None and result.avg_logprob < lpt:
+        nf = True
+    if nst is not None and result.no_speech_prob > nst and lpt is not None and result.avg_logprob < lpt:
+        nf = False
+    return nf
+
+
+def transcribe_batch(
+    model,
+    audios: Dict[str, Any],
+    tokenizer: Tokenizer,
+    *,
+    language: str,
+    batch_size: int = 8,
+    mesh=None,
+    compute_word_confidence: bool = True,
+    detect_disfluencies: bool = False,
+    refine_whisper_precision: float = 0.5,
+    min_word_duration: float = 0.02,
+    **window_options,
+) -> Dict[str, dict]:
+    """High-level batched API: name -> full whisper-timestamped result dict."""
+    from ..api import align_and_score_segment, should_use_space
+    from ..alignment import round_timestamp
+
+    engine = DecodeEngine(model, tokenizer)
+    bt = BatchTranscriber(engine, batch_size=batch_size, mesh=mesh)
+    all_segments = bt.transcribe_streams(audios, language=language, **window_options)
+
+    refine_nframes = round(refine_whisper_precision / 0.02)
+    use_space = should_use_space(language)
+    results = {}
+    for name, segments in all_segments.items():
+        words: List[dict] = []
+        seg_dicts: List[dict] = []
+        for seg in segments:
+            ws, seg_dict = align_and_score_segment(
+                seg, engine.tokenizer, use_space=use_space,
+                refine_whisper_precision_nframes=refine_nframes,
+                remove_punctuation_from_words=False,
+                compute_word_confidence=compute_word_confidence,
+                include_punctuation_in_confidence=False,
+                detect_disfluencies=detect_disfluencies,
+            )
+            if ws is None:
+                continue
+            idx = len(seg_dicts)
+            for w in ws:
+                w["idx_segment"] = idx
+            seg_dict["id"] = idx
+            seg_dicts.append(seg_dict)
+            words.extend(ws)
+        ensure_increasing_positions(words, min_duration=min_word_duration)
+        for w in words:
+            w.pop("tokens", None)
+            w.pop("tokens_indices", None)
+            i = w.pop("idx_segment")
+            seg_dicts[i].setdefault("words", []).append(w)
+            if refine_whisper_precision:
+                if len(seg_dicts[i]["words"]) == 1:
+                    seg_dicts[i]["start"] = w["start"]
+                seg_dicts[i]["end"] = w["end"]
+        results[name] = {
+            "text": "".join(s["text"] for s in seg_dicts),
+            "segments": seg_dicts,
+            "language": language,
+        }
+    return results
