@@ -206,3 +206,35 @@ def test_model_path_loading(tmp_path, tok, audio):
         compression_ratio_threshold=None,
     )
     assert "text" in res
+
+
+def test_plot_word_alignment_saves_figures(model, tok, audio, tmp_path):
+    import os
+
+    out = str(tmp_path / "plots")
+    transcribe_timestamped(
+        model, audio[: 16000 * 3], language="en", tokenizer=tok,
+        plot_word_alignment=out, vad=[(0.0, 3.0)],
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    produced = os.listdir(tmp_path.parent / tmp_path.name) if os.path.isdir(tmp_path) else []
+    import glob
+
+    figs = glob.glob(out + "*")
+    assert any(".alignment" in f for f in figs), figs
+    assert any(".VAD" in f for f in figs), figs
+
+
+def test_stage_timings_collected(model, tok, audio):
+    from whisper_timestamped_tpu.utils import get_stage_timings, reset_stage_timings
+
+    reset_stage_timings()
+    transcribe_timestamped(
+        model, audio[: 16000 * 2], language="en", tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    t = get_stage_timings()
+    assert "mel" in t and "decode" in t and "align" in t
+    assert t["decode"]["total_s"] > 0

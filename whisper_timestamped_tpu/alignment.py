@@ -23,9 +23,21 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from .audio import AUDIO_TIME_PER_TOKEN, N_FRAMES
-from .ops.dtw import dtw_path_numpy_wavefront as dtw_path
+from .ops.dtw import dtw_path_numpy_wavefront
 from .ops.peaks import find_peaks
 from .ops.median import median_filter_numpy
+
+
+def dtw_path(x, allow_vertical: bool = True):
+    """Host DTW: C++ core when built (native.py), numpy wavefront otherwise."""
+    try:
+        from .native import available, dtw_path_native
+
+        if available():
+            return dtw_path_native(x, allow_vertical)
+    except Exception:  # pragma: no cover
+        pass
+    return dtw_path_numpy_wavefront(x, allow_vertical)
 
 DISFLUENCY_MARK = "[*]"
 
@@ -181,6 +193,7 @@ def perform_word_alignment(
     qk_scale: float = 1.0,
     detect_disfluencies: bool = True,
     subwords_can_be_empty: bool = True,
+    plot=False,
 ) -> List[dict]:
     tokens = [int(t) for t in tokens]
     assert len(tokens) > 1, f"Got unexpected sequence of tokens of length {len(tokens)}"
@@ -340,7 +353,7 @@ def perform_word_alignment(
         begin_times = begin_times[1:-1]
         end_times = end_times[1:-1]
 
-    return [
+    out = [
         dict(
             text=word,
             start=round_timestamp(begin + start_time),
@@ -353,3 +366,8 @@ def perform_word_alignment(
         )
         if not word.startswith("<|")
     ]
+    if plot:
+        from .plotting import plot_alignment
+
+        plot_alignment(weights, index1s, index2s, out, start_time, plot)
+    return out

@@ -38,6 +38,7 @@ from .languages import LANGUAGES_WITHOUT_SPACES, normalize_language
 from .models.load import WhisperModel, load_model
 from .postprocess import ensure_increasing_positions, remove_last_null_duration_words
 from .tokenizer import Tokenizer, get_tokenizer
+from .utils.profiling import stage_timer
 from .vad import check_vad_method, remove_non_speech
 
 logger = logging.getLogger("whisper_timestamped_tpu")
@@ -203,7 +204,8 @@ def transcribe_timestamped(
     vad_segments = None
     if vad is not None:
         audio, vad_segments, speech_convert = remove_non_speech(
-            audio, method=vad, sample_rate=SAMPLE_RATE, avoid_empty_speech=True
+            audio, method=vad, sample_rate=SAMPLE_RATE, avoid_empty_speech=True,
+            plot=plot_word_alignment,
         )
 
     temperatures = (
@@ -261,6 +263,7 @@ def transcribe_timestamped(
             include_punctuation_in_confidence=include_punctuation_in_confidence,
             detect_disfluencies=detect_disfluencies,
             verbose=verbose,
+            plot_word_alignment=plot_word_alignment,
         )
 
     if remove_empty_words:
@@ -340,6 +343,7 @@ def _transcribe_efficient(
     include_punctuation_in_confidence,
     detect_disfluencies,
     verbose,
+    plot_word_alignment=False,
 ):
     tok = engine.tokenizer
 
@@ -372,16 +376,18 @@ def _transcribe_efficient(
     words: List[dict] = []
     segment_dicts: List[dict] = []
     for seg in result.segments:
-        ws, seg_dict = align_and_score_segment(
-            seg,
-            tok,
-            use_space=use_space,
-            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
-            remove_punctuation_from_words=remove_punctuation_from_words,
-            compute_word_confidence=compute_word_confidence,
-            include_punctuation_in_confidence=include_punctuation_in_confidence,
-            detect_disfluencies=detect_disfluencies,
-        )
+        with stage_timer("align"):
+            ws, seg_dict = align_and_score_segment(
+                seg,
+                tok,
+                use_space=use_space,
+                refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+                remove_punctuation_from_words=remove_punctuation_from_words,
+                compute_word_confidence=compute_word_confidence,
+                include_punctuation_in_confidence=include_punctuation_in_confidence,
+                detect_disfluencies=detect_disfluencies,
+                plot=plot_word_alignment,
+            )
         if ws is None:
             continue  # segment dropped (no aligned words)
         idx = len(segment_dicts)
@@ -420,6 +426,7 @@ def align_and_score_segment(
     compute_word_confidence: bool,
     include_punctuation_in_confidence: bool,
     detect_disfluencies: bool,
+    plot=False,
 ):
     """Align one segment's tokens and compute confidences.
 
@@ -481,6 +488,7 @@ def align_and_score_segment(
             remove_punctuation_from_words=remove_punctuation_from_words,
             detect_disfluencies=detect_disfluencies,
             unfinished_decoding=unfinished,
+            plot=plot,
         )
     if len(ws) == 0:
         return None, None

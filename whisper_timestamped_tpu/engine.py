@@ -41,6 +41,7 @@ from .decoding import (
 )
 from .models.load import WhisperModel
 from .tokenizer import Tokenizer
+from .utils.profiling import stage_timer
 
 INPUT_STRIDE = 2  # mel frames per output token position (conv2 stride)
 TIME_PER_POSITION = INPUT_STRIDE * HOP_LENGTH / SAMPLE_RATE  # 0.02 s
@@ -421,9 +422,10 @@ def transcribe_windows(
     if isinstance(temperature, (int, float)):
         temperature = [float(temperature)]
 
-    mel_full = np.asarray(
-        log_mel_spectrogram(np.asarray(audio, np.float32), n_mels=dims.n_mels, padding=N_SAMPLES)
-    )
+    with stage_timer("mel"):
+        mel_full = np.asarray(
+            log_mel_spectrogram(np.asarray(audio, np.float32), n_mels=dims.n_mels, padding=N_SAMPLES)
+        )
     content_frames = mel_full.shape[-1] - N_FRAMES
     content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
 
@@ -464,16 +466,17 @@ def transcribe_windows(
         segment_size = min(N_FRAMES, content_frames - seek)
         mel_window = pad_or_trim(mel_window, N_FRAMES, axis=-1)
 
-        result = engine.decode_with_fallback(
-            mel_window,
-            base_opts,
-            all_tokens[prompt_reset_since:],
-            temperature,
-            compression_ratio_threshold,
-            logprob_threshold,
-            no_speech_threshold,
-            rng_seed=rng_seed + seek,
-        )
+        with stage_timer("decode"):
+            result = engine.decode_with_fallback(
+                mel_window,
+                base_opts,
+                all_tokens[prompt_reset_since:],
+                temperature,
+                compression_ratio_threshold,
+                logprob_threshold,
+                no_speech_threshold,
+                rng_seed=rng_seed + seek,
+            )
 
         window_segments, seek = extract_window_segments(
             result, seek, segment_size, tok, no_speech_threshold, logprob_threshold

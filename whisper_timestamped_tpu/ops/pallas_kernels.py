@@ -99,26 +99,19 @@ def median9_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 
 
 def _cost_kernel(w_ref, span_ref, out_ref):
-    # w_ref: (K, N, M) raw scores; span_ref: (1,) SMEM true frame count
-    K, N, M = w_ref.shape
+    # w_ref: (K, N, M+8) scores with span-aware symmetric padding prepared in
+    # XLA (Mosaic has no general dynamic gather, so the kernel sees only
+    # static window slices); span_ref: (1,) SMEM true frame count
+    K, N, Mp8 = w_ref.shape
+    M = Mp8 - 8
     span = span_ref[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
     valid = col < span
 
-    # the host path slices [:span] BEFORE the median, so the window must
-    # reflect symmetrically at 0 and at span — build each shifted view with a
-    # reflected-index gather
-    def reflected(x, shift):
-        idx = col + shift
-        idx = jnp.where(idx < 0, -idx - 1, idx)
-        idx = jnp.where(idx >= span, 2 * span - 1 - idx, idx)
-        idx = jnp.clip(idx, 0, M - 1)
-        return jnp.take_along_axis(x, idx, axis=1)
-
     acc = jnp.zeros((N, M), jnp.float32)
     for k in range(K):  # K is small (<= 23) and static: unrolled
         x = w_ref[k]
-        med = _median9(*[reflected(x, s) for s in range(-4, 5)])
+        med = _median9(*[x[:, s : s + M] for s in range(9)])
         med = jnp.where(valid, med, -jnp.inf)
         # softmax over frames
         mx = jnp.max(med, axis=-1, keepdims=True)
@@ -136,8 +129,23 @@ def attention_to_cost_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused median9+softmax+mean+L2norm+negate. Returns (N, M) f32 cost
-    (zeros beyond ``span``; callers mask further)."""
+    (zeros beyond ``span``; callers mask further).
+
+    The host path slices to [0, span) BEFORE the median, so windows reflect
+    symmetrically at the span edge. That reflection is prepared here in XLA
+    (4 dynamic-update-slices) and the kernel uses static slices only.
+    """
     K, N, M = scores.shape
+    span = jnp.asarray(span, jnp.int32)
+    x = scores.astype(jnp.float32)
+    # left edge (always at 0) handled by static symmetric padding; right-edge
+    # columns span..span+3 are filled with x[.., span-1-k]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (4, 4)), mode="symmetric")
+    for k in range(4):
+        src = jnp.take_along_axis(
+            x, jnp.full((K, N, 1), jnp.maximum(span - 1 - k, 0)), axis=2
+        )
+        xp = jax.lax.dynamic_update_slice(xp, src, (0, 0, 4 + span + k))
     return pl.pallas_call(
         _cost_kernel,
         out_shape=jax.ShapeDtypeStruct((N, M), jnp.float32),
@@ -147,7 +155,7 @@ def attention_to_cost_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(scores.astype(jnp.float32), jnp.asarray(span, jnp.int32).reshape(1))
+    )(xp, span.reshape(1))
 
 
 # ---------------------------------------------------------------------------

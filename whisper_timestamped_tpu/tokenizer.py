@@ -63,6 +63,17 @@ class BytePairEncoder:
         self.ranks = ranks
         self.id_to_bytes: Dict[int, bytes] = {v: k for k, v in ranks.items()}
         self.n_vocab = max(ranks.values()) + 1 if ranks else 0
+        self._native = None  # lazily-built C++ core (native.py), or False
+
+    def _native_core(self):
+        if self._native is None:
+            try:
+                from .native import NativeBPE, available
+
+                self._native = NativeBPE(self.ranks) if available() else False
+            except Exception:
+                self._native = False
+        return self._native
 
     def _bpe_merge(self, piece: bytes) -> List[int]:
         ranks = self.ranks
@@ -87,9 +98,11 @@ class BytePairEncoder:
         return out
 
     def encode(self, text: str) -> List[int]:
+        native = self._native_core()
+        merge = native.encode_piece if native else self._bpe_merge
         ids: List[int] = []
         for piece in _compiled_pattern().findall(text):
-            ids.extend(self._bpe_merge(piece.encode("utf-8")))
+            ids.extend(merge(piece.encode("utf-8")))
         return ids
 
     def decode_bytes(self, ids: Sequence[int]) -> bytes:

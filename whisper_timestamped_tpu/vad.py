@@ -225,6 +225,7 @@ def remove_non_speech(
     sample_rate: int = SAMPLE_RATE,
     method: Union[str, List[Tuple[float, float]]] = "silero",
     avoid_empty_speech: bool = False,
+    plot=False,
 ) -> Tuple[np.ndarray, List[Tuple[float, float]], Callable]:
     """Concatenate speech regions; return (speech_audio, segments, convert_fn)."""
     audio = np.asarray(audio)
@@ -249,6 +250,11 @@ def remove_non_speech(
             )
 
     audio_speech = np.concatenate([audio[..., s:e] for s, e in segments], axis=-1)
+
+    if plot:
+        from .plotting import plot_vad
+
+        plot_vad(audio, segments, sample_rate, plot)
 
     if not use_sample:
         segments = [(float(s) / sample_rate, float(e) / sample_rate) for s, e in segments]
