@@ -168,8 +168,12 @@ def transcribe_timestamped(
 
     if isinstance(temperature, (list, tuple)) and len(temperature) == 1:
         temperature = temperature[0]
-    need_fallback_schedule = isinstance(temperature, (list, tuple))
     if beam_size is not None or (best_of or 0) > 1:
+        naive_approach = True
+    if not trust_whisper_timestamps:
+        # per-chunk segment reconstruction lives in the two-pass engine
+        # (reference implements it in both engines; behavior matches its
+        # naive variant, transcribe.py:1178-1202)
         naive_approach = True
 
     vad = check_vad_method(vad)
