@@ -162,3 +162,14 @@ def test_alignment_max_duration_masking(tok):
     )
     # masked: words cannot *start* after 50 positions (1.0 s)
     assert all(w["start"] <= 1.02 for w in with_mask), with_mask
+
+
+def test_split_language_token_mid_text(tok):
+    """A language token mid-text (reference issue #61's '<|te|>' case) decodes
+    to nothing and rides along inside the surrounding word's token list."""
+    te = tok.to_language_token("te")
+    tokens = enc(tok, " hello") + [te] + enc(tok, " world")
+    words, word_tokens, word_idx = split_tokens_on_spaces(tokens, tok)
+    assert [w for w in words if w] == ["hello", "world"]
+    flat = [t for wi in word_idx for t in wi]
+    assert flat == tokens  # nothing lost

@@ -238,3 +238,17 @@ def test_stage_timings_collected(model, tok, audio):
     t = get_stage_timings()
     assert "mel" in t and "decode" in t and "align" in t
     assert t["decode"]["total_s"] > 0
+
+
+def test_stuck_lm_sample_limit(model, tok, audio):
+    """sample_len=4 forces the decode limit -> unfinished-decoding repair path
+    (reference transcribe.py:490-517)."""
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 3], language="en", tokenizer=tok, sample_len=4,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert "segments" in res
+    for s in res["segments"]:
+        for w in s.get("words", []):
+            assert w["start"] <= w["end"]

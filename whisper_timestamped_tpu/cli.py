@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(defaults to files found next to the model)")
     parser.add_argument("--device", default="tpu",
                         help="JAX platform to use (tpu, cpu)")
+    parser.add_argument("--backend", default="jax",
+                        choices=["jax", "openai-whisper", "transformers"],
+                        help="model backend (accepted for reference CLI "
+                        "compatibility; openai-whisper and transformers "
+                        "checkpoints are loaded natively into the JAX runtime)")
     parser.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"],
                         help="model compute dtype (bfloat16 recommended on TPU)")
     parser.add_argument("--output_dir", "-o", default=None, type=str,
@@ -194,6 +199,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", device)
+
+    backend = args.pop("backend")
+    if backend != "jax":
+        logger.info("backend %r checkpoints are loaded natively into JAX", backend)
 
     audio_files = args.pop("audio")
     model_name = args.pop("model")

@@ -433,6 +433,13 @@ def transcribe_windows(
     language_probs = None
     if language is None:
         if engine.tokenizer.is_multilingual:
+            if verbose_callback is not None:
+                # whisper's verbose message (reproduced by the reference at
+                # transcribe.py:817-820)
+                print(
+                    "Detecting language using up to the first 30 seconds. "
+                    "Use `--language` to specify the language"
+                )
             window = pad_or_trim(mel_full[:, :N_FRAMES], N_FRAMES, axis=-1)
             codes, probs = detect_language(engine.model.params, window[None], dims, tok)
             language, language_probs = codes[0], probs[0]
