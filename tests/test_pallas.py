@@ -52,3 +52,22 @@ def test_dtw_pallas_matches_oracle(shape):
     i1b, i2b = dtw_path_pallas(x, interpret=True)
     np.testing.assert_array_equal(i1a, i1b)
     np.testing.assert_array_equal(i2a, i2b)
+
+
+def test_device_alignment_path_matches_host():
+    """perform_word_alignment(use_device_kernels=True) == host path (interpret)."""
+    from model_utils import make_tokenizer
+    from whisper_timestamped_tpu.alignment import perform_word_alignment
+
+    tok = make_tokenizer()
+    ts = tok.timestamp_begin
+    rng = np.random.default_rng(0)
+    tokens = [ts] + tok.encode(" aa bb cc") + [ts + 150]
+    attn = rng.standard_normal((len(tokens), 4, 1500)).astype(np.float32) * 0.01
+    for i in range(len(tokens)):
+        attn[i, :, 15 * i : 15 * i + 20] += 6.0
+    host = perform_word_alignment(tokens, attn, tok, detect_disfluencies=True)
+    dev = perform_word_alignment(
+        tokens, attn, tok, detect_disfluencies=True, use_device_kernels=True
+    )
+    assert host == dev

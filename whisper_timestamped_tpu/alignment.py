@@ -174,6 +174,24 @@ def _attention_to_cost(
     return -w.astype(np.float64)
 
 
+def _attention_to_cost_device(scores: np.ndarray) -> np.ndarray:
+    """On-device fused cost preparation (Pallas kernel). Tokens bucket to
+    multiples of 16 and frames to 128 so segment-shape variety reuses a small
+    set of compiled kernels. Same contract as ``_attention_to_cost`` with the
+    default medfilt_width=9 / qk_scale=1."""
+    import jax.numpy as jnp
+
+    from .ops.pallas_kernels import attention_to_cost_pallas
+
+    K, N, span = scores.shape
+    Np = int(np.ceil(max(N, 1) / 16) * 16)
+    M = int(np.ceil(max(span, 1) / 128) * 128)
+    padded = np.zeros((K, Np, M), np.float32)
+    padded[:, :N, :span] = scores
+    cost = np.asarray(attention_to_cost_pallas(jnp.asarray(padded), span, n_tokens=N))
+    return cost[:N, :span].astype(np.float64)
+
+
 # ---------------------------------------------------------------------------
 # perform_word_alignment (reference ``transcribe.py:1428-1793``)
 # ---------------------------------------------------------------------------
@@ -194,6 +212,7 @@ def perform_word_alignment(
     detect_disfluencies: bool = True,
     subwords_can_be_empty: bool = True,
     plot=False,
+    use_device_kernels: bool = False,
 ) -> List[dict]:
     tokens = [int(t) for t in tokens]
     assert len(tokens) > 1, f"Got unexpected sequence of tokens of length {len(tokens)}"
@@ -261,11 +280,15 @@ def perform_word_alignment(
             detect_disfluencies=detect_disfluencies,
             subwords_can_be_empty=subwords_can_be_empty,
             unfinished_decoding=True,
+            use_device_kernels=use_device_kernels,
         )
 
     # (n_tokens, K, ctx) -> (K, n_tokens, span)
     sliced = np.transpose(attention_scores, (1, 0, 2))[..., start_token:end_token]
-    weights = _attention_to_cost(sliced, medfilt_width, qk_scale)
+    if use_device_kernels and medfilt_width == 9 and qk_scale == 1.0:
+        weights = _attention_to_cost_device(sliced)
+    else:
+        weights = _attention_to_cost(sliced, medfilt_width, qk_scale)
     worse_weight = 0.0
 
     if max_duration:
@@ -277,7 +300,12 @@ def perform_word_alignment(
     # encourage the path to start early
     weights[0, 0] = weights.min()
 
-    index1s, index2s = dtw_path(weights, allow_vertical=subwords_can_be_empty)
+    if use_device_kernels and subwords_can_be_empty:
+        from .ops.pallas_kernels import dtw_path_pallas
+
+        index1s, index2s = dtw_path_pallas(weights)
+    else:
+        index1s, index2s = dtw_path(weights, allow_vertical=subwords_can_be_empty)
 
     jumps = np.diff(index1s)
     jumps = np.pad(jumps, (1, 0), constant_values=1).astype(bool)

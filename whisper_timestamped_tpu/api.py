@@ -145,6 +145,7 @@ def transcribe_timestamped(
     verbose: Optional[bool] = False,
     # TPU-framework extras
     tokenizer: Union[Tokenizer, str, None] = None,
+    device_alignment: Optional[bool] = None,
 ) -> dict:
     """Transcribe audio with word-level timestamps and confidences.
 
@@ -153,7 +154,14 @@ def transcribe_timestamped(
     ``text``, ``segments`` (each with ``words`` carrying text/start/end/
     confidence), ``language``, plus ``language_probs`` on auto-detection and
     ``speech_activity`` when VAD runs.
+
+    ``device_alignment`` routes the alignment cost matrix + DTW through the
+    Pallas kernels (default: the WTT_DEVICE_ALIGN env var; host path otherwise).
     """
+    if device_alignment is None:
+        import os
+
+        device_alignment = os.environ.get("WTT_DEVICE_ALIGN") == "1"
     # --- validation (reference transcribe.py:227-245) ---
     assert (
         refine_whisper_precision >= 0
@@ -268,6 +276,7 @@ def transcribe_timestamped(
             detect_disfluencies=detect_disfluencies,
             verbose=verbose,
             plot_word_alignment=plot_word_alignment,
+            device_alignment=device_alignment,
         )
 
     if remove_empty_words:
@@ -348,6 +357,7 @@ def _transcribe_efficient(
     detect_disfluencies,
     verbose,
     plot_word_alignment=False,
+    device_alignment=False,
 ):
     tok = engine.tokenizer
 
@@ -391,6 +401,7 @@ def _transcribe_efficient(
                 include_punctuation_in_confidence=include_punctuation_in_confidence,
                 detect_disfluencies=detect_disfluencies,
                 plot=plot_word_alignment,
+                device_alignment=device_alignment,
             )
         if ws is None:
             continue  # segment dropped (no aligned words)
@@ -431,6 +442,7 @@ def align_and_score_segment(
     include_punctuation_in_confidence: bool,
     detect_disfluencies: bool,
     plot=False,
+    device_alignment: bool = False,
 ):
     """Align one segment's tokens and compute confidences.
 
@@ -493,6 +505,7 @@ def align_and_score_segment(
             detect_disfluencies=detect_disfluencies,
             unfinished_decoding=unfinished,
             plot=plot,
+            use_device_kernels=device_alignment,
         )
     if len(ws) == 0:
         return None, None

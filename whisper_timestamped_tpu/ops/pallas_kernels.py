@@ -34,6 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 DIAG, LEFT, UP = 0, 1, 2
 
 
+def _default_interpret() -> bool:
+    """Pallas TPU kernels run compiled on TPU, interpreted elsewhere (CPU CI)."""
+    return jax.default_backend() != "tpu"
+
+
 # ---------------------------------------------------------------------------
 # median of 9 (compare-exchange network)
 # ---------------------------------------------------------------------------
@@ -76,8 +81,9 @@ def _median9_kernel(x_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def median9_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def median9_pallas(x: jnp.ndarray, interpret=None) -> jnp.ndarray:
     """Width-9 median along the last axis, symmetric edges. x: (..., M)."""
+    interpret = _default_interpret() if interpret is None else interpret
     orig_shape = x.shape
     M = orig_shape[-1]
     rows = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
@@ -98,25 +104,28 @@ def median9_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _cost_kernel(w_ref, span_ref, out_ref):
+def _cost_kernel(w_ref, dims_ref, out_ref):
     # w_ref: (K, N, M+8) scores with span-aware symmetric padding prepared in
     # XLA (Mosaic has no general dynamic gather, so the kernel sees only
-    # static window slices); span_ref: (1,) SMEM true frame count
+    # static window slices); dims_ref: (2,) SMEM = (n_tokens, span)
     K, N, Mp8 = w_ref.shape
     M = Mp8 - 8
-    span = span_ref[0]
+    n_tokens = dims_ref[0]
+    span = dims_ref[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
-    valid = col < span
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0)
+    valid = (col < span) & (row < n_tokens)
 
     acc = jnp.zeros((N, M), jnp.float32)
     for k in range(K):  # K is small (<= 23) and static: unrolled
         x = w_ref[k]
         med = _median9(*[x[:, s : s + M] for s in range(9)])
         med = jnp.where(valid, med, -jnp.inf)
-        # softmax over frames
+        # softmax over frames (padded rows masked so they don't pollute the
+        # per-frame L2 norm below)
         mx = jnp.max(med, axis=-1, keepdims=True)
         e = jnp.where(valid, jnp.exp(med - mx), 0.0)
-        acc = acc + e / jnp.sum(e, axis=-1, keepdims=True)
+        acc = acc + jnp.where(valid, e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30), 0.0)
     mean = acc * (1.0 / K)
     norm = jnp.sqrt(jnp.sum(mean * mean, axis=0, keepdims=True))
     out_ref[:] = jnp.where(valid, -(mean / jnp.maximum(norm, 1e-30)), 0.0)
@@ -124,19 +133,22 @@ def _cost_kernel(w_ref, span_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def attention_to_cost_pallas(
-    scores: jnp.ndarray,  # (K, N, M) pre-softmax qk, frame-padded to M
+    scores: jnp.ndarray,  # (K, N, M) pre-softmax qk, token/frame padded
     span: jnp.ndarray,  # scalar int32: true number of frames (<= M)
-    interpret: bool = False,
+    n_tokens=None,  # scalar int32 true token rows (<= N); default N
+    interpret=None,
 ) -> jnp.ndarray:
     """Fused median9+softmax+mean+L2norm+negate. Returns (N, M) f32 cost
-    (zeros beyond ``span``; callers mask further).
+    (zeros beyond ``n_tokens``/``span``; callers mask further).
 
     The host path slices to [0, span) BEFORE the median, so windows reflect
     symmetrically at the span edge. That reflection is prepared here in XLA
     (4 dynamic-update-slices) and the kernel uses static slices only.
     """
+    interpret = _default_interpret() if interpret is None else interpret
     K, N, M = scores.shape
     span = jnp.asarray(span, jnp.int32)
+    n_tokens = jnp.asarray(N if n_tokens is None else n_tokens, jnp.int32)
     x = scores.astype(jnp.float32)
     # left edge (always at 0) handled by static symmetric padding; right-edge
     # columns span..span+3 are filled with x[.., span-1-k]
@@ -155,7 +167,7 @@ def attention_to_cost_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp, span.reshape(1))
+    )(xp, jnp.stack([n_tokens, span]))
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +230,10 @@ def dtw_pallas(
     x: jnp.ndarray,  # (N, M) padded cost matrix
     n: jnp.ndarray,  # scalar int32 true rows
     m: jnp.ndarray,  # scalar int32 true cols
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """Wavefront DP. Returns (N+M-1, N) int32 step codes (diagonal-major)."""
+    interpret = _default_interpret() if interpret is None else interpret
     N, M = x.shape
     D = N + M - 1
     # skew in XLA: xs[d, i] = x[i, d - i] (cheap gather outside the kernel)
@@ -245,11 +258,12 @@ def dtw_pallas(
     )(xs, shape)
 
 
-def dtw_path_pallas(x: np.ndarray, interpret: bool = False):
+def dtw_path_pallas(x: np.ndarray, interpret=None):
     """Full DTW path via the Pallas kernel (host backtrace)."""
     x = np.asarray(x, np.float32)
     n, m = x.shape
-    N = int(np.ceil(n / 8) * 8)
+    # token bucket of 16 / frame bucket of 128: bounded set of compiled kernels
+    N = int(np.ceil(n / 16) * 16)
     M = int(np.ceil(m / 128) * 128)
     xp = np.full((N, M), 3e38, np.float32)
     xp[:n, :m] = x
