@@ -235,7 +235,10 @@ def decode_window_jit(
     no_speech = no_timestamps - 1  # layout fact: <|nospeech|> precedes <|notimestamps|>
 
     xa = encode(params, mel, dims)
-    cache = init_cache(params, xa, dims)
+    # size the cache to the decode extent (8-aligned): the dead tail of a full
+    # 448-slot cache is pure HBM-bandwidth waste at every step
+    ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
+    cache = init_cache(params, xa, dims, ctx_len=ctx_len)
 
     pad_len = P - prompt_len  # (B,) left padding per batch element
 
@@ -251,7 +254,7 @@ def decode_window_jit(
 
     # self-attention mask over cache slots: query slot q attends keys k with
     # pad_len <= k <= q
-    ctx = dims.n_text_ctx
+    ctx = ctx_len
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (P, ctx), 1)
     q_ids = jax.lax.broadcasted_iota(jnp.int32, (P, ctx), 0)
     valid = (key_ids[None] >= pad_len[:, None, None]) & (key_ids[None] <= q_ids[None])

@@ -67,7 +67,8 @@ def decode_window_beam_jit(
 
     xa = encode(params, mel, dims)  # (1, T, D)
     xa_k = jnp.repeat(xa, K, axis=0)
-    cache = init_cache(params, xa_k, dims)
+    ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
+    cache = init_cache(params, xa_k, dims, ctx_len=ctx_len)
 
     pad_len = jnp.full((K,), P - prompt_len, jnp.int32)
 
@@ -78,7 +79,7 @@ def decode_window_beam_jit(
     x = dec["tok_emb"][prompt_k] + dec["pos_emb"][pos_ids]
     x = x.astype(cache.k.dtype)
 
-    ctx = dims.n_text_ctx
+    ctx = ctx_len
     key_ids = lax.broadcasted_iota(jnp.int32, (P, ctx), 1)
     q_ids = lax.broadcasted_iota(jnp.int32, (P, ctx), 0)
     valid = (key_ids[None] >= pad_len[:, None, None]) & (key_ids[None] <= q_ids[None])

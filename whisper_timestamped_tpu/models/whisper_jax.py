@@ -323,17 +323,24 @@ class KVCache(NamedTuple):
     xv: jnp.ndarray
 
 
-def init_cache(params: Params, xa: jnp.ndarray, dims: WhisperDims, dtype=None) -> KVCache:
+def init_cache(
+    params: Params, xa: jnp.ndarray, dims: WhisperDims, dtype=None,
+    ctx_len: Optional[int] = None,
+) -> KVCache:
+    """``ctx_len`` sizes the self-attention cache (default n_text_ctx); callers
+    that know prompt+max_new shrink it — every decode step reads the whole
+    cache, so dead tail costs HBM bandwidth."""
     dec = params["decoder"]
     dtype = dtype or xa.dtype
     B = xa.shape[0]
     L, D = dims.n_text_layer, dims.n_text_state
+    ctx_len = ctx_len or dims.n_text_ctx
 
     def cross_kv(bp):
         return _linear(xa, bp["cross"]["k"]), _linear(xa, bp["cross"]["v"])
 
     xk, xv = jax.vmap(cross_kv, in_axes=(0,))(dec["blocks"])  # maps over layer axis
-    zeros = jnp.zeros((L, B, dims.n_text_ctx, D), dtype)
+    zeros = jnp.zeros((L, B, ctx_len, D), dtype)
     return KVCache(k=zeros, v=zeros, xk=xk.astype(dtype), xv=xv.astype(dtype))
 
 
@@ -371,7 +378,7 @@ def decode_step(
     x = x.astype(cache.k.dtype)
 
     # mask over cache positions: new token i may attend to cache slots < pos+i+1
-    ctx = dims.n_text_ctx
+    ctx = cache.k.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (S, ctx), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (S, ctx), 0)
     ok = col <= pos + row
