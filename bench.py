@@ -59,6 +59,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "8"))
     n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    kv_int8 = os.environ.get("BENCH_KV_INT8") == "1"
 
     dims = WhisperDims(n_audio_ctx=1500, n_text_ctx=448, **GEOMETRIES[model_name])
     params = cast_params(init_params(dims, jax.random.PRNGKey(0)), jnp.bfloat16)
@@ -76,7 +77,7 @@ def main():
 
     heads = ALIGNMENT_HEADS.get(model_name) or [(dims.n_text_layer - 1, h) for h in range(6)]
     wm = WhisperModel(params=params, dims=dims, alignment_heads=heads)
-    engine = DecodeEngine(wm, tok, attn_dtype=jnp.bfloat16)
+    engine = DecodeEngine(wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8)
 
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(B * 30 * 16000) * 0.1).astype(np.float32)
@@ -111,7 +112,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"audio_sec_per_sec_per_chip_{model_name}_b{B}",
+                "metric": f"audio_sec_per_sec_per_chip_{model_name}_b{B}" + ("_kvint8" if kv_int8 else ""),
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 100.0, 3),

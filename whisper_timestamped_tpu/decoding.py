@@ -197,7 +197,7 @@ def apply_timestamp_rules(
     static_argnames=(
         "dims", "align_heads", "max_new", "sample_begin", "eot", "ts_begin",
         "no_timestamps", "sot_index_from_end", "max_initial_timestamp_index",
-        "suppress_blank", "without_timestamps", "attn_dtype",
+        "suppress_blank", "without_timestamps", "attn_dtype", "kv_int8",
     ),
 )
 def decode_window_jit(
@@ -222,6 +222,7 @@ def decode_window_jit(
     suppress_blank: bool = True,
     without_timestamps: bool = False,
     attn_dtype=jnp.float32,
+    kv_int8: bool = False,
 ):
     """Decode one 30-s window for a batch. Returns a dict of buffers:
 
@@ -238,7 +239,7 @@ def decode_window_jit(
     # size the cache to the decode extent (8-aligned): the dead tail of a full
     # 448-slot cache is pure HBM-bandwidth waste at every step
     ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
-    cache = init_cache(params, xa, dims, ctx_len=ctx_len)
+    cache = init_cache(params, xa, dims, ctx_len=ctx_len, quantize_cross=kv_int8)
 
     pad_len = P - prompt_len  # (B,) left padding per batch element
 
@@ -263,11 +264,13 @@ def decode_window_jit(
     valid = valid | (key_ids == q_ids)[None]
     prefill_mask = jnp.where(valid, 0.0, -jnp.inf).astype(x.dtype)[:, None]  # (B,1,P,ctx)
 
-    from .models.whisper_jax import _attention, _linear, _ln, _logits  # noqa: internal reuse
+    from .models.whisper_jax import (  # noqa: internal reuse
+        _attention, _linear, _ln, _logits, cross_attention,
+    )
 
     def prefill_block(carry, layer_in):
         (x,) = carry
-        bp, k_cache, v_cache, xk, xv = layer_in
+        bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
@@ -279,8 +282,8 @@ def decode_window_jit(
         )
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
-        c, _ = _attention(
-            _linear(xc, bp["cross"]["q"]), xk, xv, dims.n_text_head
+        c, _ = cross_attention(
+            _linear(xc, bp["cross"]["q"]), xk, xv, xk_s, xv_s, dims.n_text_head
         )
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
@@ -288,7 +291,8 @@ def decode_window_jit(
         return (x,), (k_cache, v_cache)
 
     (x,), (k_c, v_c) = lax.scan(
-        prefill_block, (x,), (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv)
+        prefill_block, (x,),
+        (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
     )
     cache = cache._replace(k=k_c, v=v_c)
     # logits only where needed: the sot position (no-speech prob) and the last

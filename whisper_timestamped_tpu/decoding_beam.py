@@ -57,7 +57,9 @@ def decode_window_beam_jit(
     without_timestamps: bool = False,
 ):
     """Returns dict with finished sequences/scores and no_speech_prob."""
-    from .models.whisper_jax import _attention, _linear, _ln, _logits  # internal reuse
+    from .models.whisper_jax import (  # internal reuse
+        _attention, _linear, _ln, _logits, cross_attention,
+    )
 
     K = beam_size
     P = sample_begin
@@ -88,7 +90,7 @@ def decode_window_beam_jit(
 
     def prefill_block(carry, layer_in):
         (x,) = carry
-        bp, k_cache, v_cache, xk, xv = layer_in
+        bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
@@ -98,14 +100,17 @@ def decode_window_beam_jit(
                           dims.n_text_head, mask=prefill_mask)
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
-        c, _ = _attention(_linear(xc, bp["cross"]["q"]), xk, xv, dims.n_text_head)
+        c, _ = cross_attention(
+            _linear(xc, bp["cross"]["q"]), xk, xv, xk_s, xv_s, dims.n_text_head
+        )
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
         x = x + _linear(h, bp["mlp"]["fc2"])
         return (x,), (k_cache, v_cache)
 
     (x,), (k_c, v_c) = lax.scan(
-        prefill_block, (x,), (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv)
+        prefill_block, (x,),
+        (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
     )
     cache = cache._replace(k=k_c, v=v_c)
     sot_slot = P - sot_index_from_end

@@ -108,11 +108,13 @@ class Segment:
 class DecodeEngine:
     """Bound (model, tokenizer, options-geometry) with cached jit buffers."""
 
-    def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32):
+    def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32,
+                 kv_int8: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.dims = model.dims
         self.attn_dtype = attn_dtype
+        self.kv_int8 = kv_int8  # int8 cross-KV (halves the dominant HBM read)
         heads = model.alignment_heads
         if not heads:
             # fallback: all heads of the top half of decoder layers
@@ -206,6 +208,7 @@ class DecodeEngine:
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
             attn_dtype=self.attn_dtype,
+            kv_int8=self.kv_int8,
         )
         tokens_all = np.asarray(out["tokens"])
         logprobs_all = np.asarray(out["token_logprobs"])

@@ -314,18 +314,32 @@ def decode_full(
 
 
 class KVCache(NamedTuple):
-    """Self-attention KV cache, (L, B, n_text_ctx, D) each, plus precomputed
-    cross-attention K/V from the encoder output, (L, B, T_audio, D) each."""
+    """Self-attention KV cache, (L, B, ctx_len, D) each, plus precomputed
+    cross-attention K/V from the encoder output, (L, B, T_audio, D) each.
+
+    With ``quantize_cross``, xk/xv are int8 with per-position scales
+    (L, B, T_audio) — the cross-KV read is the decode step's dominant HBM
+    traffic at large models, and the scales fold into the attention math so
+    dequantized arrays are never materialized."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     xk: jnp.ndarray
     xv: jnp.ndarray
+    xk_scale: jnp.ndarray
+    xv_scale: jnp.ndarray
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """Per-row (last-axis) symmetric int8 quantization. x: (..., D)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(s, 1e-8)[..., None]).astype(jnp.int8)
+    return q, s
 
 
 def init_cache(
     params: Params, xa: jnp.ndarray, dims: WhisperDims, dtype=None,
-    ctx_len: Optional[int] = None,
+    ctx_len: Optional[int] = None, quantize_cross: bool = False,
 ) -> KVCache:
     """``ctx_len`` sizes the self-attention cache (default n_text_ctx); callers
     that know prompt+max_new shrink it — every decode step reads the whole
@@ -341,7 +355,36 @@ def init_cache(
 
     xk, xv = jax.vmap(cross_kv, in_axes=(0,))(dec["blocks"])  # maps over layer axis
     zeros = jnp.zeros((L, B, ctx_len, D), dtype)
-    return KVCache(k=zeros, v=zeros, xk=xk.astype(dtype), xv=xv.astype(dtype))
+    if quantize_cross:
+        xk_q, xk_s = _quantize_rows(xk)
+        xv_q, xv_s = _quantize_rows(xv)
+        return KVCache(k=zeros, v=zeros, xk=xk_q, xv=xv_q,
+                       xk_scale=xk_s.astype(jnp.float32), xv_scale=xv_s.astype(jnp.float32))
+    ones = jnp.ones((L, B, 1), jnp.float32)
+    return KVCache(k=zeros, v=zeros, xk=xk.astype(dtype), xv=xv.astype(dtype),
+                   xk_scale=ones, xv_scale=ones)
+
+
+def cross_attention(q, xk, xv, xk_scale, xv_scale, n_head):
+    """Cross-attention supporting int8 K/V with per-position scales.
+
+    Returns (out (B,S,D), pre-softmax scores f32 (B,H,S,T)) with whisper's
+    dh**-0.25 scaling convention. The int8 path computes q@K^T in int8 operand
+    form and applies the row scales to the score/weight matrices, so the
+    dequantized K/V never exist in memory.
+    """
+    dh = q.shape[-1] // n_head
+    if xk.dtype == jnp.int8:
+        qh = _split_heads(q, n_head).astype(jnp.bfloat16)
+        kh = _split_heads(xk.astype(jnp.bfloat16), n_head)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+        scores = scores * (xk_scale[:, None, None, :] * (dh**-0.5))
+        w = jax.nn.softmax(scores, axis=-1)
+        wv = (w * xv_scale[:, None, None, :]).astype(jnp.bfloat16)
+        vh = _split_heads(xv.astype(jnp.bfloat16), n_head)
+        out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", wv, vh)).astype(q.dtype)
+        return out, scores
+    return _attention(q, xk, xv, n_head, return_scores=True)
 
 
 def decode_step(
@@ -391,7 +434,7 @@ def decode_step(
 
     def block(carry, layer_in):
         x, = carry
-        bp, k_cache, v_cache, xk, xv = layer_in
+        bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
@@ -402,9 +445,8 @@ def decode_step(
         )
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
-        c, w = _attention(
-            _linear(xc, bp["cross"]["q"]), xk, xv, dims.n_text_head,
-            return_scores=True, mask=None,
+        c, w = cross_attention(
+            _linear(xc, bp["cross"]["q"]), xk, xv, xk_s, xv_s, dims.n_text_head
         )
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
@@ -412,10 +454,11 @@ def decode_step(
         return (x,), (k_cache, v_cache, w)
 
     (x,), (k_c, v_c, ws) = lax.scan(
-        block, (x,), (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv)
+        block, (x,),
+        (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
     )
     logits = _logits(_ln(x, dec["ln"]), dec)
-    return logits, KVCache(k=k_c, v=v_c, xk=cache.xk, xv=cache.xv), ws
+    return logits, cache._replace(k=k_c, v=v_c), ws
 
 
 def cast_params(params: Params, dtype) -> Params:

@@ -135,6 +135,7 @@ class BatchTranscriber:
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
             attn_dtype=engine.attn_dtype,
+            kv_int8=engine.kv_int8,
         )
         return self._unpack(out, temperature)
 
