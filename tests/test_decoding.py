@@ -280,3 +280,16 @@ def test_kv_int8_close_to_full_precision(engine, mel):
     assert len(b.tokens) > 0
     # same forced first timestamp; token streams usually identical on short runs
     assert b.tokens[0] == a.tokens[0]
+
+
+def test_public_decode_api(engine, mel):
+    import whisper_timestamped_tpu as wtt
+
+    res = wtt.decode(
+        engine.model, mel,
+        wtt.DecodingOptions(language="en"),
+        tokenizer=engine.tokenizer,
+    )
+    baseline = engine.decode_window(mel, DecodingOptions(language="en"))[0]
+    assert res.tokens == baseline.tokens
+    assert res.cross_attention.shape == baseline.attn.shape

@@ -188,3 +188,33 @@ def test_alignment_heads_inference():
     assert infer_model_name(123) is None
     assert heads_for_model_name("openai/whisper-tiny") == heads_for_model_name("tiny")
     assert heads_for_model_name("tiny.en.pt") == heads_for_model_name("tiny.en")
+
+
+def test_asymmetric_layers_distil_style(tmp_path):
+    """distil-whisper geometry: deep encoder, shallow decoder."""
+    import torch as t
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    from model_utils import make_tokenizer
+
+    tok = make_tokenizer()
+    cfg = WhisperConfig(
+        vocab_size=N_VOCAB, num_mel_bins=80, d_model=64, encoder_layers=4,
+        decoder_layers=1, encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128, max_source_positions=100,
+        max_target_positions=448, pad_token_id=tok.eot, bos_token_id=tok.eot,
+        eos_token_id=tok.eot, decoder_start_token_id=tok.sot,
+        attn_implementation="eager",
+    )
+    t.manual_seed(3)
+    m = WhisperForConditionalGeneration(cfg).eval()
+    params, dims = from_hf_state_dict(m.state_dict(), m.config.to_dict())
+    assert dims.n_audio_layer == 4 and dims.n_text_layer == 1
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 80, 200)).astype(np.float32) * 0.3
+    toks = np.array([[3, 4, 5]], dtype=np.int64)
+    xa = encode(params, jnp.asarray(mel), dims)
+    logits, _ = decode_full(params, jnp.asarray(toks, jnp.int32), xa, dims)
+    with t.no_grad():
+        theirs = m(input_features=t.from_numpy(mel), decoder_input_ids=t.from_numpy(toks)).logits
+    np.testing.assert_allclose(np.asarray(logits), theirs.numpy(), atol=3e-3)

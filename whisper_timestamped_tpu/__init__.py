@@ -29,6 +29,13 @@ _LAZY = {
     "available_models": ("whisper_timestamped_tpu.models.load", "available_models"),
     "Tokenizer": ("whisper_timestamped_tpu.tokenizer", "Tokenizer"),
     "get_tokenizer": ("whisper_timestamped_tpu.tokenizer", "get_tokenizer"),
+    "decode": ("whisper_timestamped_tpu.decoding", "decode"),
+    "DecodingOptions": ("whisper_timestamped_tpu.decoding", "DecodingOptions"),
+    "DecodingResult": ("whisper_timestamped_tpu.decoding", "DecodingResult"),
+    "detect_language": ("whisper_timestamped_tpu.decoding", "detect_language"),
+    "perform_word_alignment": ("whisper_timestamped_tpu.alignment", "perform_word_alignment"),
+    "remove_non_speech": ("whisper_timestamped_tpu.vad", "remove_non_speech"),
+    "transcribe_batch": ("whisper_timestamped_tpu.parallel.batch", "transcribe_batch"),
 }
 
 

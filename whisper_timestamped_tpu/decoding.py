@@ -448,3 +448,38 @@ def detect_language(params, mel, dims: WhisperDims, tokenizer: Tokenizer):
         codes.append(best)
         prob_dicts.append(d)
     return codes, prob_dicts
+
+
+def decode(model, mel, options: Optional[DecodingOptions] = None, tokenizer=None) -> DecodingResult:
+    """Single-window decode — counterpart of ``whisper.decode`` (which the
+    reference re-exports, reference ``__init__.py:1-5``).
+
+    model: a WhisperModel; mel: (n_mels, 3000) or (B, n_mels, 3000);
+    returns DecodingResult (first batch element) with per-token logprobs and
+    alignment-head cross-attention attached.
+    """
+    from .api import _resolve_tokenizer
+    from .engine import DecodeEngine
+
+    options = options or DecodingOptions()
+    tok = _resolve_tokenizer(model, tokenizer, options.language, options.task)
+    engine = DecodeEngine(model, tok)
+    if options.beam_size:
+        res = engine.decode_window_beam(np.asarray(mel), options,
+                                        prompt_tokens=options.prompt or ())
+    else:
+        res = engine.decode_window(
+            np.asarray(mel), options, prompt_tokens=options.prompt or (),
+            temperature=options.temperature,
+        )[0]
+    return DecodingResult(
+        tokens=res.tokens,
+        text=res.text,
+        avg_logprob=res.avg_logprob,
+        no_speech_prob=res.no_speech_prob,
+        temperature=res.temperature,
+        compression_ratio=res.compression_ratio,
+        language=options.language,
+        token_logprobs=res.token_logprobs,
+        cross_attention=res.attn,
+    )
