@@ -18,7 +18,7 @@ rules, recursive truncation on token overflow).
 from __future__ import annotations
 
 import string
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

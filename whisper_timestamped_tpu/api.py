@@ -14,12 +14,11 @@ from __future__ import annotations
 
 import logging
 import sys
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Union
 
 import numpy as np
 
 from .alignment import (
-    DISFLUENCY_MARK,
     _punctuation,
     perform_word_alignment,
     round_confidence,

@@ -25,7 +25,7 @@ import functools
 import os
 import subprocess
 import wave
-from typing import Optional, Union
+from typing import Union
 
 import numpy as np
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 import zlib
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .audio import N_FRAMES, AUDIO_TIME_PER_TOKEN
 from .models.whisper_jax import (
     WhisperDims,
     decode_step,

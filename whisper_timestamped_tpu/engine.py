@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from .audio import (
-    FRAMES_PER_SECOND,
     HOP_LENGTH,
     N_FRAMES,
     N_SAMPLES,

@@ -8,7 +8,7 @@ inference from parameter counts mirrors reference ``transcribe.py:2359-2402``.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 ALIGNMENT_HEADS = {
     "tiny.en": [(1, 0), (2, 0), (2, 5), (3, 0), (3, 1), (3, 2), (3, 3), (3, 4)],

@@ -19,7 +19,6 @@ Weight orientation: linear weights are stored ``(in, out)`` so application is
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, replace
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 

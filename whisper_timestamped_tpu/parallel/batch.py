@@ -17,14 +17,14 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from ..audio import HOP_LENGTH, N_FRAMES, SAMPLE_RATE, load_audio, log_mel_spectrogram, pad_or_trim
+from ..audio import HOP_LENGTH, N_FRAMES, load_audio, log_mel_spectrogram, pad_or_trim
 from ..decoding import DecodingOptions
 from ..engine import (
     DecodeEngine,
@@ -310,7 +310,6 @@ def transcribe_batch(
 ) -> Dict[str, dict]:
     """High-level batched API: name -> full whisper-timestamped result dict."""
     from ..api import align_and_score_segment, should_use_space
-    from ..alignment import round_timestamp
 
     engine = DecodeEngine(model, tokenizer)
     bt = BatchTranscriber(engine, batch_size=batch_size, mesh=mesh)

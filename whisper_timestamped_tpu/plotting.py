@@ -8,7 +8,7 @@ word boundaries at ``transcribe.py:1586-1646``, VAD overlay at
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -23,7 +23,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from .languages import LANGUAGES, TO_LANGUAGE_CODE, normalize_language
+from .languages import LANGUAGES, normalize_language
 
 # Same text-splitting pattern family as GPT-2/tiktoken (requires the `regex` module).
 _SPLIT_PATTERN = (

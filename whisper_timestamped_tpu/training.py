@@ -7,8 +7,7 @@ pjit/mesh execution — params TP-sharded, batch DP-sharded (see parallel/mesh).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
