@@ -197,6 +197,7 @@ def apply_timestamp_rules(
         "dims", "align_heads", "max_new", "sample_begin", "eot", "ts_begin",
         "no_timestamps", "sot_index_from_end", "max_initial_timestamp_index",
         "suppress_blank", "without_timestamps", "attn_dtype", "kv_int8",
+        "capture_attention",
     ),
 )
 def decode_window_jit(
@@ -222,6 +223,7 @@ def decode_window_jit(
     without_timestamps: bool = False,
     attn_dtype=jnp.float32,
     kv_int8: bool = False,
+    capture_attention: bool = True,
 ):
     """Decode one 30-s window for a batch. Returns a dict of buffers:
 
@@ -302,7 +304,7 @@ def decode_window_jit(
     no_speech_prob = jax.nn.softmax(sel_logits[:, 0].astype(jnp.float32), axis=-1)[:, no_speech]
     prefill_last_logits = sel_logits[:, 1]
 
-    K = len(align_heads)
+    K = len(align_heads) if capture_attention else 0
     layer_idx = np.array([l for l, _ in align_heads])
     head_idx = np.array([h for _, h in align_heads])
     T_audio = xa.shape[1]
@@ -367,10 +369,14 @@ def decode_window_jit(
         logits_new, cache, ws = decode_step(
             params, tok[:, None], c["cache"], step_pos, dims,
             pos_offset=pad_len, kv_valid_from=pad_len,
+            capture_attention=capture_attention,
         )
-        # ws: (L, B, H, 1, T) -> select alignment heads -> (B, K, T)
-        rows = ws[layer_idx, :, head_idx, 0]  # (K, B, T)
-        attn = c["attn"].at[:, i].set(jnp.transpose(rows, (1, 0, 2)).astype(attn_dtype))
+        if capture_attention:
+            # ws: (L, B, H, 1, T) -> select alignment heads -> (B, K, T)
+            rows = ws[layer_idx, :, head_idx, 0]  # (K, B, T)
+            attn = c["attn"].at[:, i].set(jnp.transpose(rows, (1, 0, 2)).astype(attn_dtype))
+        else:
+            attn = c["attn"]
 
         is_ts_tok = tok >= ts_begin
         return dict(

@@ -394,6 +394,7 @@ def decode_step(
     dims: WhisperDims,
     pos_offset: Optional[jnp.ndarray] = None,
     kv_valid_from: Optional[jnp.ndarray] = None,
+    capture_attention: bool = True,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One decode step for S_new tokens (S_new=1 in the loop, >1 for the prompt).
 
@@ -450,6 +451,8 @@ def decode_step(
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
         x = x + _linear(h, bp["mlp"]["fc2"])
+        if not capture_attention:
+            w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)  # tiny placeholder
         return (x,), (k_cache, v_cache, w)
 
     (x,), (k_c, v_c, ws) = lax.scan(
