@@ -103,3 +103,19 @@ def test_transcribe_batch_full_results(model, tok):
         for s in res["segments"]:
             for w in s.get("words", []):
                 assert w["start"] <= w["end"]
+
+
+def test_transcribe_batch_with_vad(model, tok):
+    rng = np.random.default_rng(5)
+    a = np.zeros(16000 * 6, np.float32)
+    a[: 16000 * 2] = rng.standard_normal(16000 * 2) * 0.3
+    out = transcribe_batch(
+        model, {"v": a}, tok, language="en", batch_size=2, vad="energy",
+        temperature=[0.0], no_speech_threshold=None, logprob_threshold=None,
+    )
+    res = out["v"]
+    assert "speech_activity" in res
+    assert res["speech_activity"][0]["start"] < 1.0
+    for s in res["segments"]:
+        for w in s.get("words", []):
+            assert w["start"] <= w["end"]

@@ -306,10 +306,30 @@ def transcribe_batch(
     detect_disfluencies: bool = False,
     refine_whisper_precision: float = 0.5,
     min_word_duration: float = 0.02,
+    vad=False,
     **window_options,
 ) -> Dict[str, dict]:
-    """High-level batched API: name -> full whisper-timestamped result dict."""
+    """High-level batched API: name -> full whisper-timestamped result dict.
+
+    ``vad`` applies per-stream speech extraction on the host before the batched
+    decode; word/segment timestamps are mapped back to original-audio time."""
     from ..api import align_and_score_segment, should_use_space
+    from ..vad import check_vad_method, remove_non_speech
+
+    vad = check_vad_method(vad)
+    converts: Dict[str, Any] = {}
+    speech_activity: Dict[str, Any] = {}
+    if vad is not None:
+        preprocessed = {}
+        for name, audio in audios.items():
+            wav = load_audio(audio)
+            speech, segs, convert = remove_non_speech(
+                wav, method=vad, avoid_empty_speech=True
+            )
+            preprocessed[name] = speech
+            converts[name] = convert
+            speech_activity[name] = [{"start": s, "end": e} for (s, e) in segs]
+        audios = preprocessed
 
     engine = DecodeEngine(model, tokenizer)
     bt = BatchTranscriber(engine, batch_size=batch_size, mesh=mesh)
@@ -348,9 +368,21 @@ def transcribe_batch(
                 if len(seg_dicts[i]["words"]) == 1:
                     seg_dicts[i]["start"] = w["start"]
                 seg_dicts[i]["end"] = w["end"]
+        if name in converts:
+            convert = converts[name]
+            for s in seg_dicts:
+                for w in s.get("words", []):
+                    w["start"], w["end"] = convert(w["start"], w["end"])
+                if refine_whisper_precision and s.get("words"):
+                    s["start"] = s["words"][0]["start"]
+                    s["end"] = s["words"][-1]["end"]
+                else:
+                    s["start"], s["end"] = convert(s["start"], s["end"])
         results[name] = {
             "text": "".join(s["text"] for s in seg_dicts),
             "segments": seg_dicts,
             "language": language,
         }
+        if name in speech_activity:
+            results[name]["speech_activity"] = speech_activity[name]
     return results
