@@ -56,9 +56,9 @@ def main():
     from whisper_timestamped_tpu.tokenizer import Tokenizer, BytePairEncoder, synthetic_ranks
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "12"))
     n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     kv_int8 = os.environ.get("BENCH_KV_INT8") == "1"
 
     dims = WhisperDims(n_audio_ctx=1500, n_text_ctx=448, **GEOMETRIES[model_name])
@@ -82,10 +82,12 @@ def main():
     rng = np.random.default_rng(0)
 
     def make_mel(seed):
+        import jax.numpy as jnp
+
         r = np.random.default_rng(seed)
         audio = (r.standard_normal(B * 30 * 16000) * 0.1).astype(np.float32)
-        m = np.asarray(log_mel_spectrogram(audio.reshape(B, -1), n_mels=dims.n_mels))
-        return pad_or_trim(m, 3000, axis=-1)
+        m = log_mel_spectrogram(audio.reshape(B, -1), n_mels=dims.n_mels)
+        return jnp.pad(m, ((0, 0), (0, 0), (0, 3000 - m.shape[-1])))  # stays on device
 
     # distinct inputs per rep: the TPU tunnel memoizes executions on
     # identical argument buffers, which would fake the timing

@@ -366,15 +366,15 @@ def decode_window_jit(
 
         # --- feed the chosen token through the decoder ---
         step_pos = P + i
-        logits_new, cache, ws = decode_step(
+        logits_new, cache, rows = decode_step(
             params, tok[:, None], c["cache"], step_pos, dims,
             pos_offset=pad_len, kv_valid_from=pad_len,
             capture_attention=capture_attention,
+            align_heads=align_heads if capture_attention else None,
         )
         if capture_attention:
-            # ws: (L, B, H, 1, T) -> select alignment heads -> (B, K, T)
-            rows = ws[layer_idx, :, head_idx, 0]  # (K, B, T)
-            attn = c["attn"].at[:, i].set(jnp.transpose(rows, (1, 0, 2)).astype(attn_dtype))
+            # rows: (B, K, 1, T) accumulated inside the layer scan
+            attn = c["attn"].at[:, i].set(rows[:, :, 0].astype(attn_dtype))
         else:
             attn = c["attn"]
 

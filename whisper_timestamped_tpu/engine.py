@@ -174,7 +174,11 @@ class DecodeEngine:
         rng_seed: int = 0,
     ) -> List[WindowDecodeResult]:
         tok = self.tokenizer
-        mel = np.asarray(mel, np.float32)
+        # keep device arrays on device (host<->device traffic is precious);
+        # numpy inputs are uploaded once here
+        if not isinstance(mel, jnp.ndarray):
+            mel = jnp.asarray(np.asarray(mel, np.float32))
+        mel = mel.astype(jnp.float32)
         if mel.ndim == 2:
             mel = mel[None]
         B = mel.shape[0]
@@ -189,7 +193,7 @@ class DecodeEngine:
         )
         out = decode_window_jit(
             self.model.params,
-            jnp.asarray(mel),
+            mel,
             prompt,
             prompt_len,
             sm,
@@ -425,14 +429,22 @@ def transcribe_windows(
         temperature = [float(temperature)]
 
     with stage_timer("mel"):
-        mel_full = np.asarray(
-            log_mel_spectrogram(np.asarray(audio, np.float32), n_mels=dims.n_mels, padding=N_SAMPLES)
+        # stays on device: windows are sliced/padded with jnp so only the
+        # decode outputs ever cross the host boundary
+        mel_full = log_mel_spectrogram(
+            np.asarray(audio, np.float32), n_mels=dims.n_mels, padding=N_SAMPLES
         )
     content_frames = mel_full.shape[-1] - N_FRAMES
     content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
 
     # --- language ---
     language_probs = None
+    def _first_window():
+        w = mel_full[:, :N_FRAMES]
+        if w.shape[-1] < N_FRAMES:
+            w = jnp.pad(w, ((0, 0), (0, N_FRAMES - w.shape[-1])))
+        return w
+
     if language is None:
         if engine.tokenizer.is_multilingual:
             if verbose_callback is not None:
@@ -442,14 +454,12 @@ def transcribe_windows(
                     "Detecting language using up to the first 30 seconds. "
                     "Use `--language` to specify the language"
                 )
-            window = pad_or_trim(mel_full[:, :N_FRAMES], N_FRAMES, axis=-1)
-            codes, probs = detect_language(engine.model.params, window[None], dims, tok)
+            codes, probs = detect_language(engine.model.params, _first_window()[None], dims, tok)
             language, language_probs = codes[0], probs[0]
         else:
             language = "en"
     elif return_language_probs and engine.tokenizer.is_multilingual:
-        window = pad_or_trim(mel_full[:, :N_FRAMES], N_FRAMES, axis=-1)
-        _, probs = detect_language(engine.model.params, window[None], dims, tok)
+        _, probs = detect_language(engine.model.params, _first_window()[None], dims, tok)
         language_probs = probs[0]
 
     base_opts = decode_options or DecodingOptions()
@@ -473,7 +483,8 @@ def transcribe_windows(
     while seek < content_frames:
         mel_window = mel_full[:, seek : seek + N_FRAMES]
         segment_size = min(N_FRAMES, content_frames - seek)
-        mel_window = pad_or_trim(mel_window, N_FRAMES, axis=-1)
+        if mel_window.shape[-1] < N_FRAMES:
+            mel_window = jnp.pad(mel_window, ((0, 0), (0, N_FRAMES - mel_window.shape[-1])))
 
         with stage_timer("decode"):
             result = engine.decode_with_fallback(

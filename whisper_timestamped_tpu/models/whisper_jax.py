@@ -395,6 +395,7 @@ def decode_step(
     pos_offset: Optional[jnp.ndarray] = None,
     kv_valid_from: Optional[jnp.ndarray] = None,
     capture_attention: bool = True,
+    align_heads: Optional[Tuple[Tuple[int, int], ...]] = None,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One decode step for S_new tokens (S_new=1 in the loop, >1 for the prompt).
 
@@ -402,7 +403,13 @@ def decode_step(
     pos_offset: optional (B,) — subtracted from cache slots to get positional
     indices (supports left-padded prompts of varying length in one program).
     kv_valid_from: optional (B,) — cache slots below this are masked out.
-    Returns (logits (B, S_new, V), updated cache, cross-attn (L, B, H, S_new, T)).
+    Returns (logits (B, S_new, V), updated cache, cross-attn).
+
+    Cross-attn shape: with ``align_heads`` a static (layer, head) tuple, only
+    those rows are accumulated INSIDE the layer scan — (B, K, S_new, T) — so
+    the full per-layer score tensor never round-trips to HBM (it costs ~45%
+    of the step otherwise). With align_heads=None the full (L, B, H, S_new, T)
+    scores are emitted (teacher-forced/naive path and tests).
 
     Emitting cross-attention + logits from the step is the functional
     equivalent of the reference's four hook families (``transcribe.py:883-900``).
@@ -432,9 +439,16 @@ def decode_step(
     else:
         mask = jnp.where(ok, 0.0, -jnp.inf).astype(x.dtype)
 
+    if align_heads is not None:
+        head_layer = np.array([l for l, _ in align_heads])  # (K,)
+        head_idx = np.array([h for _, h in align_heads])  # (K,)
+        acc0 = jnp.zeros((B, len(align_heads), S, cache.xk.shape[2]), jnp.float32)
+    else:
+        acc0 = jnp.zeros((), jnp.float32)
+
     def block(carry, layer_in):
-        x, = carry
-        bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
+        x, acc = carry
+        l_idx, bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
@@ -451,16 +465,25 @@ def decode_step(
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
         x = x + _linear(h, bp["mlp"]["fc2"])
-        if not capture_attention:
+        if align_heads is not None:
+            # accumulate only the alignment-head rows (in-carry, never to HBM)
+            sel = w[:, head_idx]  # (B, K, S, T) static-index gather
+            hit = (jnp.asarray(head_layer) == l_idx).astype(jnp.float32)
+            acc = acc + sel * hit[None, :, None, None]
+            w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)
+        elif not capture_attention:
             w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)  # tiny placeholder
-        return (x,), (k_cache, v_cache, w)
+        return (x, acc), (k_cache, v_cache, w)
 
-    (x,), (k_c, v_c, ws) = lax.scan(
-        block, (x,),
-        (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
+    L = dims.n_text_layer
+    (x, acc), (k_c, v_c, ws) = lax.scan(
+        block, (x, acc0),
+        (jnp.arange(L), dec["blocks"], cache.k, cache.v, cache.xk, cache.xv,
+         cache.xk_scale, cache.xv_scale),
     )
     logits = _logits(_ln(x, dec["ln"]), dec)
-    return logits, cache._replace(k=k_c, v=v_c), ws
+    out_attn = acc if align_heads is not None else ws
+    return logits, cache._replace(k=k_c, v=v_c), out_attn
 
 
 def cast_params(params: Params, dtype) -> Params:
