@@ -252,3 +252,26 @@ def test_stuck_lm_sample_limit(model, tok, audio):
     for s in res["segments"]:
         for w in s.get("words", []):
             assert w["start"] <= w["end"]
+
+
+def test_empty_audio(model, tok):
+    res = transcribe_timestamped(
+        model, np.zeros(0, np.float32), language="en", tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert res["text"] == "" and res["segments"] == []
+
+
+def test_empty_wav_fixture(model, tok):
+    import os
+
+    path = "/root/reference/tests/data/empty.wav"
+    if not os.path.exists(path):
+        pytest.skip("fixture unavailable")
+    res = transcribe_timestamped(
+        model, path, language="en", tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert isinstance(res["segments"], list)

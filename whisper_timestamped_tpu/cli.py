@@ -177,6 +177,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # persistent XLA compilation cache: first large-model compile is minutes
+    # on some TPU runtimes; subsequent runs are instant
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_comp"),
+    )
     parser = build_parser()
     args = parser.parse_args(argv).__dict__
     args.pop("accurate", None)
