@@ -293,3 +293,13 @@ def test_public_decode_api(engine, mel):
     baseline = engine.decode_window(mel, DecodingOptions(language="en"))[0]
     assert res.tokens == baseline.tokens
     assert res.cross_attention.shape == baseline.attn.shape
+
+
+def test_explicit_suppress_token_list(engine, mel):
+    """suppress_tokens as an explicit id list (reference CLI accepts e.g. '220,300')."""
+    base = engine.decode_window(mel, DecodingOptions(language="en"))[0]
+    target = next(t for t in base.tokens if t < engine.tokenizer.eot)
+    res = engine.decode_window(
+        mel, DecodingOptions(language="en", suppress_tokens=f"-1,{target}")
+    )[0]
+    assert target not in res.tokens

@@ -87,7 +87,6 @@ class BatchTranscriber:
         right-aligned into the shared prompt region with per-row lengths."""
         engine = self.engine
         tok = engine.tokenizer
-        import whisper_timestamped_tpu.engine as E
 
         bufs, lens, sot_from_end = [], [], None
         for p in prompts:
