@@ -89,3 +89,30 @@ def test_graft_entry_contract():
     fn, args = mod.entry()
     logits = jax.jit(fn)(*args)
     assert logits.shape[-1] == 51865
+
+
+def test_checkpoint_save_restore(tmp_path):
+    from whisper_timestamped_tpu.training import (
+        load_checkpoint,
+        make_train_step,
+        save_checkpoint,
+    )
+
+    params = init_params(DIMS, jax.random.PRNGKey(4))
+    init_state, train_step = make_train_step(DIMS)
+    state = init_state(params)
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 120)).astype(np.float32) * 0.3)
+    tokens = jnp.asarray(rng.integers(0, 300, (1, 8)).astype(np.int32))
+    mask = jnp.ones((1, 8), jnp.float32)
+    state, _ = jax.jit(train_step)(state, mel, tokens, mask)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, state)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    restored, loss = jax.jit(train_step)(restored, mel, tokens, mask)
+    assert np.isfinite(float(loss))

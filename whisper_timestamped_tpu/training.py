@@ -7,6 +7,7 @@ pjit/mesh execution — params TP-sharded, batch DP-sharded (see parallel/mesh).
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -56,3 +57,21 @@ def make_train_step(dims: WhisperDims, optimizer: Optional[optax.GradientTransfo
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
 
     return init_state, train_step
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Persist a TrainState with orbax (params + optimizer + step)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore a TrainState saved by ``save_checkpoint`` (template gives the
+    tree structure/shapes)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
