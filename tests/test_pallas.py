@@ -71,3 +71,24 @@ def test_device_alignment_path_matches_host():
         tokens, attn, tok, detect_disfluencies=True, use_device_kernels=True
     )
     assert host == dev
+
+
+def test_mel_kernel_matches_xla_path():
+    import jax.numpy as jnp
+
+    from whisper_timestamped_tpu import audio as A
+    from whisper_timestamped_tpu.ops.pallas_kernels import log10_mel_pallas
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    # frame in XLA exactly like the audio front-end
+    pad = A.N_FFT // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    n_frames = len(x) // A.HOP_LENGTH
+    idx = np.arange(n_frames)[:, None] * A.HOP_LENGTH + np.arange(A.N_FFT)[None, :]
+    frames = xp[idx]
+    ours = np.asarray(log10_mel_pallas(jnp.asarray(frames), 80, interpret=True))
+    # reference: the XLA mel path before normalization
+    power = np.asarray(A._stft_power(jnp.asarray(x)[None], A.N_FFT, A.HOP_LENGTH))[0]
+    ref = np.log10(np.maximum(power @ A.mel_filters(80).T, 1e-10))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)

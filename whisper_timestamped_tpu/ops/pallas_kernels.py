@@ -287,3 +287,69 @@ def dtw_path_pallas(x: np.ndarray, interpret=None):
     path.reverse()
     arr = np.array(path, np.int64)
     return arr[:, 0], arr[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# fused STFT/mel kernel
+# ---------------------------------------------------------------------------
+
+
+def _mel_kernel(frames_ref, cos_ref, sin_ref, melw_ref, out_ref):
+    """One frame tile: windowed DFT -> power -> mel projection -> log10.
+
+    frames_ref: (TILE_F, n_fft); cos/sin: (n_fft, n_bins_padded);
+    melw: (n_bins_padded, n_mels_padded); out: (TILE_F, n_mels_padded).
+    The whole tile stays in VMEM: power spectra never round-trip to HBM.
+    """
+    frames = frames_ref[:]
+    real = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
+    imag = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    power = real * real + imag * imag
+    mel = jnp.dot(power, melw_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.log(jnp.maximum(mel, 1e-10)) * jnp.float32(1.0 / np.log(10.0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "interpret"))
+def log10_mel_pallas(
+    frames: jnp.ndarray,  # (n_frames, n_fft) framed audio (XLA gather upstream)
+    n_mels: int = 80,
+    interpret=None,
+) -> jnp.ndarray:
+    """log10 mel spectrogram of framed audio, fused in one Pallas pass.
+
+    Returns (n_frames, n_mels); whisper's max-8/÷4 normalization (which needs
+    a global max) is applied by the caller.
+    """
+    from ..audio import N_FFT, _dft_bases, mel_filters
+
+    interpret = _default_interpret() if interpret is None else interpret
+    n_frames, n_fft = frames.shape
+    cos_b, sin_b = _dft_bases(n_fft)
+    n_bins = cos_b.shape[1]
+    BINS_P = int(np.ceil(n_bins / 128) * 128)
+    MELS_P = int(np.ceil(n_mels / 128) * 128)
+    TILE_F = 256
+    FRAMES_P = int(np.ceil(n_frames / TILE_F) * TILE_F)
+
+    cos_p = np.zeros((n_fft, BINS_P), np.float32)
+    cos_p[:, :n_bins] = cos_b
+    sin_p = np.zeros((n_fft, BINS_P), np.float32)
+    sin_p[:, :n_bins] = sin_b
+    melw = np.zeros((BINS_P, MELS_P), np.float32)
+    melw[:n_bins, :n_mels] = mel_filters(n_mels, n_fft=n_fft).T
+
+    frames_p = jnp.pad(frames.astype(jnp.float32), ((0, FRAMES_P - n_frames), (0, 0)))
+    out = pl.pallas_call(
+        _mel_kernel,
+        grid=(FRAMES_P // TILE_F,),
+        in_specs=[
+            pl.BlockSpec((TILE_F, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, BINS_P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, BINS_P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BINS_P, MELS_P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_F, MELS_P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((FRAMES_P, MELS_P), jnp.float32),
+        interpret=interpret,
+    )(frames_p, jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(melw))
+    return out[:n_frames, :n_mels]
