@@ -12,7 +12,7 @@ import argparse
 import json
 import os
 import string
-from typing import List
+from typing import List, Optional
 
 from .writers import write_srt, write_vtt
 
@@ -21,62 +21,71 @@ _punctuation = (
 )
 
 
+class _LineBuilder:
+    """Accumulates words into a subtitle line, remembering the best
+    punctuation cut point seen so far."""
+
+    def __init__(self, start: float, use_space: bool):
+        self.buf = ""
+        self.start = start
+        self.use_space = use_space
+        # (cut position in buf, end time at the cut, start time after the cut)
+        self.cut: Optional[tuple] = None
+
+    def append(self, word: str) -> str:
+        before = self.buf
+        if self.buf and self.use_space:
+            self.buf += " "
+        self.buf += word
+        return before
+
+    def note_punctuation(self, end_time: float, next_start: Optional[float]):
+        if self.buf and self.buf[-1] in _punctuation:
+            self.cut = (len(self.buf), end_time, next_start)
+
+    def flush_at_cut(self) -> dict:
+        pos, end_time, next_start = self.cut
+        emitted = {"text": self.buf[:pos], "start": self.start, "end": end_time}
+        self.buf = self.buf[pos + 1 :]
+        self.start = next_start
+        self.cut = None
+        return emitted
+
+
 def split_long_segments(segments: List[dict], max_length: int, use_space: bool = True) -> List[dict]:
-    new_segments = []
+    """Split segments longer than ``max_length`` characters at word boundaries,
+    preferring cut points right after punctuation (reference
+    ``make_subtitles.py:8-65`` semantics)."""
+    out: List[dict] = []
     for segment in segments:
-        text = segment["text"]
-        if len(text) <= max_length:
-            new_segments.append(segment)
+        if len(segment["text"]) <= max_length:
+            out.append(segment)
             continue
+
         meta_words = segment["words"]
-        if use_space:
-            words = text.split()
-        else:
-            words = [w["text"] for w in meta_words]
+        words = segment["text"].split() if use_space else [w["text"] for w in meta_words]
         if len(words) != len(meta_words):
-            # punctuation may have been removed from words; fall back to them
+            # punctuation may have been stripped from words; trust the words
             words = [w["text"] for w in meta_words]
-        current_text = ""
-        current_start = segment["start"]
-        current_best_idx = None
-        current_best_end = None
-        current_best_next_start = None
+
+        line = _LineBuilder(segment["start"], use_space)
         for i, (word, meta) in enumerate(zip(words, meta_words)):
-            current_text_before = current_text
-            if current_text and use_space:
-                current_text += " "
-            current_text += word
-
-            if len(current_text) > max_length and len(current_text_before):
-                start = current_start
-                if current_best_idx is not None:
-                    text_out = current_text[:current_best_idx]
-                    end = current_best_end
-                    current_text = current_text[current_best_idx + 1 :]
-                    current_start = current_best_next_start
+            before = line.append(word)
+            if len(line.buf) > max_length and before:
+                if line.cut is not None:
+                    out.append(line.flush_at_cut())
                 else:
-                    text_out = current_text_before
-                    end = meta_words[i - 1]["end"]
-                    current_text = word
-                    current_start = meta["start"]
-                current_best_idx = None
-                current_best_end = None
-                current_best_next_start = None
-                new_segments.append({"text": text_out, "start": start, "end": end})
+                    out.append({"text": before, "start": line.start,
+                                "end": meta_words[i - 1]["end"]})
+                    line.buf = word
+                    line.start = meta["start"]
+                    line.cut = None
+            next_start = meta_words[i + 1]["start"] if i + 1 < len(meta_words) else None
+            line.note_punctuation(meta["end"], next_start)
 
-            # prefer to cut right after punctuation
-            if current_text and current_text[-1] in _punctuation:
-                current_best_idx = len(current_text)
-                current_best_end = meta["end"]
-                current_best_next_start = (
-                    meta_words[i + 1]["start"] if i + 1 < len(meta_words) else None
-                )
-
-        if len(current_text):
-            new_segments.append(
-                {"text": current_text, "start": current_start, "end": segment["end"]}
-            )
-    return new_segments
+        if line.buf:
+            out.append({"text": line.buf, "start": line.start, "end": segment["end"]})
+    return out
 
 
 def main(argv=None):
