@@ -192,3 +192,53 @@ def test_cli_end_to_end(tmp_path):
     assert "test.wav.words.json" in files and "test.wav.srt" in files and "test.wav.words.srt" in files
     data = json.load(open(os.path.join(outdir, "test.wav.words.json")))
     assert "segments" in data and data["language"] == "en"
+
+
+REF_DATA = "/root/reference/tests/data"
+REF_EXPECTED = "/root/reference/tests/expected/split_subtitles"
+
+
+@pytest.mark.parametrize("stem", ["smartphone.mp3", "no_punctuations.mp3", "yes_punctuations.mp3"])
+@pytest.mark.parametrize("max_length", [6, 20, 50])
+def test_make_subtitles_conformance_with_reference_goldens(stem, max_length, tmp_path):
+    """Our subtitle tool vs the reference's own committed golden outputs
+    (reference tests/test_transcribe.py:619-650) — byte-for-byte."""
+    inp = os.path.join(REF_DATA, f"{stem}.words.json")
+    if not os.path.exists(inp):
+        pytest.skip("reference fixtures unavailable")
+    from whisper_timestamped_tpu.make_subtitles import main
+
+    outdir = tmp_path / "subs"
+    main([inp, str(outdir), "--max_length", str(max_length)])
+    golden_stem = stem.split("_")[-1]
+    for fmt in ("srt", "vtt"):
+        produced = (outdir / f"{stem}.{fmt}").read_text(encoding="utf-8")
+        golden_path = os.path.join(REF_EXPECTED, f"{golden_stem}_{max_length}.{fmt}")
+        golden = open(golden_path, encoding="utf-8").read()
+        assert produced == golden, f"{stem} max_length={max_length} {fmt} differs from reference golden"
+
+
+@pytest.mark.parametrize("dirname", ["punctuations_no", "punctuations_yes"])
+@pytest.mark.parametrize("stem", ["bonjour.wav", "punctuations.mp3"])
+def test_writers_conformance_with_reference_goldens(dirname, stem, tmp_path):
+    """Feed the reference's expected words.json through OUR writers and compare
+    byte-for-byte with the reference's expected txt/vtt/srt/csv/tsv outputs
+    (segment-level and word-level variants)."""
+    base = f"/root/reference/tests/expected/{dirname}/{stem}"
+    if not os.path.exists(base + ".words.json"):
+        pytest.skip("reference goldens unavailable")
+    result = json.load(open(base + ".words.json", encoding="utf-8"))
+
+    outname = str(tmp_path / stem)
+    write_all_formats(result, outname, ["txt", "vtt", "srt", "csv", "tsv"])
+    for ext in ("txt", "vtt", "srt", "csv", "tsv",
+                "words.vtt", "words.srt", "words.csv", "words.tsv"):
+        golden_path = f"{base}.{ext}"
+        if not os.path.exists(golden_path):
+            continue
+        produced = open(f"{outname}.{ext}", encoding="utf-8").read()
+        golden = open(golden_path, encoding="utf-8").read()
+        # the reference CLI writes the VTT header twice (visible in its own
+        # goldens); ours is spec-correct with one — normalize before comparing
+        golden = golden.replace("WEBVTT\n\nWEBVTT\n\n", "WEBVTT\n\n", 1)
+        assert produced == golden, f"{dirname}/{stem}.{ext} differs from reference golden"
