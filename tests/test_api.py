@@ -275,3 +275,52 @@ def test_empty_wav_fixture(model, tok):
         compression_ratio_threshold=None,
     )
     assert isinstance(res["segments"], list)
+
+
+def test_result_validates_against_reference_schema(base_result, model, tok, audio):
+    """Our result dicts validate against the REFERENCE's own json schema
+    (reference tests/json_schema.json — the output contract its suite enforces
+    at tests/test_transcribe.py:287-296)."""
+    import jsonschema
+
+    path = "/root/reference/tests/json_schema.json"
+    if not os.path.exists(path):
+        pytest.skip("reference schema unavailable")
+    schema = json.load(open(path))
+    jsonschema.validate(base_result, schema)
+    # with language detection (language_probs present)
+    res = transcribe_timestamped(
+        model, audio[: 16000 * 3], tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    jsonschema.validate(res, schema)
+
+
+def test_postprocess_invariant_on_reference_outputs():
+    """The sanitizers must not alter already-valid reference outputs (fed from
+    the reference's own golden words.json files)."""
+    import copy
+    import glob
+
+    from whisper_timestamped_tpu.postprocess import (
+        ensure_increasing_positions,
+        remove_last_null_duration_words,
+    )
+
+    goldens = sorted(glob.glob("/root/reference/tests/expected/tiny_fr/*.words.json"))[:4]
+    if not goldens:
+        pytest.skip("reference goldens unavailable")
+    for path in goldens:
+        result = json.load(open(path, encoding="utf-8"))
+        words = []
+        for i, seg in enumerate(result["segments"]):
+            for w in seg.get("words", []):
+                words.append({**w, "idx_segment": i, "tokens": [w["text"]]})
+        before = copy.deepcopy(words)
+        ensure_increasing_positions(words, min_duration=0)
+        assert [(w["start"], w["end"]) for w in words] == [
+            (w["start"], w["end"]) for w in before
+        ], path
+        t2, w2 = remove_last_null_duration_words(copy.deepcopy(result), copy.deepcopy(words))
+        assert len(w2) <= len(words)
