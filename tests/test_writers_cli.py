@@ -242,3 +242,33 @@ def test_writers_conformance_with_reference_goldens(dirname, stem, tmp_path):
         # goldens); ours is spec-correct with one — normalize before comparing
         golden = golden.replace("WEBVTT\n\nWEBVTT\n\n", "WEBVTT\n\n", 1)
         assert produced == golden, f"{dirname}/{stem}.{ext} differs from reference golden"
+
+
+def test_compare_words_tool():
+    import importlib.util
+
+    tool_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools", "compare_words.py"
+    )
+    spec = importlib.util.spec_from_file_location("compare_words", tool_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    compare = mod.compare
+
+    golden = "/root/reference/tests/expected/tiny_fr/bonjour.wav.words.json"
+    if not os.path.exists(golden):
+        pytest.skip("reference goldens unavailable")
+    ref = json.load(open(golden))
+    # identity: MAE 0
+    r = compare(ref, ref)
+    assert r["timestamp_mae_ms"] == 0.0 and r["word_match_rate"] == 1.0
+    # known perturbation: +50ms on every word
+    import copy
+
+    shifted = copy.deepcopy(ref)
+    for s in shifted["segments"]:
+        for w in s.get("words", []):
+            w["start"] += 0.05
+            w["end"] += 0.05
+    r = compare(shifted, ref)
+    assert abs(r["timestamp_mae_ms"] - 50.0) < 1.0
