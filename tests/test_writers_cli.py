@@ -272,3 +272,43 @@ def test_compare_words_tool():
             w["end"] += 0.05
     r = compare(shifted, ref)
     assert abs(r["timestamp_mae_ms"] - 50.0) < 1.0
+
+
+def test_cli_stdout_json_is_clean(tmp_path):
+    """verbose=False + language auto-detect: stdout must contain ONLY the JSON
+    (no live messages corrupting pipelines like `wtt audio.wav | jq`)."""
+    import wave
+
+    from model_utils import make_hf_model, save_openai_pt
+    import base64
+
+    from whisper_timestamped_tpu.tokenizer import synthetic_ranks
+
+    model = make_hf_model(seed=0)
+    ckpt = str(tmp_path / "model.pt")
+    save_openai_pt(model, ckpt)
+    with open(tmp_path / "multilingual.tiktoken", "wb") as f:
+        for k, v in synthetic_ranks().items():
+            f.write(base64.b64encode(k) + b" " + str(v).encode() + b"\n")
+    wav = str(tmp_path / "t.wav")
+    rng = np.random.default_rng(1)
+    sig = (rng.standard_normal(16000) * 0.1 * 32767).astype("<i2")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from whisper_timestamped_tpu.cli import main; main()",
+         wav, "--model", ckpt,  # no --language: exercises detection messages
+         "--no_speech_threshold", "None", "--logprob_threshold", "None",
+         "--compression_ratio_threshold", "None"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    json.loads(proc.stdout)  # must parse as pure JSON

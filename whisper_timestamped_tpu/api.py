@@ -177,6 +177,8 @@ def transcribe_timestamped(
         temperature = temperature[0]
     if beam_size is not None or (best_of or 0) > 1:
         naive_approach = True
+    if use_backend_timestamps:
+        naive_approach = True  # reference transcribe.py:245
     if not trust_whisper_timestamps:
         # per-chunk segment reconstruction lives in the two-pass engine
         # (reference implements it in both engines; behavior matches its
@@ -361,9 +363,8 @@ def _transcribe_efficient(
     tok = engine.tokenizer
 
     def verbose_cb(seg: Segment):
-        if verbose:
-            line = f"[{format_timestamp(seg.start)} --> {format_timestamp(seg.end)}] {seg.text}"
-            print(line.encode(sys.getdefaultencoding(), errors="replace").decode())
+        line = f"[{format_timestamp(seg.start)} --> {format_timestamp(seg.end)}] {seg.text}"
+        print(line.encode(sys.getdefaultencoding(), errors="replace").decode())
 
     opts = DecodingOptions(suppress_tokens=suppress_tokens, sample_len=sample_len)
     result = transcribe_windows(
@@ -379,7 +380,9 @@ def _transcribe_efficient(
         initial_prompt=initial_prompt,
         decode_options=opts,
         return_language_probs=language is None,
-        verbose_callback=verbose_cb if verbose is not None else None,
+        # live printing only for verbose=True: verbose=False must keep stdout
+        # clean (the CLI dumps JSON there)
+        verbose_callback=verbose_cb if verbose else None,
         rng_seed=seed or 0,
     )
     if verbose and language is None and result.language is not None:

@@ -16,6 +16,9 @@ Replaces ``whisper.decoding.DecodingTask`` (which the reference drives through
     ``decoder.ln`` hook, ``transcribe.py:849-881``), and the cross-attention
     rows of the alignment heads (the ``cross_attn`` hooks,
     ``transcribe.py:783-793``) — so word alignment needs no second pass.
+    Row convention matches the reference: ``attn[k]`` is the attention of the
+    forward that PREDICTED token k (the prefill's last position predicts the
+    first sampled token).
   * Temperature is a traced scalar: the fallback schedule
     (``transcribe.py:3086-3091``) never recompiles.
 """
@@ -177,10 +180,12 @@ def apply_timestamp_rules(
         last_allowed = ts_begin + max_initial_timestamp_index
         logits = jnp.where(at_start & (vocab_ids > last_allowed), neg_inf, logits)
 
-    # if total timestamp probability beats the best text token, sample a timestamp
+    # if total timestamp probability beats the best non-timestamp token
+    # (INCLUDING EOT — whisper compares against max over [:timestamp_begin]),
+    # sample a timestamp
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ts_logprob = jax.nn.logsumexp(jnp.where(is_ts, logprobs, -jnp.inf), axis=-1)
-    max_text = jnp.max(jnp.where(is_text, logprobs, -jnp.inf), axis=-1)
+    max_text = jnp.max(jnp.where(~is_ts, logprobs, -jnp.inf), axis=-1)
     force_ts = ts_logprob > max_text
     logits = jnp.where(force_ts[:, None] & ~is_ts, neg_inf, logits)
     return logits
@@ -269,9 +274,15 @@ def decode_window_jit(
         _attention, _linear, _ln, _logits, cross_attention,
     )
 
+    K = len(align_heads) if capture_attention else 0
+    head_layer_arr = np.array([l for l, _ in align_heads])
+    head_idx_arr = np.array([h for _, h in align_heads])
+    T_audio = xa.shape[1]
+    acc0 = jnp.zeros((B, max(K, 1), 1, T_audio), jnp.float32)
+
     def prefill_block(carry, layer_in):
-        (x,) = carry
-        bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
+        x, acc = carry
+        l_idx, bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
@@ -283,17 +294,26 @@ def decode_window_jit(
         )
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
-        c, _ = cross_attention(
-            _linear(xc, bp["cross"]["q"]), xk, xv, xk_s, xv_s, dims.n_text_head
-        )
+        q_cross = _linear(xc, bp["cross"]["q"])
+        c, _ = cross_attention(q_cross, xk, xv, xk_s, xv_s, dims.n_text_head)
+        if capture_attention:
+            # the LAST prompt position's scores predict the first sampled token
+            # (reference convention: token k <-> the row that predicted it)
+            _, w_last = cross_attention(
+                q_cross[:, -1:], xk, xv, xk_s, xv_s, dims.n_text_head
+            )  # (B, H, 1, T)
+            sel = w_last[:, head_idx_arr]  # (B, K, 1, T)
+            hit = (jnp.asarray(head_layer_arr) == l_idx).astype(jnp.float32)
+            acc = acc + sel * hit[None, :, None, None]
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
         x = x + _linear(h, bp["mlp"]["fc2"])
-        return (x,), (k_cache, v_cache)
+        return (x, acc), (k_cache, v_cache)
 
-    (x,), (k_c, v_c) = lax.scan(
-        prefill_block, (x,),
-        (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
+    (x, prefill_rows), (k_c, v_c) = lax.scan(
+        prefill_block, (x, acc0),
+        (jnp.arange(dims.n_text_layer), dec["blocks"], cache.k, cache.v,
+         cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
     )
     cache = cache._replace(k=k_c, v=v_c)
     # logits only where needed: the sot position (no-speech prob) and the last
@@ -304,11 +324,6 @@ def decode_window_jit(
     no_speech_prob = jax.nn.softmax(sel_logits[:, 0].astype(jnp.float32), axis=-1)[:, no_speech]
     prefill_last_logits = sel_logits[:, 1]
 
-    K = len(align_heads) if capture_attention else 0
-    layer_idx = np.array([l for l, _ in align_heads])
-    head_idx = np.array([h for _, h in align_heads])
-    T_audio = xa.shape[1]
-
     init = dict(
         i=jnp.int32(0),
         last_logits=prefill_last_logits,  # (B, V)
@@ -318,7 +333,13 @@ def decode_window_jit(
         tokens=jnp.full((B, max_new), eot, jnp.int32),
         token_logprobs=jnp.zeros((B, max_new), jnp.float32),
         ts_logprobs=jnp.zeros((B, max_new, V - ts_begin), jnp.float32),
-        attn=jnp.zeros((B, max_new, K, T_audio), attn_dtype),
+        attn=(
+            jnp.zeros((B, max_new, K, T_audio), attn_dtype)
+            .at[:, 0]
+            .set(prefill_rows[:, :K, 0].astype(attn_dtype))
+            if capture_attention
+            else jnp.zeros((B, max_new, K, T_audio), attn_dtype)
+        ),
         sum_logprobs=jnp.zeros((B,), jnp.float32),
         finished=jnp.zeros((B,), bool),
         cache=cache,
@@ -373,8 +394,11 @@ def decode_window_jit(
             align_heads=align_heads if capture_attention else None,
         )
         if capture_attention:
-            # rows: (B, K, 1, T) accumulated inside the layer scan
-            attn = c["attn"].at[:, i].set(rows[:, :, 0].astype(attn_dtype))
+            # rows (B, K, 1, T): the forward that consumed y_i PREDICTS y_{i+1}
+            # — store at i+1 (reference convention; index max_new is dropped)
+            attn = c["attn"].at[:, i + 1].set(
+                rows[:, :, 0].astype(attn_dtype), mode="drop"
+            )
         else:
             attn = c["attn"]
 

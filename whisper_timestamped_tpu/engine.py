@@ -62,8 +62,8 @@ class WindowDecodeResult:
     # timestamp-slice logprob rows per step (n_tokens, 1501): end-token
     # re-estimation heuristic input (reference transcribe.py:528-538)
     ts_logprobs: Optional[np.ndarray] = None
-    # attention row of the final EOT step, when EOT was sampled (early-EOT
-    # segments append <|endoftext|> and need its attention row — reference
+    # the row PREDICTING the final EOT, when EOT was sampled (early-EOT
+    # segments append <|endoftext|> and align it with this row — reference
     # transcribe.py:518-523)
     eot_attn: Optional[np.ndarray] = None  # (K, T_audio)
     hit_limit: bool = False  # decode reached max_new without EOT ("stuck LM")
@@ -383,8 +383,6 @@ class DecodeEngine:
             if (
                 no_speech_threshold is not None
                 and result.no_speech_prob > no_speech_threshold
-                and logprob_threshold is not None
-                and result.avg_logprob < logprob_threshold
             ):
                 needs_fallback = False  # silence: don't bother retrying
             if not needs_fallback:

@@ -10,8 +10,8 @@ confidence. Used for ``beam_size``/``best_of>1``/
 
 Faithfully-kept reference quirks (goldens pin them):
   * attention rows are taken from position ``i_start-1`` on — the row that
-    *predicts* each token, one step earlier than the efficient path's
-    convention (reference ``transcribe.py:1252``);
+    *predicts* each token (reference ``transcribe.py:1252``; the reference
+    uses this predicting-row convention in BOTH engines, and so do we);
   * the punctuation-stripping condition in word confidence is inverted
     relative to the efficient path (reference ``transcribe.py:1285-1292``).
 """
@@ -131,7 +131,15 @@ def transcribe_naive(
     for i, s in enumerate(whisper_segments):
         s["id"] = i
 
-    if use_backend_timestamps:
+    have_attention = all(
+        seg.window is not None and seg.window.attn.size for seg in result.segments
+    )
+    if use_backend_timestamps and not have_attention:
+        logger.warning(
+            "use_backend_timestamps unavailable for beam-decoded windows "
+            "(no on-the-fly attention); using teacher-forced alignment"
+        )
+    if use_backend_timestamps and have_attention:
         # This framework IS the backend: its on-the-fly aligned words are the
         # backend timestamps (openai-whisper's word_timestamps=True equivalent,
         # reference transcribe.py:1079-1091).
@@ -139,8 +147,6 @@ def transcribe_naive(
 
         words: List[dict] = []
         for i, seg in enumerate(result.segments):
-            if seg.window.attn.size == 0:
-                continue  # beam pass has no attention; fall through below
             ws, seg_dict = align_and_score_segment(
                 seg, tok, use_space=use_space,
                 refine_whisper_precision_nframes=0,

@@ -127,10 +127,9 @@ def silero_get_speech_timestamps(
     Matches the reference's invocation (``transcribe.py:2016-2023``:
     normalized audio, durations in ms)."""
     audio = np.asarray(audio, np.float32)
-    # the reference normalizes audio to peak 1 before silero (transcribe.py:2016)
-    peak = np.abs(audio).max()
-    if peak > 0:
-        audio = audio / peak
+    # normalize with gain capped at 10x (reference transcribe.py:2016-2018)
+    peak = float(np.abs(audio).max()) if audio.size else 0.0
+    audio = audio / max(0.1, peak if peak > 0 else 1.0)
 
     if probs_fn is None:
         if model_path.endswith(".onnx"):

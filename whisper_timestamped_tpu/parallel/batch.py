@@ -288,8 +288,8 @@ def _needs_fallback(result, crt, lpt, nst):
         nf = True
     if lpt is not None and result.avg_logprob < lpt:
         nf = True
-    if nst is not None and result.no_speech_prob > nst and lpt is not None and result.avg_logprob < lpt:
-        nf = False
+    if nst is not None and result.no_speech_prob > nst:
+        nf = False  # silence: whisper skips the retry unconditionally
     return nf
 
 

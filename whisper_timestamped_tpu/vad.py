@@ -90,11 +90,15 @@ def _energy_split(
     n = len(audio) // win
     if n == 0:
         return []
+    # cheap volume normalization, gain capped at 10x (reference transcribe.py:2029)
+    audio = audio / max(0.1, float(np.abs(audio).max() or 1.0))
     frames = audio[: n * win].reshape(n, win).astype(np.float64) * 32767.0
     energy = 20.0 * np.log10(np.sqrt(np.mean(frames**2, axis=-1)) + 1e-10)
     active = energy >= energy_threshold_db
 
-    max_silence_frames = max(1, int(round(min(0.2, min_silence_duration) / analysis_window)))
+    audio_duration = len(audio) / sample_rate
+    max_silence = min(audio_duration * 0.95, min_silence_duration)
+    max_silence_frames = max(1, int(round(max_silence / analysis_window)))
     min_speech_frames = max(1, int(round(min_speech_duration / analysis_window)))
 
     segments = []
