@@ -213,6 +213,12 @@ class DecodeEngine:
             attn_dtype=self.attn_dtype,
             kv_int8=self.kv_int8,
         )
+        return self.unpack_window_outputs(out, temperature)
+
+    def unpack_window_outputs(self, out, temperature) -> List[WindowDecodeResult]:
+        """Device buffers -> per-element WindowDecodeResult (single host
+        transfer per buffer). Shared by the serial and batched pipelines."""
+        tok = self.tokenizer
         tokens_all = np.asarray(out["tokens"])
         logprobs_all = np.asarray(out["token_logprobs"])
         ts_lp_all = np.asarray(out["ts_logprobs"])
@@ -221,7 +227,7 @@ class DecodeEngine:
         nsp = np.asarray(out["no_speech_prob"])
 
         results = []
-        for b in range(B):
+        for b in range(tokens_all.shape[0]):
             toks = tokens_all[b]
             eot_pos = np.nonzero(toks == tok.eot)[0]
             hit_limit = len(eot_pos) == 0

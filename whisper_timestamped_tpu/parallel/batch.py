@@ -136,43 +136,7 @@ class BatchTranscriber:
             attn_dtype=engine.attn_dtype,
             kv_int8=engine.kv_int8,
         )
-        return self._unpack(out, temperature)
-
-    def _unpack(self, out, temperature) -> List[WindowDecodeResult]:
-        from ..decoding import compression_ratio
-
-        tok = self.engine.tokenizer
-        tokens_all = np.asarray(out["tokens"])
-        logprobs_all = np.asarray(out["token_logprobs"])
-        ts_lp_all = np.asarray(out["ts_logprobs"])
-        attn_all = np.asarray(out["attn"], np.float32)
-        sum_lp = np.asarray(out["sum_logprobs"])
-        nsp = np.asarray(out["no_speech_prob"])
-        results = []
-        for b in range(tokens_all.shape[0]):
-            toks = tokens_all[b]
-            eot_pos = np.nonzero(toks == tok.eot)[0]
-            hit_limit = len(eot_pos) == 0
-            n_text = int(eot_pos[0]) if len(eot_pos) else len(toks)
-            text_tokens = toks[:n_text].tolist()
-            text = tok.decode(text_tokens)
-            results.append(
-                WindowDecodeResult(
-                    tokens=text_tokens,
-                    text=text,
-                    avg_logprob=float(sum_lp[b]) / (n_text + 1),
-                    no_speech_prob=float(nsp[b]),
-                    temperature=float(temperature),
-                    compression_ratio=compression_ratio(text),
-                    token_logprobs=logprobs_all[b, :n_text],
-                    attn=attn_all[b, :n_text],
-                    sum_logprob=float(sum_lp[b]),
-                    ts_logprobs=ts_lp_all[b, :n_text],
-                    eot_attn=attn_all[b, n_text] if not hit_limit else None,
-                    hit_limit=hit_limit,
-                )
-            )
-        return results
+        return engine.unpack_window_outputs(out, temperature)
 
     # --------------------------------------------------------------
     def transcribe_streams(
