@@ -92,3 +92,29 @@ def test_mel_kernel_matches_xla_path():
     power = np.asarray(A._stft_power(jnp.asarray(x)[None], A.N_FFT, A.HOP_LENGTH))[0]
     ref = np.log10(np.maximum(power @ A.mel_filters(80).T, 1e-10))
     np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_int8_cross_attention_kernel_matches_xla_path():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _quantize_rows,
+        cross_attention,
+    )
+    from whisper_timestamped_tpu.ops.pallas_kernels import cross_attention_int8_pallas
+
+    rng = np.random.default_rng(0)
+    B, T, D, H = 2, 256, 256, 4  # dh=64 like real models
+    q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32))
+    xk = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    xv = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    xk_q, xk_s = _quantize_rows(xk)
+    xv_q, xv_s = _quantize_rows(xv)
+
+    ref_out, ref_scores = cross_attention(q, xk_q, xv_q, xk_s, xv_s, H)
+    ker_out, ker_scores = cross_attention_int8_pallas(
+        q, xk_q, xk_s, xv_q, xv_s, H, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ker_scores), np.asarray(ref_scores), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out), atol=2e-2)

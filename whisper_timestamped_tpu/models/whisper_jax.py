@@ -373,6 +373,17 @@ def cross_attention(q, xk, xv, xk_scale, xv_scale, n_head):
     dequantized K/V never exist in memory.
     """
     dh = q.shape[-1] // n_head
+    if (
+        xk.dtype == jnp.int8
+        and q.shape[1] == 1
+        and n_head % 2 == 0
+        and (2 * dh) % 128 == 0  # Mosaic lane constraint; true for dh=64 models
+    ):
+        # single-query decode step: Pallas kernel dequantizes K/V in-register
+        # (plain XLA materializes the bf16 dequant to HBM, defeating int8)
+        from ..ops.pallas_kernels import cross_attention_int8_pallas
+
+        return cross_attention_int8_pallas(q, xk, xk_scale, xv, xv_scale, n_head)
     if xk.dtype == jnp.int8:
         qh = _split_heads(q, n_head).astype(jnp.bfloat16)
         kh = _split_heads(xk.astype(jnp.bfloat16), n_head)

@@ -353,3 +353,83 @@ def log10_mel_pallas(
         interpret=interpret,
     )(frames_p, jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(melw))
     return out[:n_frames, :n_mels]
+
+
+# ---------------------------------------------------------------------------
+# int8 cross-attention decode-step kernel
+# ---------------------------------------------------------------------------
+
+
+def _xattn_int8_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, sc_ref):
+    """One (batch, head-pair) program: q (1,1,2*dh) against int8 K/V (1,T,2*dh).
+
+    Two contiguous heads per program so the lane dimension is 128 (Mosaic's
+    block constraint; whisper heads are 64-wide). The int8 operands are
+    dequantized in registers (convert fused into the dots) — the bf16 K/V
+    never exist in HBM, halving the decode step's dominant memory traffic.
+    """
+    two_dh = q_ref.shape[-1]
+    dh = two_dh // 2
+    T = k_ref.shape[1]
+    q = q_ref[0].astype(jnp.float32)  # (1, 2*dh)
+    k = k_ref[0].astype(jnp.float32)  # (T, 2*dh)
+    v = v_ref[0].astype(jnp.float32)
+    ks = ks_ref[0].astype(jnp.float32)  # (1, T)
+    vs = vs_ref[0].astype(jnp.float32)
+    inv = jnp.float32(dh ** -0.5)
+    for h in range(2):
+        sl = slice(h * dh, (h + 1) * dh)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, T)
+        scores = scores * ks * inv
+        sc_ref[0, h, 0, :] = scores[0]
+        w = jax.nn.softmax(scores, axis=-1) * vs  # (1, T)
+        out_ref[0, :, sl] = jnp.dot(
+            w, v[:, sl], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def cross_attention_int8_pallas(
+    q: jnp.ndarray,  # (B, 1, D) activations dtype
+    xk: jnp.ndarray,  # (B, T, D) int8
+    xk_scale: jnp.ndarray,  # (B, T) f32
+    xv: jnp.ndarray,  # (B, T, D) int8
+    xv_scale: jnp.ndarray,  # (B, T) f32
+    n_head: int,
+    interpret=None,
+):
+    """Single-query cross-attention over int8 K/V. Returns
+    (out (B, 1, D), scores (B, H, 1, T) f32) — same contract as
+    ``cross_attention`` (whisper's dh**-0.25/-0.25 scaling folded in).
+    Requires an even head count (all released Whisper models qualify)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and n_head % 2 == 0
+    T = xk.shape[1]
+    dh2 = 2 * (D // n_head)
+    ks3 = xk_scale.astype(jnp.float32)[:, None, :]  # (B, 1, T)
+    vs3 = xv_scale.astype(jnp.float32)[:, None, :]
+    out, scores = pl.pallas_call(
+        _xattn_int8_kernel,
+        grid=(B, n_head // 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, dh2), lambda b, h: (b, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, dh2), lambda b, h: (b, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, dh2), lambda b, h: (b, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, dh2), lambda b, h: (b, 0, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 1, T), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n_head, 1, T), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, xk, ks3, xv, vs3)
+    return out, scores
