@@ -119,3 +119,24 @@ def test_transcribe_batch_with_vad(model, tok):
     for s in res["segments"]:
         for w in s.get("words", []):
             assert w["start"] <= w["end"]
+
+
+def test_transcribe_batch_device_alignment_matches_host(model, tok):
+    """device_alignment=True must reproduce the host-aligned batched results."""
+    audios = {"a": _audio(1, 5), "b": _audio(2, 8)}
+    kw = dict(
+        language="en", batch_size=2,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    host = transcribe_batch(model, audios, tok, device_alignment=False, **kw)
+    dev = transcribe_batch(model, audios, tok, device_alignment=True, **kw)
+    for name in audios:
+        assert host[name]["text"] == dev[name]["text"]
+        ws_h = [w for s in host[name]["segments"] for w in s.get("words", [])]
+        ws_d = [w for s in dev[name]["segments"] for w in s.get("words", [])]
+        assert len(ws_h) == len(ws_d)
+        for a, b in zip(ws_h, ws_d):
+            assert a["text"] == b["text"]
+            assert a["start"] == pytest.approx(b["start"], abs=0.021)
+            assert a["end"] == pytest.approx(b["end"], abs=0.021)

@@ -18,7 +18,7 @@ rules, recursive truncation on token overflow).
 from __future__ import annotations
 
 import string
-from typing import List, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -193,6 +193,71 @@ def _attention_to_cost_device(scores: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Alignment planning: the pre-DTW extent/truncation rules, factored out so the
+# host path and the batched on-device path resolve tokens identically
+# ---------------------------------------------------------------------------
+
+
+class AlignmentPlan(NamedTuple):
+    """Resolved alignment extent for one segment (reference
+    ``transcribe.py:1466-1535``: timestamp validation, minimal-duration rule,
+    refine margins, recursive tail truncation when tokens > frames)."""
+
+    tokens: List[int]  # final tokens (tail-truncated if needed)
+    row_indices: np.ndarray  # rows of the caller's attention feeding each token
+    start_token: int
+    end_token: int
+    unfinished: bool
+    empty: bool  # alignment degenerates to [] (zero-duration segment)
+
+
+def plan_alignment(
+    tokens: Sequence[int],
+    tokenizer,
+    refine_whisper_precision_nframes: int = 0,
+    unfinished_decoding: bool = False,
+) -> AlignmentPlan:
+    tokens = [int(t) for t in tokens]
+    assert len(tokens) > 1, f"Got unexpected sequence of tokens of length {len(tokens)}"
+    rows = np.arange(len(tokens))
+    unfinished = unfinished_decoding
+    while True:
+        start_token = tokens[0] - tokenizer.timestamp_begin
+        end_token = tokens[-1] - tokenizer.timestamp_begin
+
+        if start_token < 0:
+            raise RuntimeError(
+                f"Missing start token in: {tokenizer.decode_with_timestamps(tokens)}"
+            )
+        if len(tokens) == 1 or end_token < 0:
+            # stuck as a language model: no end timestamp
+            end_token = N_FRAMES // 2
+        if end_token == start_token and refine_whisper_precision_nframes == 0:
+            return AlignmentPlan(tokens, rows, start_token, end_token, unfinished, True)
+
+        # minimal duration given the token count (reference issue #67 rule)
+        end_token = min(N_FRAMES // 2, max(end_token, start_token + len(tokens)))
+
+        if refine_whisper_precision_nframes > 0:
+            start_token = max(start_token - refine_whisper_precision_nframes, 0)
+            end_token = min(end_token + refine_whisper_precision_nframes, N_FRAMES // 2)
+
+        if end_token <= start_token:
+            raise RuntimeError(
+                f"Got segment with null or negative duration: {start_token} {end_token}"
+            )
+
+        num_frames = end_token - start_token
+        if len(tokens) <= num_frames:
+            return AlignmentPlan(tokens, rows, start_token, end_token, unfinished, False)
+        # too much text for the audio span: drop the tail and retry, flagged
+        # unfinished (reference ``transcribe.py:1516-1535``)
+        tokens = tokens[: num_frames - 1] + [tokens[-1]]
+        rows = np.concatenate([rows[: num_frames - 1], rows[-1:]])
+        unfinished = True
+
+
+# ---------------------------------------------------------------------------
 # perform_word_alignment (reference ``transcribe.py:1428-1793``)
 # ---------------------------------------------------------------------------
 
@@ -213,33 +278,20 @@ def perform_word_alignment(
     subwords_can_be_empty: bool = True,
     plot=False,
     use_device_kernels: bool = False,
+    precomputed_jumps: Optional[np.ndarray] = None,
 ) -> List[dict]:
-    tokens = [int(t) for t in tokens]
-    assert len(tokens) > 1, f"Got unexpected sequence of tokens of length {len(tokens)}"
-    start_token = tokens[0] - tokenizer.timestamp_begin
-    end_token = tokens[-1] - tokenizer.timestamp_begin
-
-    if start_token < 0:
-        raise RuntimeError(
-            f"Missing start token in: {tokenizer.decode_with_timestamps(tokens)}"
-        )
-    if len(tokens) == 1 or end_token < 0:
-        # happens when the model is stuck as a language model (no end timestamp)
-        end_token = N_FRAMES // 2
-    if end_token == start_token and refine_whisper_precision_nframes == 0:
+    """``precomputed_jumps``: per-token start frames in sliced coordinates,
+    length len(plan.tokens)+1, from the batched on-device aligner
+    (device_align.py) — skips the cost/DTW computation here. Callers supply
+    jumps for the PLANNED token sequence (plan_alignment output)."""
+    plan = plan_alignment(
+        tokens, tokenizer, refine_whisper_precision_nframes, unfinished_decoding
+    )
+    if plan.empty:
         return []
-
-    # minimal duration given the token count (reference issue #67 rule)
-    end_token = min(N_FRAMES // 2, max(end_token, start_token + len(tokens)))
-
-    if refine_whisper_precision_nframes > 0:
-        start_token = max(start_token - refine_whisper_precision_nframes, 0)
-        end_token = min(end_token + refine_whisper_precision_nframes, N_FRAMES // 2)
-
-    if end_token <= start_token:
-        raise RuntimeError(
-            f"Got segment with null or negative duration: {start_token} {end_token}"
-        )
+    tokens = plan.tokens
+    start_token, end_token = plan.start_token, plan.end_token
+    unfinished_decoding = plan.unfinished
 
     start_time = start_token * AUDIO_TIME_PER_TOKEN
 
@@ -256,61 +308,51 @@ def perform_word_alignment(
     if include_punctuation_in_timing:
         num_punctuations_per_tokens[:-2] = [0] * (len(num_punctuations_per_tokens) - 2)
 
-    attention_scores = np.asarray(attention_scores)
-    assert attention_scores.shape[0] == len(tokens), (
-        f"Attention has wrong length: {attention_scores.shape[0]} != {len(tokens)}"
-    )
-    num_tokens = len(tokens)
-    num_frames = end_token - start_token
-    if num_tokens > num_frames:
-        # too much text for the audio span: drop the tail and retry, flagged
-        # unfinished (reference ``transcribe.py:1516-1535``)
-        return perform_word_alignment(
-            tokens[: num_frames - 1] + [tokens[-1]],
-            np.concatenate(
-                [attention_scores[: num_frames - 1], attention_scores[-1:]], axis=0
-            ),
-            tokenizer,
-            use_space=use_space,
-            max_duration=max_duration,
-            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
-            medfilt_width=medfilt_width,
-            qk_scale=qk_scale,
-            remove_punctuation_from_words=remove_punctuation_from_words,
-            detect_disfluencies=detect_disfluencies,
-            subwords_can_be_empty=subwords_can_be_empty,
-            unfinished_decoding=True,
-            use_device_kernels=use_device_kernels,
+    if precomputed_jumps is not None:
+        # the batched on-device aligner already ran cost+DTW for the planned
+        # token sequence; weights never exist on host (no disfluency/plot)
+        assert not detect_disfluencies and not plot
+        jumps = np.asarray(precomputed_jumps, np.int64)
+        assert len(jumps) == len(tokens) + 1, (
+            f"Jumps have wrong length: {len(jumps)} != {len(tokens) + 1}"
         )
-
-    # (n_tokens, K, ctx) -> (K, n_tokens, span)
-    sliced = np.transpose(attention_scores, (1, 0, 2))[..., start_token:end_token]
-    if use_device_kernels and medfilt_width == 9 and qk_scale == 1.0:
-        weights = _attention_to_cost_device(sliced)
+        weights = None
     else:
-        weights = _attention_to_cost(sliced, medfilt_width, qk_scale)
-    worse_weight = 0.0
+        attention_scores = np.asarray(attention_scores)
+        assert attention_scores.shape[0] > int(plan.row_indices.max()), (
+            f"Attention has wrong length: {attention_scores.shape[0]} rows, "
+            f"need row {int(plan.row_indices.max())}"
+        )
+        attention_scores = attention_scores[plan.row_indices]
 
-    if max_duration:
-        if start_token < max_duration:
-            # NOTE: column index is absolute in the reference even though the
-            # matrix is sliced (transcribe.py:1565) — kept for parity
-            weights[:-1, max_duration:] = worse_weight
+        # (n_tokens, K, ctx) -> (K, n_tokens, span)
+        sliced = np.transpose(attention_scores, (1, 0, 2))[..., start_token:end_token]
+        if use_device_kernels and medfilt_width == 9 and qk_scale == 1.0:
+            weights = _attention_to_cost_device(sliced)
+        else:
+            weights = _attention_to_cost(sliced, medfilt_width, qk_scale)
+        worse_weight = 0.0
 
-    # encourage the path to start early
-    weights[0, 0] = weights.min()
+        if max_duration:
+            if start_token < max_duration:
+                # NOTE: column index is absolute in the reference even though the
+                # matrix is sliced (transcribe.py:1565) — kept for parity
+                weights[:-1, max_duration:] = worse_weight
 
-    if use_device_kernels and subwords_can_be_empty:
-        from .ops.pallas_kernels import dtw_path_pallas
+        # encourage the path to start early
+        weights[0, 0] = weights.min()
 
-        index1s, index2s = dtw_path_pallas(weights)
-    else:
-        index1s, index2s = dtw_path(weights, allow_vertical=subwords_can_be_empty)
+        if use_device_kernels and subwords_can_be_empty:
+            from .ops.pallas_kernels import dtw_path_pallas
 
-    jumps = np.diff(index1s)
-    jumps = np.pad(jumps, (1, 0), constant_values=1).astype(bool)
-    jumps = index2s[jumps]
-    jumps = np.pad(jumps, (0, 1), constant_values=index2s[-1])
+            index1s, index2s = dtw_path_pallas(weights)
+        else:
+            index1s, index2s = dtw_path(weights, allow_vertical=subwords_can_be_empty)
+
+        jumps = np.diff(index1s)
+        jumps = np.pad(jumps, (1, 0), constant_values=1).astype(bool)
+        jumps = index2s[jumps]
+        jumps = np.pad(jumps, (0, 1), constant_values=index2s[-1])
 
     jumps_start = jumps
     disfluences = {}

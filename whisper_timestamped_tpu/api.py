@@ -356,6 +356,18 @@ def _transcribe_efficient(
         line = f"[{format_timestamp(seg.start)} --> {format_timestamp(seg.end)}] {seg.text}"
         print(line.encode(sys.getdefaultencoding(), errors="replace").decode())
 
+    from .device_align import MAX_K
+
+    # full on-device alignment: the attention buffers never cross the host
+    # boundary (the dominant cost on remote-tunnel TPUs). Requires the
+    # reference-default alignment options; anything else uses the host path.
+    full_device = (
+        device_alignment
+        and not detect_disfluencies
+        and not plot_word_alignment
+        and len(engine.align_heads) <= MAX_K
+    )
+
     opts = DecodingOptions(suppress_tokens=suppress_tokens, sample_len=sample_len)
     result = transcribe_windows(
         engine,
@@ -374,14 +386,27 @@ def _transcribe_efficient(
         # clean (the CLI dumps JSON there)
         verbose_callback=verbose_cb if verbose else None,
         rng_seed=seed or 0,
+        fetch_alignment=not full_device,
     )
     if verbose and language is None and result.language is not None:
         print(f"Detected language: {LANGUAGE_NAMES.get(result.language, result.language)}")
 
     use_space = should_use_space(result.language)
+    if full_device:
+        entries = [(seg, prepare_segment_tokens(seg, tok)) for seg in result.segments]
+        with stage_timer("align"):
+            all_jumps = device_align_segments(
+                entries, tok, refine_whisper_precision_nframes
+            )
+    else:
+        entries = [(seg, None) for seg in result.segments]
+        all_jumps = [None] * len(entries)
+
     words: List[dict] = []
     segment_dicts: List[dict] = []
-    for seg in result.segments:
+    for (seg, prep), jumps in zip(entries, all_jumps):
+        if full_device and prep is None:
+            continue
         with stage_timer("align"):
             ws, seg_dict = align_and_score_segment(
                 seg,
@@ -394,6 +419,8 @@ def _transcribe_efficient(
                 detect_disfluencies=detect_disfluencies,
                 plot=plot_word_alignment,
                 device_alignment=device_alignment,
+                precomputed_jumps=jumps,
+                prepared=prep,
             )
         if ws is None:
             continue  # segment dropped (no aligned words)
@@ -423,6 +450,125 @@ except Exception:  # pragma: no cover
     pass
 
 
+def device_align_segments(
+    entries,  # [(Segment, prepare_segment_tokens output or None)]
+    tok: Tokenizer,
+    refine_whisper_precision_nframes: int,
+    max_windows_per_chunk: int = 16,
+):
+    """Batched on-device alignment for segments decoded with
+    ``fetch_alignment=False``. Returns per-entry jumps arrays (None where the
+    entry was not alignable). Chunked so the flattened attention buffer stays
+    bounded for long audio."""
+    import jax.numpy as jnp
+
+    from .device_align import compute_jumps_batch, make_task
+
+    jumps_out: List[Optional[np.ndarray]] = [None] * len(entries)
+
+    def flush(chunk):
+        if not chunk:
+            return
+        bufs, offsets, total = [], {}, 0
+        for _, seg, _ in chunk:
+            w = seg.window
+            key = id(w.attn_dev)
+            if key not in offsets:
+                offsets[key] = total
+                bufs.append(w.attn_dev)
+                total += w.attn_dev.shape[0] * w.attn_dev.shape[1]
+        flat = [b.reshape(-1, *b.shape[2:]) for b in bufs]
+        flat = flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=0)
+        tasks, idxs = [], []
+        for ei, seg, prep in chunk:
+            tokens, local_rows, unfinished, max_duration = prep
+            w = seg.window
+            off = offsets[id(w.attn_dev)] + w.batch_index * w.attn_dev.shape[1]
+            task = make_task(
+                tokens,
+                off,
+                local_rows,
+                tok,
+                refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+                unfinished_decoding=unfinished,
+                max_duration=max_duration,
+            )
+            if task is None:
+                # empty plan: route through the precomputed branch anyway —
+                # perform_word_alignment returns [] before touching jumps
+                jumps_out[ei] = np.zeros((0,), np.int64)
+                continue
+            tasks.append(task)
+            idxs.append(ei)
+        for ei, j in zip(idxs, compute_jumps_batch(flat, tasks)):
+            jumps_out[ei] = j
+
+    chunk, windows_seen = [], set()
+    for ei, (seg, prep) in enumerate(entries):
+        if prep is None or len(prep[0]) <= 1:
+            continue
+        wkey = (id(seg.window.attn_dev), seg.window.batch_index)
+        windows_seen.add(wkey)
+        chunk.append((ei, seg, prep))
+        if len(windows_seen) >= max_windows_per_chunk:
+            flush(chunk)
+            chunk, windows_seen = [], set()
+    flush(chunk)
+    return jumps_out
+
+
+def prepare_segment_tokens(seg: Segment, tok: Tokenizer):
+    """Pre-alignment token decisions for one segment: early-EOT append,
+    stuck-LM flagging, end-token re-estimation (reference
+    ``transcribe.py:490-538``). Works in both host mode (window.attn fetched)
+    and device mode (attention still on device) — attention rows are addressed
+    by index, never by value.
+
+    Returns (tokens, local_rows, unfinished, max_duration) or None when the
+    segment has no tokens. ``local_rows[k]`` is the attention row (within the
+    window's buffer) feeding token k.
+    """
+    window = seg.window
+    a, b = seg.token_span
+    tokens = list(seg.tokens)
+    local_rows = list(range(a, b))
+    is_last_of_window = b == len(window.tokens)
+    unfinished = False
+
+    if len(tokens) == 0:
+        return None
+
+    if tokens[-1] < tok.timestamp_begin:
+        # segment without a final timestamp
+        if is_last_of_window and window.hit_limit:
+            # stuck LM: decoding hit the token limit (reference :490-517)
+            unfinished = True
+        elif not window.hit_limit and is_last_of_window:
+            # early EOT: append <|endoftext|> + its attention row (:518-523);
+            # the row predicting the final EOT sits right after the text rows
+            tokens = tokens + [tok.eot]
+            local_rows = local_rows + [len(window.tokens)]
+        else:
+            unfinished = True
+
+    # end<=start repair: re-estimate the end timestamp from the step's
+    # timestamp distribution (:528-538)
+    if (
+        len(tokens) >= 2
+        and tokens[-1] >= tok.timestamp_begin
+        and tokens[0] >= tok.timestamp_begin
+        and tokens[-1] <= tokens[0]
+    ):
+        start_off = tokens[0] - tok.timestamp_begin
+        row = window.ts_logprob_row(b - 1)
+        if row is not None and start_off + 1 < len(row):
+            new_end = int(np.argmax(row[start_off + 1 :])) + start_off + 1
+            tokens[-1] = tok.timestamp_begin + new_end
+
+    max_duration = seg.segment_frames // 2 if seg.segment_frames < N_FRAMES else None
+    return tokens, local_rows, unfinished, max_duration
+
+
 def align_and_score_segment(
     seg: Segment,
     tok: Tokenizer,
@@ -435,6 +581,8 @@ def align_and_score_segment(
     detect_disfluencies: bool,
     plot=False,
     device_alignment: bool = False,
+    precomputed_jumps: Optional[np.ndarray] = None,
+    prepared=None,
 ):
     """Align one segment's tokens and compute confidences.
 
@@ -442,50 +590,40 @@ def align_and_score_segment(
     (``transcribe.py:528-538``), early-EOT handling (``transcribe.py:518-523``),
     stuck-LM flagging (``transcribe.py:490-517``), word confidence
     (``transcribe.py:965-995``).
+
+    ``precomputed_jumps`` (with ``prepared`` from ``prepare_segment_tokens``)
+    short-circuits the cost/DTW work with the on-device batched aligner's
+    output (device_align.py).
     """
     window = seg.window
     a, b = seg.token_span
-    tokens = list(seg.tokens)
-    attn = window.attn[a:b]
-    is_last_of_window = b == len(window.tokens)
-    unfinished = False
-
-    if len(tokens) == 0:
+    prep = prepared if prepared is not None else prepare_segment_tokens(seg, tok)
+    if prep is None:
         return None, None
-
-    if tokens[-1] < tok.timestamp_begin:
-        # segment without a final timestamp
-        if is_last_of_window and window.hit_limit:
-            # stuck LM: decoding hit the token limit (reference :490-517)
-            unfinished = True
-        elif window.eot_attn is not None and is_last_of_window:
-            # early EOT: append <|endoftext|> + its attention row (:518-523)
-            tokens = tokens + [tok.eot]
-            attn = np.concatenate([attn, window.eot_attn[None]], axis=0)
-        else:
-            unfinished = True
-
-    # end<=start repair: re-estimate the end timestamp from the step's
-    # timestamp distribution (:528-538)
-    if (
-        len(tokens) >= 2
-        and tokens[-1] >= tok.timestamp_begin
-        and tokens[0] >= tok.timestamp_begin
-        and tokens[-1] <= tokens[0]
-        and window.ts_logprobs is not None
-        and b - 1 < len(window.ts_logprobs)
-    ):
-        start_off = tokens[0] - tok.timestamp_begin
-        row = window.ts_logprobs[b - 1]
-        if start_off + 1 < len(row):
-            new_end = int(np.argmax(row[start_off + 1 :])) + start_off + 1
-            tokens[-1] = tok.timestamp_begin + new_end
-
-    max_duration = seg.segment_frames // 2 if seg.segment_frames < N_FRAMES else None
+    tokens, local_rows, unfinished, max_duration = prep
 
     if len(tokens) <= 1:
         ws = []
+    elif precomputed_jumps is not None:
+        ws = perform_word_alignment(
+            tokens,
+            None,
+            tok,
+            use_space=use_space,
+            max_duration=max_duration,
+            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            detect_disfluencies=detect_disfluencies,
+            unfinished_decoding=unfinished,
+            precomputed_jumps=precomputed_jumps,
+        )
     else:
+        full_attn = window.attn
+        if local_rows and local_rows[-1] >= len(full_attn):
+            # the early-EOT row lives past the text rows (host mode keeps it
+            # in the separate eot_attn field)
+            full_attn = np.concatenate([full_attn, window.eot_attn[None]], axis=0)
+        attn = full_attn[local_rows]
         ws = perform_word_alignment(
             tokens,
             attn,

@@ -67,6 +67,21 @@ class WindowDecodeResult:
     # transcribe.py:518-523)
     eot_attn: Optional[np.ndarray] = None  # (K, T_audio)
     hit_limit: bool = False  # decode reached max_new without EOT ("stuck LM")
+    # --- device-alignment mode (fetch_alignment=False): the big buffers stay
+    # on device; attn/ts_logprobs/eot_attn above are None ---
+    attn_dev: Optional[Any] = None  # device (B, max_new, K, T_audio)
+    ts_logprobs_dev: Optional[Any] = None  # device (B, max_new, 1501)
+    batch_index: int = 0
+    n_text: int = 0  # sampled text tokens (row n_text predicts the final EOT)
+
+    def ts_logprob_row(self, i: int) -> Optional[np.ndarray]:
+        """Row i of the timestamp-logprob buffer, fetched lazily in device
+        mode (the repair heuristic that needs it is rare)."""
+        if self.ts_logprobs is not None:
+            return self.ts_logprobs[i] if i < len(self.ts_logprobs) else None
+        if self.ts_logprobs_dev is not None and i < self.ts_logprobs_dev.shape[1]:
+            return np.asarray(self.ts_logprobs_dev[self.batch_index, i])
+        return None
 
 
 @dataclass
@@ -172,6 +187,7 @@ class DecodeEngine:
         prompt_tokens: Sequence[int] = (),
         temperature: float = 0.0,
         rng_seed: int = 0,
+        fetch_alignment: bool = True,
     ) -> List[WindowDecodeResult]:
         tok = self.tokenizer
         # keep device arrays on device (host<->device traffic is precious);
@@ -213,18 +229,26 @@ class DecodeEngine:
             attn_dtype=self.attn_dtype,
             kv_int8=self.kv_int8,
         )
-        return self.unpack_window_outputs(out, temperature)
+        return self.unpack_window_outputs(out, temperature, fetch_alignment=fetch_alignment)
 
-    def unpack_window_outputs(self, out, temperature) -> List[WindowDecodeResult]:
+    def unpack_window_outputs(
+        self, out, temperature, fetch_alignment: bool = True
+    ) -> List[WindowDecodeResult]:
         """Device buffers -> per-element WindowDecodeResult (single host
-        transfer per buffer). Shared by the serial and batched pipelines."""
+        transfer per buffer). Shared by the serial and batched pipelines.
+
+        ``fetch_alignment=False`` leaves the attention / timestamp-logprob
+        buffers on device (device-alignment mode): only the token ids,
+        logprobs and scalars — a few KB — cross the host boundary. The big
+        buffers dominate the transfer cost on remote-tunnel TPUs."""
         tok = self.tokenizer
         tokens_all = np.asarray(out["tokens"])
         logprobs_all = np.asarray(out["token_logprobs"])
-        ts_lp_all = np.asarray(out["ts_logprobs"])
-        attn_all = np.asarray(out["attn"], np.float32)
         sum_lp = np.asarray(out["sum_logprobs"])
         nsp = np.asarray(out["no_speech_prob"])
+        if fetch_alignment:
+            ts_lp_all = np.asarray(out["ts_logprobs"])
+            attn_all = np.asarray(out["attn"], np.float32)
 
         results = []
         for b in range(tokens_all.shape[0]):
@@ -245,11 +269,17 @@ class DecodeEngine:
                     temperature=float(temperature),
                     compression_ratio=compression_ratio(text),
                     token_logprobs=logprobs_all[b, :n_text],
-                    attn=attn_all[b, :n_text],
+                    attn=attn_all[b, :n_text] if fetch_alignment else None,
                     sum_logprob=float(sum_lp[b]),
-                    ts_logprobs=ts_lp_all[b, :n_text],
-                    eot_attn=attn_all[b, n_text] if not hit_limit else None,
+                    ts_logprobs=ts_lp_all[b, :n_text] if fetch_alignment else None,
+                    eot_attn=(
+                        attn_all[b, n_text] if fetch_alignment and not hit_limit else None
+                    ),
                     hit_limit=hit_limit,
+                    attn_dev=None if fetch_alignment else out["attn"],
+                    ts_logprobs_dev=None if fetch_alignment else out["ts_logprobs"],
+                    batch_index=b,
+                    n_text=n_text,
                 )
             )
         return results
@@ -327,6 +357,7 @@ class DecodeEngine:
         prompt_tokens: Sequence[int],
         temperature: float,
         rng_seed: int,
+        fetch_alignment: bool = True,
     ) -> WindowDecodeResult:
         """best_of sampling: n_group independent samples, best avg-logprob wins
         (whisper GreedyDecoder + MaximumLikelihoodRanker with no penalty)."""
@@ -336,7 +367,8 @@ class DecodeEngine:
             mel = mel[None]
         batch = np.repeat(mel, n, axis=0)
         results = self.decode_window(
-            batch, options, prompt_tokens, temperature=temperature, rng_seed=rng_seed
+            batch, options, prompt_tokens, temperature=temperature, rng_seed=rng_seed,
+            fetch_alignment=fetch_alignment,
         )
         # NOTE: decode_window uses one PRNG key folded per batch element via
         # jax.random.categorical over the batch, so samples differ per row.
@@ -359,6 +391,7 @@ class DecodeEngine:
         logprob_threshold: Optional[float],
         no_speech_threshold: Optional[float],
         rng_seed: int = 0,
+        fetch_alignment: bool = True,
     ) -> WindowDecodeResult:
         """whisper's decode_with_fallback: escalate temperature on bad output.
 
@@ -371,12 +404,14 @@ class DecodeEngine:
                 result = self.decode_window_beam(mel, options, prompt_tokens)
             elif t > 0 and (options.best_of or 0) > 1:
                 result = self.decode_window_best_of(
-                    mel, options, prompt_tokens, float(t), rng_seed
+                    mel, options, prompt_tokens, float(t), rng_seed,
+                    fetch_alignment=fetch_alignment,
                 )
                 result.temperature = float(t)
             else:
                 result = self.decode_window(
-                    mel, options, prompt_tokens, temperature=float(t), rng_seed=rng_seed
+                    mel, options, prompt_tokens, temperature=float(t), rng_seed=rng_seed,
+                    fetch_alignment=fetch_alignment,
                 )[0]
             needs_fallback = False
             if (
@@ -425,6 +460,7 @@ def transcribe_windows(
     return_language_probs: bool = False,
     verbose_callback=None,
     rng_seed: int = 0,
+    fetch_alignment: bool = True,
 ) -> TranscribeResult:
     """whisper-semantics long-form loop, emitting alignment-ready segments."""
     tok = engine.tokenizer
@@ -500,6 +536,7 @@ def transcribe_windows(
                 logprob_threshold,
                 no_speech_threshold,
                 rng_seed=rng_seed + seek,
+                fetch_alignment=fetch_alignment,
             )
 
         window_segments, seek = extract_window_segments(

@@ -290,6 +290,169 @@ def dtw_path_pallas(x: np.ndarray, interpret=None):
 
 
 # ---------------------------------------------------------------------------
+# Batched alignment: cost + DTW with per-segment extents (grid over segments)
+# ---------------------------------------------------------------------------
+#
+# These power the fully on-device word aligner (device_align.py): one program
+# per segment, runtime (n_tokens, span) extents so ONE compiled executable
+# serves every segment shape in a (token-bucket, S-bucket) class. The DTW
+# *backtrace* runs in XLA (device_align.py) so only the per-token start frames
+# — a few KB — ever cross the host boundary, instead of the (B, new, K, 1500)
+# attention tensor the host path fetches.
+
+
+def _cost_kernel_batched(w_ref, dims_ref, out_ref):
+    """One segment: w_ref (1, K, N, M+8) scores with reflection pad applied in
+    XLA; dims_ref (S, 4) SMEM rows = (n_tokens, span, maxdur_col, start).
+
+    Fuses the full host cost pipeline (median9 → softmax over frames →
+    head-mean → per-frame L2 → negate, reference ``transcribe.py:1546-1550``)
+    PLUS the two host-side weight edits: the absolute-column max_duration
+    masking (``transcribe.py:1565``) and ``weights[0,0] = weights.min()``.
+    """
+    s = pl.program_id(0)
+    _, K, N, Mp8 = w_ref.shape
+    M = Mp8 - 8
+    n_tokens = dims_ref[s, 0]
+    span = dims_ref[s, 1]
+    maxdur = dims_ref[s, 2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0)
+    valid = (col < span) & (row < n_tokens)
+
+    acc = jnp.zeros((N, M), jnp.float32)
+    for k in range(K):  # K is small (alignment heads) and static: unrolled
+        x = w_ref[0, k].astype(jnp.float32)
+        med = _median9(*[x[:, i : i + M] for i in range(9)])
+        med = jnp.where(valid, med, -jnp.inf)
+        mx = jnp.max(med, axis=-1, keepdims=True)
+        e = jnp.where(valid, jnp.exp(med - mx), 0.0)
+        acc = acc + jnp.where(valid, e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30), 0.0)
+    mean = acc * (1.0 / K)
+    norm = jnp.sqrt(jnp.sum(mean * mean, axis=0, keepdims=True))
+    cost = jnp.where(valid, -(mean / jnp.maximum(norm, 1e-30)), 0.0)
+    # max_duration column masking (worse_weight = 0.0); sentinel maxdur >= M
+    # disables it
+    cost = jnp.where((row < n_tokens - 1) & (col >= maxdur) & valid, 0.0, cost)
+    # encourage the path to start early: weights[0,0] = weights.min()
+    mn = jnp.min(cost)  # invalid cells are 0; valid are <= 0, so min is true min
+    cost = jnp.where((row == 0) & (col == 0), mn, cost)
+    out_ref[0] = cost
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attention_to_cost_batched(
+    scores: jnp.ndarray,  # (S, K, N, M) sliced scores (bf16 ok), span-padded
+    dims: jnp.ndarray,  # (S, 4) int32: (n_tokens, span, maxdur_col, start)
+    interpret=None,
+) -> jnp.ndarray:
+    """Batched fused cost preparation. Returns (S, N, M) f32 DTW-ready cost."""
+    interpret = _default_interpret() if interpret is None else interpret
+    S, K, N, M = scores.shape
+    span = dims[:, 1]
+    x = scores
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (4, 4)), mode="symmetric")
+    # right-edge symmetric reflection at the true span edge (4 columns)
+    for k in range(4):
+        idx = jnp.maximum(span - 1 - k, 0)[:, None, None, None]
+        src = jnp.take_along_axis(x, jnp.broadcast_to(idx, (S, K, N, 1)), axis=3)
+        xp = jax.vmap(
+            lambda a, b, st: jax.lax.dynamic_update_slice(a, b, (0, 0, st))
+        )(xp, src, 4 + span + jnp.int32(k))
+    return pl.pallas_call(
+        _cost_kernel_batched,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, K, N, M + 8), lambda s: (s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, M), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, N, M), jnp.float32),
+        interpret=interpret,
+    )(xp, dims)
+
+
+def _dtw_kernel_batched(x_ref, dims_ref, codes_ref, g1_ref, g2_ref):
+    """One segment: x_ref (1, D, N) skewed cost; dims_ref (S, 4) SMEM;
+    codes_ref (1, D, N) step codes. Same DP as ``_dtw_kernel``."""
+    s = pl.program_id(0)
+    _, D, N = x_ref.shape
+    n = dims_ref[s, 0]
+    m = dims_ref[s, 1]
+    INF = jnp.float32(3e38)
+
+    i_vec = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+
+    g1_ref[:] = jnp.full((1, N), INF)
+    g2_ref[:] = jnp.full((1, N), INF)
+
+    def body(d, _):
+        g1 = g1_ref[:]
+        g2 = g2_ref[:]
+        j_vec = d - i_vec
+        valid = (j_vec >= 0) & (j_vec < m) & (i_vec < n)
+
+        x_d = x_ref[0, pl.ds(d, 1), :]
+        x_d = jnp.where(valid, x_d, INF)
+
+        g1_up = pltpu.roll(g1, 1, axis=1)
+        g2_diag = pltpu.roll(g2, 1, axis=1)
+
+        cand_diag = jnp.where((i_vec >= 1) & (j_vec >= 1), g2_diag, INF)
+        cand_left = jnp.where(j_vec >= 1, g1, INF)
+        cand_up = jnp.where(i_vec >= 1, g1_up, INF)
+
+        best = cand_diag
+        code = jnp.full((1, N), DIAG, jnp.int32)
+        code = jnp.where(cand_left < best, LEFT, code)
+        best = jnp.minimum(best, cand_left)
+        code = jnp.where(cand_up < best, UP, code)
+        best = jnp.minimum(best, cand_up)
+
+        origin = (i_vec == 0) & (j_vec == 0)
+        g_new = jnp.where(origin, x_d, x_d + best)
+        g_new = jnp.where(valid, g_new, INF)
+
+        codes_ref[0, pl.ds(d, 1), :] = code
+        g2_ref[:] = g1
+        g1_ref[:] = g_new
+        return 0
+
+    jax.lax.fori_loop(0, n + m - 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_codes_batched(
+    cost: jnp.ndarray,  # (S, N, M) f32
+    dims: jnp.ndarray,  # (S, 4) int32
+    interpret=None,
+) -> jnp.ndarray:
+    """Batched wavefront DP. Returns (S, N+M-1, N) int32 diagonal-major codes."""
+    interpret = _default_interpret() if interpret is None else interpret
+    S, N, M = cost.shape
+    D = N + M - 1
+    d_ids = jnp.arange(D)[:, None]
+    i_ids = jnp.arange(N)[None, :]
+    j_ids = jnp.clip(d_ids - i_ids, 0, M - 1)
+    xs = cost[:, i_ids, j_ids]  # (S, D, N)
+    return pl.pallas_call(
+        _dtw_kernel_batched,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, D, N), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D, N), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, D, N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((1, N), jnp.float32),
+            pltpu.VMEM((1, N), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xs, dims)
+
+
+# ---------------------------------------------------------------------------
 # fused STFT/mel kernel
 # ---------------------------------------------------------------------------
 

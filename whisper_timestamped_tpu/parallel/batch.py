@@ -69,10 +69,14 @@ class BatchTranscriber:
         engine: DecodeEngine,
         batch_size: int = 8,
         mesh=None,
+        fetch_alignment: bool = True,
     ):
         self.engine = engine
         self.batch_size = batch_size
         self.mesh = mesh
+        # False = device-alignment mode: attention buffers stay on device and
+        # the batched Pallas aligner (device_align.py) consumes them later
+        self.fetch_alignment = fetch_alignment
 
     # --------------------------------------------------------------
     def _decode_batch(
@@ -136,7 +140,9 @@ class BatchTranscriber:
             attn_dtype=engine.attn_dtype,
             kv_int8=engine.kv_int8,
         )
-        return engine.unpack_window_outputs(out, temperature)
+        return engine.unpack_window_outputs(
+            out, temperature, fetch_alignment=self.fetch_alignment
+        )
 
     # --------------------------------------------------------------
     def transcribe_streams(
@@ -270,14 +276,28 @@ def transcribe_batch(
     refine_whisper_precision: float = 0.5,
     min_word_duration: float = 0.02,
     vad=False,
+    device_alignment: Optional[bool] = None,
     **window_options,
 ) -> Dict[str, dict]:
     """High-level batched API: name -> full whisper-timestamped result dict.
 
     ``vad`` applies per-stream speech extraction on the host before the batched
-    decode; word/segment timestamps are mapped back to original-audio time."""
-    from ..api import align_and_score_segment, should_use_space
+    decode; word/segment timestamps are mapped back to original-audio time.
+    ``device_alignment`` keeps attention on device and aligns with the batched
+    Pallas cost+DTW kernels (default: the WTT_DEVICE_ALIGN env var)."""
+    from ..api import (
+        align_and_score_segment,
+        device_align_segments,
+        prepare_segment_tokens,
+        should_use_space,
+    )
+    from ..device_align import MAX_K
     from ..vad import check_vad_method, remove_non_speech
+
+    if device_alignment is None:
+        import os
+
+        device_alignment = os.environ.get("WTT_DEVICE_ALIGN") == "1"
 
     vad = check_vad_method(vad)
     converts: Dict[str, Any] = {}
@@ -295,16 +315,38 @@ def transcribe_batch(
         audios = preprocessed
 
     engine = DecodeEngine(model, tokenizer)
-    bt = BatchTranscriber(engine, batch_size=batch_size, mesh=mesh)
+    full_device = (
+        device_alignment
+        and not detect_disfluencies
+        and len(engine.align_heads) <= MAX_K
+    )
+    bt = BatchTranscriber(
+        engine, batch_size=batch_size, mesh=mesh, fetch_alignment=not full_device
+    )
     all_segments = bt.transcribe_streams(audios, language=language, **window_options)
 
     refine_nframes = round(refine_whisper_precision / 0.02)
     use_space = should_use_space(language)
+
+    # one batched on-device alignment over every stream's segments
+    jumps_map: Dict[int, Any] = {}
+    if full_device:
+        entries = [
+            (seg, prepare_segment_tokens(seg, engine.tokenizer))
+            for segments in all_segments.values()
+            for seg in segments
+        ]
+        all_jumps = device_align_segments(entries, engine.tokenizer, refine_nframes)
+        jumps_map = {id(seg): j for (seg, _), j in zip(entries, all_jumps)}
+        preps_map = {id(seg): p for seg, p in entries}
+
     results = {}
     for name, segments in all_segments.items():
         words: List[dict] = []
         seg_dicts: List[dict] = []
         for seg in segments:
+            if full_device and preps_map.get(id(seg)) is None:
+                continue
             ws, seg_dict = align_and_score_segment(
                 seg, engine.tokenizer, use_space=use_space,
                 refine_whisper_precision_nframes=refine_nframes,
@@ -312,6 +354,8 @@ def transcribe_batch(
                 compute_word_confidence=compute_word_confidence,
                 include_punctuation_in_confidence=False,
                 detect_disfluencies=detect_disfluencies,
+                precomputed_jumps=jumps_map.get(id(seg)),
+                prepared=preps_map.get(id(seg)) if full_device else None,
             )
             if ws is None:
                 continue
