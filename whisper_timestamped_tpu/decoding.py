@@ -48,6 +48,11 @@ from .tokenizer import Tokenizer
 # Fixed prompt-region size: sot_prev + up to (n_ctx//2 - 1) prompt tokens +
 # sot sequence (<=4) + prefix. 232 = next multiple of 8 above 228.
 PROMPT_REGION = 232
+# Compact region for promptless windows (sot sequence + small prefix only):
+# the self-attention cache is sized to sample_begin + max_new and EVERY decode
+# step reads all of it, so 224 dead slots cost real HBM bandwidth; the prefill
+# also shrinks 29x. Two static sizes = at most two compiled programs.
+PROMPT_REGION_SMALL = 8
 MAX_NEW_TOKENS = 224  # whisper's sample_len default: n_text_ctx // 2
 
 

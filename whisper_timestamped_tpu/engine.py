@@ -152,8 +152,13 @@ class DecodeEngine:
         self,
         prompt_tokens: Sequence[int],
         options: DecodingOptions,
+        region: Optional[int] = None,
     ) -> Tuple[np.ndarray, int, int]:
-        """Right-aligned prompt buffer. Returns (buffer (P,), prompt_len, sot_index_from_end)."""
+        """Right-aligned prompt buffer. Returns (buffer (P,), prompt_len, sot_index_from_end).
+
+        The buffer length P picks the smallest static prompt region that fits
+        (PROMPT_REGION_SMALL for promptless windows); ``region`` forces a size
+        (the batched pipeline must keep all rows uniform)."""
         tok = self.tokenizer
         # sot sequence from the options (not tokenizer state, which is shared)
         sot_seq = [tok.sot]
@@ -173,9 +178,13 @@ class DecodeEngine:
             initial.extend(list(prompt_tokens)[-budget:])
         initial.extend(sot_seq)
         initial.extend(prefix)
-        assert len(initial) <= PROMPT_REGION
-        buf = np.full((PROMPT_REGION,), tok.eot, np.int32)
-        buf[PROMPT_REGION - len(initial):] = initial
+        if region is None:
+            from .decoding import PROMPT_REGION_SMALL
+
+            region = PROMPT_REGION_SMALL if len(initial) <= PROMPT_REGION_SMALL else PROMPT_REGION
+        assert len(initial) <= region
+        buf = np.full((region,), tok.eot, np.int32)
+        buf[region - len(initial):] = initial
         sot_index_from_end = len(initial) - initial.index(tok.sot)
         return buf, len(initial), sot_index_from_end
 
@@ -219,6 +228,7 @@ class DecodeEngine:
             dims=self.dims,
             align_heads=self.align_heads,
             max_new=options.sample_len or MAX_NEW_TOKENS,
+            sample_begin=len(buf),
             eot=tok.eot,
             ts_begin=tok.timestamp_begin,
             no_timestamps=tok.no_timestamps,
@@ -300,7 +310,9 @@ class DecodeEngine:
         if mel.ndim == 2:
             mel = mel[None]
         assert mel.shape[0] == 1, "beam decode is per-window (B=1)"
-        buf, plen, sot_from_end = self.build_prompt(prompt_tokens, options)
+        buf, plen, sot_from_end = self.build_prompt(
+            prompt_tokens, options, region=PROMPT_REGION
+        )
         sm, bm = self._masks(options)
         K = options.beam_size
         patience = options.patience if options.patience is not None else 1.0

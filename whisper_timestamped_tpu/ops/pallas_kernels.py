@@ -554,6 +554,81 @@ def _xattn_int8_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, sc_ref):
         ).astype(out_ref.dtype)
 
 
+def _xattn_int8_kernel_rowmajor(q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, sc_ref):
+    """One batch element per program: q (1,1,D) against int8 K/V (1,T,D).
+
+    The whole (T, D) K/V row block is one CONTIGUOUS DMA per program (the
+    head-pair variant above reads 128-byte strided rows, which starves the DMA
+    engine). Heads are processed two at a time inside the program so vector
+    math still runs on full 128-lane tiles; the int8→f32 casts happen on
+    per-head-pair slices, never materializing the dequantized K/V in HBM.
+    """
+    _, T, D = k_ref.shape
+    H2 = sc_ref.shape[1] // 2  # head pairs
+    dh = D // (2 * H2)
+    ks = ks_ref[0].astype(jnp.float32)  # (1, T)
+    vs = vs_ref[0].astype(jnp.float32)
+    inv = jnp.float32(dh**-0.5)
+    for hp in range(H2):
+        sl = slice(hp * 2 * dh, (hp + 1) * 2 * dh)
+        q = q_ref[0, :, sl].astype(jnp.float32)  # (1, 2*dh)
+        k = k_ref[0, :, sl].astype(jnp.float32)  # (T, 2*dh)
+        v = v_ref[0, :, sl].astype(jnp.float32)
+        for h in range(2):
+            hsl = slice(h * dh, (h + 1) * dh)
+            scores = jax.lax.dot_general(
+                q[:, hsl], k[:, hsl], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, T)
+            scores = scores * ks * inv
+            sc_ref[0, 2 * hp + h, 0, :] = scores[0]
+            w = jax.nn.softmax(scores, axis=-1) * vs
+            out_ref[0, :, hp * 2 * dh + h * dh : hp * 2 * dh + (h + 1) * dh] = jnp.dot(
+                w, v[:, hsl], preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def cross_attention_int8_rowmajor(
+    q: jnp.ndarray,  # (B, 1, D) activations dtype
+    xk: jnp.ndarray,  # (B, T, D) int8
+    xk_scale: jnp.ndarray,  # (B, T) f32
+    xv: jnp.ndarray,  # (B, T, D) int8
+    xv_scale: jnp.ndarray,  # (B, T) f32
+    n_head: int,
+    interpret=None,
+):
+    """Single-query int8 cross-attention, one contiguous (T, D) block per
+    batch element. Same contract as ``cross_attention_int8_pallas``."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and n_head % 2 == 0
+    T = xk.shape[1]
+    ks3 = xk_scale.astype(jnp.float32)[:, None, :]  # (B, 1, T)
+    vs3 = xv_scale.astype(jnp.float32)[:, None, :]
+    out, scores = pl.pallas_call(
+        _xattn_int8_kernel_rowmajor,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_head, 1, T), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n_head, 1, T), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, xk, ks3, xv, vs3)
+    return out, scores
+
+
 @functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
 def cross_attention_int8_pallas(
     q: jnp.ndarray,  # (B, 1, D) activations dtype

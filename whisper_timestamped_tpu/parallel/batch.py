@@ -98,6 +98,14 @@ class BatchTranscriber:
             bufs.append(buf)
             lens.append(plen)
             sot_from_end = sfe
+        if len({len(b) for b in bufs}) > 1:
+            # mixed small/full prompt regions: rebuild uniformly at full size
+            from ..decoding import PROMPT_REGION
+
+            bufs = [
+                engine.build_prompt(p, options, region=PROMPT_REGION)[0]
+                for p in prompts
+            ]
         prompt = np.stack(bufs)
         prompt_len = np.asarray(lens, np.int32)
 
@@ -130,6 +138,7 @@ class BatchTranscriber:
             dims=engine.dims,
             align_heads=engine.align_heads,
             max_new=options.sample_len or MAX_NEW_TOKENS,
+            sample_begin=prompt.shape[1],
             eot=tok.eot,
             ts_begin=tok.timestamp_begin,
             no_timestamps=tok.no_timestamps,
