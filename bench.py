@@ -56,7 +56,7 @@ def main():
     from whisper_timestamped_tpu.tokenizer import Tokenizer, BytePairEncoder, synthetic_ranks
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    B = int(os.environ.get("BENCH_BATCH", "12"))
+    B = int(os.environ.get("BENCH_BATCH", "24"))  # measured knee: 24 > 12 > 32
     n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     kv_int8 = os.environ.get("BENCH_KV_INT8") == "1"

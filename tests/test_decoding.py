@@ -303,3 +303,20 @@ def test_explicit_suppress_token_list(engine, mel):
         mel, DecodingOptions(language="en", suppress_tokens=f"-1,{target}")
     )[0]
     assert target not in res.tokens
+
+
+def test_layer_unroll_matches_scan(engine, mel):
+    """Full layer unroll (the TPU default) must be numerically identical to
+    the rolled scan: same tokens, logprobs, and attention rows."""
+    from whisper_timestamped_tpu.models.load import WhisperModel
+
+    opts = DecodingOptions(language="en", sample_len=24)
+    eng_u = DecodeEngine(
+        engine.model, engine.tokenizer,
+        layer_unroll=engine.dims.n_text_layer,
+    )
+    a = engine.decode_window(mel, opts)[0]
+    b = eng_u.decode_window(mel, opts)[0]
+    assert a.tokens == b.tokens
+    np.testing.assert_allclose(a.token_logprobs, b.token_logprobs, atol=1e-5)
+    np.testing.assert_allclose(a.attn, b.attn, atol=1e-4)

@@ -135,6 +135,40 @@ def test_empty_plan_returns_none_task():
     assert task is None
 
 
+def test_api_device_stuck_lm_matches_host():
+    """sample_len=4 forces hit_limit (stuck LM): the device path must route
+    the unfinished-decoding plan identically to the host path."""
+    pytest.importorskip("torch")
+    import jax
+    from model_utils import make_hf_model, hf_model_to_jax
+    from whisper_timestamped_tpu.api import transcribe_timestamped
+    from whisper_timestamped_tpu.models.load import WhisperModel
+
+    m = make_hf_model(seed=0)
+    params, dims = hf_model_to_jax(m)
+    model = WhisperModel(
+        params=jax.tree.map(jnp.asarray, params),
+        dims=dims,
+        alignment_heads=[(0, 1), (1, 0), (1, 2)],
+    )
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    kw = dict(
+        language="en", tokenizer=make_tokenizer(), sample_len=4,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    host = transcribe_timestamped(model, audio, device_alignment=False, **kw)
+    dev = transcribe_timestamped(model, audio, device_alignment=True, **kw)
+    assert host["text"] == dev["text"]
+    ws_h = [w for s in host["segments"] for w in s.get("words", [])]
+    ws_d = [w for s in dev["segments"] for w in s.get("words", [])]
+    assert [w["text"] for w in ws_h] == [w["text"] for w in ws_d]
+    for a, b in zip(ws_h, ws_d):
+        assert a["start"] == pytest.approx(b["start"], abs=0.021)
+        assert a["end"] == pytest.approx(b["end"], abs=0.021)
+
+
 def test_api_full_device_matches_host():
     """transcribe_timestamped(device_alignment=True) must reproduce the host
     path end-to-end (words, timestamps, confidences)."""

@@ -207,7 +207,7 @@ def apply_timestamp_rules(
         "dims", "align_heads", "max_new", "sample_begin", "eot", "ts_begin",
         "no_timestamps", "sot_index_from_end", "max_initial_timestamp_index",
         "suppress_blank", "without_timestamps", "attn_dtype", "kv_int8",
-        "capture_attention",
+        "capture_attention", "layer_unroll",
     ),
 )
 def decode_window_jit(
@@ -234,6 +234,7 @@ def decode_window_jit(
     attn_dtype=jnp.float32,
     kv_int8: bool = False,
     capture_attention: bool = True,
+    layer_unroll: int = 1,
 ):
     """Decode one 30-s window for a batch. Returns a dict of buffers:
 
@@ -319,6 +320,7 @@ def decode_window_jit(
         prefill_block, (x, acc0),
         (jnp.arange(dims.n_text_layer), dec["blocks"], cache.k, cache.v,
          cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
+        unroll=layer_unroll if layer_unroll > 1 else 1,
     )
     cache = cache._replace(k=k_c, v=v_c)
     # logits only where needed: the sot position (no-speech prob) and the last
@@ -397,6 +399,7 @@ def decode_window_jit(
             pos_offset=pad_len, kv_valid_from=pad_len,
             capture_attention=capture_attention,
             align_heads=align_heads if capture_attention else None,
+            unroll_layers=layer_unroll,
         )
         if capture_attention:
             # rows (B, K, 1, T): the forward that consumed y_i PREDICTS y_{i+1}

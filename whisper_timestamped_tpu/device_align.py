@@ -48,7 +48,9 @@ from .ops.pallas_kernels import (
 )
 
 M_PAD = ((N_FRAMES // 2 + 127) // 128) * 128  # 1536: frame capacity per segment
-TOKEN_BUCKET = 16
+# token bucket matches the cost kernel's row chunk (VMEM-bounded inner loop);
+# 64/128/192/256 cover every segment (<= 226 tokens incl. both timestamps)
+TOKEN_BUCKET = 64
 SEG_BUCKET = 8
 MAX_K = 32  # VMEM budget: refuse device alignment for huge head selections
 

@@ -123,12 +123,18 @@ class DecodeEngine:
     """Bound (model, tokenizer, options-geometry) with cached jit buffers."""
 
     def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32,
-                 kv_int8: bool = False):
+                 kv_int8: bool = False, layer_unroll: Optional[int] = None):
         self.model = model
         self.tokenizer = tokenizer
         self.dims = model.dims
         self.attn_dtype = attn_dtype
-        self.kv_int8 = kv_int8  # int8 cross-KV (halves the dominant HBM read)
+        self.kv_int8 = kv_int8  # int8 cross-KV (2x KV capacity; memory lever)
+        # layer_unroll: experimental knob. Unrolling the decode-step layer
+        # scan was hypothesized to remove the per-step stacked-param slice
+        # copies (~4ms/step at large-v3 B=12 in profiles), but measured SLOWER
+        # end-to-end (169x vs 230x realtime) — XLA loses in-place cache
+        # aliasing in the unrolled form. Default stays the rolled scan.
+        self.layer_unroll = layer_unroll or 1
         heads = model.alignment_heads
         if not heads:
             # fallback: all heads of the top half of decoder layers
@@ -238,6 +244,7 @@ class DecodeEngine:
             without_timestamps=options.without_timestamps,
             attn_dtype=self.attn_dtype,
             kv_int8=self.kv_int8,
+            layer_unroll=self.layer_unroll,
         )
         return self.unpack_window_outputs(out, temperature, fetch_alignment=fetch_alignment)
 

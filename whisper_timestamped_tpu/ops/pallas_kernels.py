@@ -301,43 +301,64 @@ def dtw_path_pallas(x: np.ndarray, interpret=None):
 # attention tensor the host path fetches.
 
 
-def _cost_kernel_batched(w_ref, dims_ref, out_ref):
-    """One segment: w_ref (1, K, N, M+8) scores with reflection pad applied in
-    XLA; dims_ref (S, 4) SMEM rows = (n_tokens, span, maxdur_col, start).
+_COST_ROW_CHUNK = 64  # rows processed per inner iteration (bounds VMEM temps)
 
-    Fuses the full host cost pipeline (median9 → softmax over frames →
-    head-mean → per-frame L2 → negate, reference ``transcribe.py:1546-1550``)
-    PLUS the two host-side weight edits: the absolute-column max_duration
-    masking (``transcribe.py:1565``) and ``weights[0,0] = weights.min()``.
+
+def _cost_kernel_batched(w_ref, dims_ref, out_ref):
+    """One (segment, head) per program: w_ref block (1, 1, N, M+8) with
+    reflection pad applied in XLA; dims_ref (S, 4) SMEM rows =
+    (n_tokens, span, maxdur_col, start). The head axis is a revisiting grid
+    dimension — per-head softmax contributions accumulate into the out block,
+    and the final head's program applies mean → per-frame L2 → negate plus the
+    two host-side weight edits (absolute-column max_duration masking,
+    reference ``transcribe.py:1565``, and ``weights[0,0] = weights.min()``).
+    Rows are processed in chunks so VMEM temporaries stay bounded for the
+    largest token bucket (224+2 tokens).
     """
     s = pl.program_id(0)
-    _, K, N, Mp8 = w_ref.shape
+    k = pl.program_id(1)
+    K = pl.num_programs(1)
+    _, _, N, Mp8 = w_ref.shape
     M = Mp8 - 8
+    RC = _COST_ROW_CHUNK
     n_tokens = dims_ref[s, 0]
     span = dims_ref[s, 1]
     maxdur = dims_ref[s, 2]
-    col = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0)
-    valid = (col < span) & (row < n_tokens)
 
-    acc = jnp.zeros((N, M), jnp.float32)
-    for k in range(K):  # K is small (alignment heads) and static: unrolled
-        x = w_ref[0, k].astype(jnp.float32)
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (RC, M), 1)
+    row_c = jax.lax.broadcasted_iota(jnp.int32, (RC, M), 0)
+    for r0 in range(0, N, RC):
+        x = w_ref[0, 0, r0 : r0 + RC, :].astype(jnp.float32)
+        valid = (col_c < span) & (row_c + r0 < n_tokens)
         med = _median9(*[x[:, i : i + M] for i in range(9)])
         med = jnp.where(valid, med, -jnp.inf)
         mx = jnp.max(med, axis=-1, keepdims=True)
         e = jnp.where(valid, jnp.exp(med - mx), 0.0)
-        acc = acc + jnp.where(valid, e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30), 0.0)
-    mean = acc * (1.0 / K)
-    norm = jnp.sqrt(jnp.sum(mean * mean, axis=0, keepdims=True))
-    cost = jnp.where(valid, -(mean / jnp.maximum(norm, 1e-30)), 0.0)
-    # max_duration column masking (worse_weight = 0.0); sentinel maxdur >= M
-    # disables it
-    cost = jnp.where((row < n_tokens - 1) & (col >= maxdur) & valid, 0.0, cost)
-    # encourage the path to start early: weights[0,0] = weights.min()
-    mn = jnp.min(cost)  # invalid cells are 0; valid are <= 0, so min is true min
-    cost = jnp.where((row == 0) & (col == 0), mn, cost)
-    out_ref[0] = cost
+        contrib = jnp.where(
+            valid, e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30), 0.0
+        )
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[0, r0 : r0 + RC, :] = contrib
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[0, r0 : r0 + RC, :] = out_ref[0, r0 : r0 + RC, :] + contrib
+
+    @pl.when(k == K - 1)
+    def _():
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0)
+        valid = (col < span) & (row < n_tokens)
+        mean = out_ref[0] * (1.0 / K)
+        norm = jnp.sqrt(jnp.sum(mean * mean, axis=0, keepdims=True))
+        cost = jnp.where(valid, -(mean / jnp.maximum(norm, 1e-30)), 0.0)
+        # max_duration column masking (worse_weight = 0.0); maxdur >= M disables
+        cost = jnp.where((row < n_tokens - 1) & (col >= maxdur) & valid, 0.0, cost)
+        # encourage the path to start early: weights[0,0] = weights.min()
+        mn = jnp.min(cost)  # invalid cells are 0; valid are <= 0
+        out_ref[0] = jnp.where((row == 0) & (col == 0), mn, cost)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -349,6 +370,7 @@ def attention_to_cost_batched(
     """Batched fused cost preparation. Returns (S, N, M) f32 DTW-ready cost."""
     interpret = _default_interpret() if interpret is None else interpret
     S, K, N, M = scores.shape
+    assert N % _COST_ROW_CHUNK == 0, N
     span = dims[:, 1]
     x = scores
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (4, 4)), mode="symmetric")
@@ -361,12 +383,12 @@ def attention_to_cost_batched(
         )(xp, src, 4 + span + jnp.int32(k))
     return pl.pallas_call(
         _cost_kernel_batched,
-        grid=(S,),
+        grid=(S, K),
         in_specs=[
-            pl.BlockSpec((1, K, N, M + 8), lambda s: (s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, M + 8), lambda s, k: (s, k, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, N, M), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, N, M), lambda s, k: (s, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, N, M), jnp.float32),
         interpret=interpret,
     )(xp, dims)

@@ -148,6 +148,7 @@ class BatchTranscriber:
             without_timestamps=options.without_timestamps,
             attn_dtype=engine.attn_dtype,
             kv_int8=engine.kv_int8,
+            layer_unroll=engine.layer_unroll,
         )
         return engine.unpack_window_outputs(
             out, temperature, fetch_alignment=self.fetch_alignment
