@@ -301,13 +301,22 @@ def decode_window_jit(
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
         q_cross = _linear(xc, bp["cross"]["q"])
-        c, _ = cross_attention(q_cross, xk, xv, xk_s, xv_s, dims.n_text_head)
+        if capture_attention and P <= 16:
+            # small prompt region: the full pass's scores are cheap to keep —
+            # reuse them for the last position instead of a second
+            # cross-attention that re-reads the (B, T, D) K/V from HBM
+            c, w_full = cross_attention(q_cross, xk, xv, xk_s, xv_s, dims.n_text_head)
+            w_last = w_full[:, :, -1:]
+        else:
+            c, _ = cross_attention(q_cross, xk, xv, xk_s, xv_s, dims.n_text_head)
+            w_last = None
         if capture_attention:
             # the LAST prompt position's scores predict the first sampled token
             # (reference convention: token k <-> the row that predicted it)
-            _, w_last = cross_attention(
-                q_cross[:, -1:], xk, xv, xk_s, xv_s, dims.n_text_head
-            )  # (B, H, 1, T)
+            if w_last is None:
+                _, w_last = cross_attention(
+                    q_cross[:, -1:], xk, xv, xk_s, xv_s, dims.n_text_head
+                )  # (B, H, 1, T)
             sel = w_last[:, head_idx_arr]  # (B, K, 1, T)
             hit = (jnp.asarray(head_layer_arr) == l_idx).astype(jnp.float32)
             acc = acc + sel * hit[None, :, None, None]

@@ -506,14 +506,23 @@ def decode_step(
     else:
         acc0 = jnp.zeros((), jnp.float32)
 
+    B_, ctx_, D_ = cache.k.shape[1], cache.k.shape[2], cache.k.shape[3]
+
     def block(carry, layer_in):
-        x, acc = carry
-        l_idx, bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
+        # the self-attention cache rides the CARRY (updated in place at
+        # (layer, :, pos)), not scan xs/ys: the xs/ys form forces XLA to
+        # round-trip each layer's full cache slice through copies every step
+        # (profiled at ~3 ms/step at large-v3 B=12); the carry form writes
+        # only the new (B, S, D) row
+        x, acc, k_all, v_all = carry
+        l_idx, bp, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
-        k_cache = lax.dynamic_update_slice_in_dim(k_cache, k_new, pos, axis=1)
-        v_cache = lax.dynamic_update_slice_in_dim(v_cache, v_new, pos, axis=1)
+        k_all = lax.dynamic_update_slice(k_all, k_new[None], (l_idx, 0, pos, 0))
+        v_all = lax.dynamic_update_slice(v_all, v_new[None], (l_idx, 0, pos, 0))
+        k_cache = lax.dynamic_slice(k_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
+        v_cache = lax.dynamic_slice(v_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
         a, _ = _attention(
             _linear(xn, bp["attn"]["q"]), k_cache, v_cache, dims.n_text_head, mask=mask
         )
@@ -533,16 +542,16 @@ def decode_step(
             w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)
         elif not capture_attention:
             w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)  # tiny placeholder
-        return (x, acc), (k_cache, v_cache, w)
+        return (x, acc, k_all, v_all), w
 
     L = dims.n_text_layer
     # unroll_layers: a scan over layer-stacked params makes XLA COPY each
     # layer's weight/KV slice out of the stacked constant every iteration
     # (profiled at ~40% of the decode step at large-v3). Fully unrolled, the
     # slices are static and fold into the matmuls as views.
-    (x, acc), (k_c, v_c, ws) = lax.scan(
-        block, (x, acc0),
-        (jnp.arange(L), dec["blocks"], cache.k, cache.v, cache.xk, cache.xv,
+    (x, acc, k_c, v_c), ws = lax.scan(
+        block, (x, acc0, cache.k, cache.v),
+        (jnp.arange(L), dec["blocks"], cache.xk, cache.xv,
          cache.xk_scale, cache.xv_scale),
         unroll=unroll_layers if unroll_layers > 1 else 1,
     )
