@@ -118,3 +118,48 @@ def test_int8_cross_attention_kernel_matches_xla_path():
     )
     np.testing.assert_allclose(np.asarray(ker_scores), np.asarray(ref_scores), atol=2e-2)
     np.testing.assert_allclose(np.asarray(ker_out), np.asarray(ref_out), atol=2e-2)
+
+
+def test_cross_attention_stacked_matches_xla():
+    """Stacked-layer decode cross-attention kernel vs the XLA math path."""
+    from whisper_timestamped_tpu.models.whisper_jax import _attention
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_pallas,
+    )
+
+    L, B, T, D, H = 3, 2, 256, 256, 4
+    r = np.random.default_rng(0)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    for l in range(L):
+        o1, s1 = cross_attention_stacked_pallas(l, q, xk, xv, H, interpret=True)
+        o2, s2 = _attention(q, xk[l], xv[l], H, return_scores=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-5)
+
+
+def test_cross_attention_stacked_int8_matches_xla_int8():
+    """Stacked int8 decode cross-attention kernel vs the XLA int8 math path."""
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _quantize_rows,
+        cross_attention,
+    )
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas,
+    )
+
+    L, B, T, D, H = 2, 2, 256, 256, 4
+    r = np.random.default_rng(1)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    k8, ks = _quantize_rows(xk)
+    v8, vs = _quantize_rows(xv)
+    for l in range(L):
+        o1, s1 = cross_attention_stacked_int8_pallas(
+            l, q, k8, ks, v8, vs, H, interpret=True
+        )
+        o2, s2 = cross_attention(q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-2)

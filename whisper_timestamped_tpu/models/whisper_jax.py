@@ -508,6 +508,19 @@ def decode_step(
 
     B_, ctx_, D_ = cache.k.shape[1], cache.k.shape[2], cache.k.shape[3]
 
+    # single-query bf16 cross-attention on TPU goes through the stacked-layer
+    # Pallas kernel, which reads its layer's K/V row straight out of the
+    # (L, B, T, D) buffer (scalar-prefetch-driven BlockSpec). Passing the
+    # cross-KV through scan xs instead makes XLA materialize a full per-layer
+    # slice COPY every step — profiled at ~8 ms of a ~21 ms step at large-v3.
+    use_stacked_xattn = (
+        jax.default_backend() == "tpu"
+        and S == 1
+        and dims.n_text_head % 2 == 0
+        and (2 * (dims.n_text_state // dims.n_text_head)) % 128 == 0
+    )
+    stacked_int8 = cache.xk.dtype == jnp.int8
+
     def block(carry, layer_in):
         # the self-attention cache rides the CARRY (updated in place at
         # (layer, :, pos)), not scan xs/ys: the xs/ys form forces XLA to
@@ -515,7 +528,10 @@ def decode_step(
         # (profiled at ~3 ms/step at large-v3 B=12); the carry form writes
         # only the new (B, S, D) row
         x, acc, k_all, v_all = carry
-        l_idx, bp, xk, xv, xk_s, xv_s = layer_in
+        if use_stacked_xattn:
+            l_idx, bp = layer_in
+        else:
+            l_idx, bp, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
@@ -528,9 +544,22 @@ def decode_step(
         )
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
-        c, w = cross_attention(
-            _linear(xc, bp["cross"]["q"]), xk, xv, xk_s, xv_s, dims.n_text_head
-        )
+        q_cross = _linear(xc, bp["cross"]["q"])
+        if use_stacked_xattn and stacked_int8:
+            from ..ops.pallas_kernels import cross_attention_stacked_int8_pallas
+
+            c, w = cross_attention_stacked_int8_pallas(
+                l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
+                cache.xv_scale, dims.n_text_head,
+            )
+        elif use_stacked_xattn:
+            from ..ops.pallas_kernels import cross_attention_stacked_pallas
+
+            c, w = cross_attention_stacked_pallas(
+                l_idx, q_cross, cache.xk, cache.xv, dims.n_text_head
+            )
+        else:
+            c, w = cross_attention(q_cross, xk, xv, xk_s, xv_s, dims.n_text_head)
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
         x = x + _linear(h, bp["mlp"]["fc2"])
@@ -549,10 +578,14 @@ def decode_step(
     # layer's weight/KV slice out of the stacked constant every iteration
     # (profiled at ~40% of the decode step at large-v3). Fully unrolled, the
     # slices are static and fold into the matmuls as views.
+    xs = (
+        (jnp.arange(L), dec["blocks"])
+        if use_stacked_xattn
+        else (jnp.arange(L), dec["blocks"], cache.xk, cache.xv,
+              cache.xk_scale, cache.xv_scale)
+    )
     (x, acc, k_c, v_c), ws = lax.scan(
-        block, (x, acc0, cache.k, cache.v),
-        (jnp.arange(L), dec["blocks"], cache.xk, cache.xv,
-         cache.xk_scale, cache.xv_scale),
+        block, (x, acc0, cache.k, cache.v), xs,
         unroll=unroll_layers if unroll_layers > 1 else 1,
     )
     logits = _logits(_ln(x, dec["ln"]), dec)

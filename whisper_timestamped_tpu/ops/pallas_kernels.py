@@ -541,6 +541,167 @@ def log10_mel_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Stacked-layer cross-attention decode-step kernel (bf16)
+# ---------------------------------------------------------------------------
+
+
+def _xattn_stacked_kernel(l_ref, q_ref, k_ref, v_ref, out_ref, sc_ref):
+    """One batch element: q (1,1,D) against the CURRENT LAYER's K/V row.
+
+    The layer index arrives via scalar prefetch and drives the K/V BlockSpec
+    index maps, so the kernel DMAs exactly the (T, D) row it needs out of the
+    stacked (L, B, T, D) buffer. This is the fix for the profiled decode-step
+    bottleneck: a lax.scan over layer-stacked cross-KV makes XLA materialize a
+    92 MB dynamic-slice COPY of each of K and V per layer-step before the
+    attention reads it (~8 ms of a ~21 ms step at large-v3 B=24); here the
+    bytes move HBM→VMEM once, with no copy written back.
+
+    Heads are processed two at a time (whisper's dh=64 → 128-lane tiles);
+    casts to f32 happen on per-head-pair register tiles. Outputs match
+    ``cross_attention``: (out, pre-softmax scores*dh**-0.5 in f32).
+    """
+    del l_ref  # consumed by the BlockSpec index maps
+    _, _, T, D = k_ref.shape
+    H = sc_ref.shape[1]
+    dh = D // H
+    inv = jnp.float32(dh**-0.5)
+    for hp in range(H // 2):
+        sl = slice(hp * 2 * dh, (hp + 1) * 2 * dh)
+        q = q_ref[0, :, sl].astype(jnp.float32)  # (1, 2*dh)
+        k = k_ref[0, 0, :, sl].astype(jnp.float32)  # (T, 2*dh)
+        v = v_ref[0, 0, :, sl].astype(jnp.float32)
+        for h in range(2):
+            hsl = slice(h * dh, (h + 1) * dh)
+            scores = jax.lax.dot_general(
+                q[:, hsl], k[:, hsl], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv  # (1, T)
+            sc_ref[0, 2 * hp + h, 0, :] = scores[0]
+            w = jax.nn.softmax(scores, axis=-1)
+            out_ref[0, :, hp * 2 * dh + h * dh : hp * 2 * dh + (h + 1) * dh] = jnp.dot(
+                w, v[:, hsl], preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def cross_attention_stacked_pallas(
+    l_idx: jnp.ndarray,  # scalar int32: layer index into the stacked buffers
+    q: jnp.ndarray,  # (B, 1, D)
+    xk_all: jnp.ndarray,  # (L, B, T, D) bf16
+    xv_all: jnp.ndarray,  # (L, B, T, D) bf16
+    n_head: int,
+    interpret=None,
+):
+    """Single-query cross-attention reading layer ``l_idx`` of the stacked
+    cross-KV in place. Same contract as ``cross_attention`` (bf16 path)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and n_head % 2 == 0 and (2 * (D // n_head)) % 128 == 0
+    L, _, T, _ = xk_all.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, l: (l[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, l: (l[0], b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, D), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, n_head, 1, T), lambda b, l: (b, 0, 0, 0)),
+        ),
+    )
+    out, scores = pl.pallas_call(
+        _xattn_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n_head, 1, T), jnp.float32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(l_idx, jnp.int32).reshape(1), q, xk_all, xv_all)
+    return out, scores
+
+
+def _xattn_stacked_int8_kernel(l_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, sc_ref):
+    """int8 variant of ``_xattn_stacked_kernel``: K/V arrive as int8 rows of
+    the stacked buffer with per-position scales folded into the score/weight
+    matrices (dequantized K/V never exist anywhere). Halves the decode step's
+    dominant HBM read."""
+    del l_ref
+    _, _, T, D = k_ref.shape
+    H = sc_ref.shape[1]
+    dh = D // H
+    inv = jnp.float32(dh**-0.5)
+    ks = ks_ref[0, 0].astype(jnp.float32)  # (1, T)
+    vs = vs_ref[0, 0].astype(jnp.float32)
+    for hp in range(H // 2):
+        sl = slice(hp * 2 * dh, (hp + 1) * 2 * dh)
+        q = q_ref[0, :, sl].astype(jnp.float32)
+        k = k_ref[0, 0, :, sl].astype(jnp.float32)
+        v = v_ref[0, 0, :, sl].astype(jnp.float32)
+        for h in range(2):
+            hsl = slice(h * dh, (h + 1) * dh)
+            scores = jax.lax.dot_general(
+                q[:, hsl], k[:, hsl], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * ks * inv  # (1, T)
+            sc_ref[0, 2 * hp + h, 0, :] = scores[0]
+            w = jax.nn.softmax(scores, axis=-1) * vs
+            out_ref[0, :, hp * 2 * dh + h * dh : hp * 2 * dh + (h + 1) * dh] = jnp.dot(
+                w, v[:, hsl], preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def cross_attention_stacked_int8_pallas(
+    l_idx: jnp.ndarray,  # scalar int32
+    q: jnp.ndarray,  # (B, 1, D)
+    xk_all: jnp.ndarray,  # (L, B, T, D) int8
+    xk_scale: jnp.ndarray,  # (L, B, T) f32
+    xv_all: jnp.ndarray,  # (L, B, T, D) int8
+    xv_scale: jnp.ndarray,  # (L, B, T) f32
+    n_head: int,
+    interpret=None,
+):
+    """Stacked-layer int8 single-query cross-attention (same contract as
+    ``cross_attention``'s int8 path)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and n_head % 2 == 0 and (2 * (D // n_head)) % 128 == 0
+    L, _, T, _ = xk_all.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, l: (l[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, T), lambda b, l: (l[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, l: (l[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, T), lambda b, l: (l[0], b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, D), lambda b, l: (b, 0, 0)),
+            pl.BlockSpec((1, n_head, 1, T), lambda b, l: (b, 0, 0, 0)),
+        ),
+    )
+    out, scores = pl.pallas_call(
+        _xattn_stacked_int8_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n_head, 1, T), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(l_idx, jnp.int32).reshape(1),
+        q, xk_all, xk_scale.astype(jnp.float32)[:, :, None, :], xv_all,
+        xv_scale.astype(jnp.float32)[:, :, None, :],
+    )
+    return out, scores
+
+
+# ---------------------------------------------------------------------------
 # int8 cross-attention decode-step kernel
 # ---------------------------------------------------------------------------
 
