@@ -163,3 +163,21 @@ def test_cross_attention_stacked_int8_matches_xla_int8():
         o2, s2 = cross_attention(q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-2)
+
+
+def test_stacked_matmul_matches_xla():
+    """Scalar-prefetch stacked matmul vs plain x @ w[l].
+
+    Measured on-device (benchmarks/bench_stacked_matmul.py): XLA's scan-xs
+    weight streaming already runs at ~560 GB/s with NO per-layer slice copy,
+    so this kernel is NOT integrated into decode_step — it exists as the
+    measured-and-rejected alternative (and this test keeps it honest)."""
+    from whisper_timestamped_tpu.ops.pallas_kernels import stacked_matmul_pallas
+
+    r = np.random.default_rng(2)
+    L, K, N, B = 3, 256, 512, 24
+    w = jnp.asarray(r.standard_normal((L, K, N)).astype(np.float32))
+    x = jnp.asarray(r.standard_normal((B, K)).astype(np.float32))
+    for l in range(L):
+        y = stacked_matmul_pallas(l, x, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w[l]), atol=1e-4)

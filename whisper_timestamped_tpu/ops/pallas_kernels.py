@@ -702,6 +702,61 @@ def cross_attention_stacked_int8_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Stacked-layer matmul (decode-step weight streaming)
+# ---------------------------------------------------------------------------
+
+
+def _stacked_mm_kernel(l_ref, x_ref, w_ref, out_ref):
+    """One output tile: x (B, K) @ w_all[l][:, n*TN:(n+1)*TN].
+
+    The layer index arrives via scalar prefetch and drives the weight
+    BlockSpec, so each program DMAs its (K, TN) weight tile straight out of
+    the stacked (L, K, N) buffer — no per-layer slice copy in HBM (the
+    lax.scan xs form materializes each layer's full weight slice every
+    iteration before the matmul reads it)."""
+    del l_ref
+    out_ref[...] = jax.lax.dot_general(
+        x_ref[...], w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def stacked_matmul_pallas(
+    l_idx: jnp.ndarray,  # scalar int32: layer index into the stacked weights
+    x: jnp.ndarray,  # (B, K)
+    w_all: jnp.ndarray,  # (L, K, N)
+    block_n: int = 256,
+    interpret=None,
+) -> jnp.ndarray:
+    """x @ w_all[l_idx] without materializing the layer slice. Returns (B, N).
+
+    Bias (if any) is cheap and should be added by the caller in XLA."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, K = x.shape
+    L, K2, N = w_all.shape
+    assert K == K2, (x.shape, w_all.shape)
+    bn = min(block_n, N)
+    assert N % bn == 0, (N, bn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // bn,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda n, l: (0, 0)),
+            pl.BlockSpec((1, K, bn), lambda n, l: (l[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((B, bn), lambda n, l: (0, n)),
+    )
+    return pl.pallas_call(
+        _stacked_mm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(l_idx, jnp.int32).reshape(1), x, w_all)
+
+
+# ---------------------------------------------------------------------------
 # int8 cross-attention decode-step kernel
 # ---------------------------------------------------------------------------
 
