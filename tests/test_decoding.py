@@ -250,6 +250,43 @@ def test_beam_search_basic_properties(engine, mel):
     assert score(res) >= score(greedy) - 1e-3
 
 
+def test_rank_beam_results_finalize_pads_to_beam_size_only():
+    """whisper's BeamSearchDecoder.finalize pads with running beams ONLY when
+    fewer than beam_size sequences finished, and stops at beam_size — never
+    padding up to max_candidates (= beam_size * patience)."""
+    from whisper_timestamped_tpu.decoding_beam import rank_beam_results
+
+    eot, K, C, max_new = 99, 3, 6, 8
+
+    def mk(n_fin, fin_scores, beam_scores):
+        out = {
+            "n_finished": np.int32(n_fin),
+            "finished_seqs": np.full((C, max_new), eot, np.int32),
+            "finished_scores": np.full((C,), -1e30, np.float32),
+            "finished_len": np.zeros((C,), np.int32),
+            "beam_tokens": np.tile(np.arange(max_new, dtype=np.int32), (K, 1)),
+            "beam_scores": np.asarray(beam_scores, np.float32),
+            "n_steps": np.int32(4),
+        }
+        for j, s in enumerate(fin_scores):
+            out["finished_scores"][j] = s
+            out["finished_seqs"][j, :2] = [7, 8]
+            out["finished_len"][j] = 2
+        return out
+
+    # n_fin >= beam_size: running beams must NOT be considered, even though
+    # n_fin < max_candidates and a running beam has the best raw score
+    out = mk(4, [-2.0, -3.0, -4.0, -5.0], [-0.1, -9.0, -9.0])
+    toks, score = rank_beam_results(out, eot, length_penalty=None)
+    assert score == -2.0 and toks == [7, 8]
+
+    # n_fin < beam_size: pad with the best running beams, exactly to beam_size
+    out = mk(1, [-50.0], [-0.5, -1.0, -20.0])
+    toks, score = rank_beam_results(out, eot, length_penalty=None)
+    # winner is the best running beam (score -0.5 over 4 tokens)
+    assert score == -0.5 and len(toks) == 4
+
+
 def test_kv_int8_close_to_full_precision(engine, mel):
     """int8 cross-KV decode: logits of the first step stay close and the
     decoded words rarely differ (quantization noise only)."""

@@ -270,6 +270,42 @@ def transcribe_timestamped(
             device_alignment=device_alignment,
         )
 
+    transcription = finalize_transcription(
+        transcription,
+        words,
+        remove_empty_words=remove_empty_words,
+        min_word_duration=min_word_duration,
+        trust_whisper_timestamps=trust_whisper_timestamps,
+        refine_whisper_precision=refine_whisper_precision,
+        vad_convert=speech_convert if vad else None,
+        print_words_premerge=bool(verbose and not naive_approach and not vad),
+        print_words_postvad=bool(verbose and vad),
+    )
+
+    if vad_segments is not None:
+        transcription["speech_activity"] = [
+            {"start": s, "end": e} for (s, e) in vad_segments
+        ]
+
+    return transcription
+
+
+def finalize_transcription(
+    transcription: dict,
+    words: List[dict],
+    *,
+    remove_empty_words: bool,
+    min_word_duration: float,
+    trust_whisper_timestamps: bool,
+    refine_whisper_precision: float,
+    vad_convert=None,
+    print_words_premerge: bool = False,
+    print_words_postvad: bool = False,
+) -> dict:
+    """Shared result finalization for the serial and batched pipelines:
+    hallucination pruning, monotonicity repair, word->segment merge
+    (reference ``transcribe.py:313-339``), and VAD timestamp back-conversion
+    (``transcribe.py:341-352``)."""
     if remove_empty_words:
         transcription, words = remove_last_null_duration_words(
             transcription, words, recompute_text=True
@@ -279,10 +315,9 @@ def transcribe_timestamped(
         words, min_duration=min_word_duration if trust_whisper_timestamps else 0
     )
 
-    # --- merge words into segments (reference transcribe.py:320-339) ---
     whisper_segments = transcription["segments"]
     for word in words:
-        if verbose and not naive_approach and not vad:
+        if print_words_premerge:
             print_timestamped(word)
         word.pop("tokens", None)
         word.pop("tokens_indices", None)
@@ -299,24 +334,19 @@ def transcribe_timestamped(
         if refine_whisper_precision:
             segment["end"] = word["end"]
 
-    if vad:
+    if vad_convert is not None:
         for segment in whisper_segments:
             for word in segment.get("words", []):
-                word["start"], word["end"] = speech_convert(word["start"], word["end"])
-                if verbose:
+                word["start"], word["end"] = vad_convert(word["start"], word["end"])
+                if print_words_postvad:
                     print_timestamped(word)
             if refine_whisper_precision and len(segment.get("words", [])):
                 segment["start"] = segment["words"][0]["start"]
                 segment["end"] = segment["words"][-1]["end"]
             else:
-                segment["start"], segment["end"] = speech_convert(
+                segment["start"], segment["end"] = vad_convert(
                     segment["start"], segment["end"]
                 )
-
-    if vad_segments is not None:
-        transcription["speech_activity"] = [
-            {"start": s, "end": e} for (s, e) in vad_segments
-        ]
 
     return transcription
 

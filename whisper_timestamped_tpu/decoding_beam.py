@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .decoding import apply_timestamp_rules
-from .models.whisper_jax import WhisperDims, decode_step, encode, init_cache
+from .models.whisper_jax import KVCache, WhisperDims, decode_step, encode, init_cache
 
 
 @functools.partial(
@@ -68,23 +68,27 @@ def decode_window_beam_jit(
     NEG = jnp.float32(-1e30)
 
     xa = encode(params, mel, dims)  # (1, T, D)
-    xa_k = jnp.repeat(xa, K, axis=0)
     ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
-    cache = init_cache(params, xa_k, dims, ctx_len=ctx_len)
+    # prefill at batch 1 — all beams are identical until the first sampled
+    # token (enforced by the -1e30 sum_logprobs init), so running the P-slot
+    # prefill per beam would be K x redundant work; the KV caches are tiled
+    # to K rows afterwards
+    cache = init_cache(params, xa, dims, ctx_len=ctx_len)
 
+    pad1 = jnp.full((1,), P - prompt_len, jnp.int32)
     pad_len = jnp.full((K,), P - prompt_len, jnp.int32)
 
     dec = params["decoder"]
     slot_ids = jnp.arange(P, dtype=jnp.int32)
-    pos_ids = jnp.maximum(slot_ids[None, :] - pad_len[:, None], 0)
+    pos_ids = jnp.maximum(slot_ids[None, :] - pad1[:, None], 0)
     prompt_k = jnp.tile(prompt[None, :], (K, 1))
-    x = dec["tok_emb"][prompt_k] + dec["pos_emb"][pos_ids]
+    x = dec["tok_emb"][prompt[None, :]] + dec["pos_emb"][pos_ids]
     x = x.astype(cache.k.dtype)
 
     ctx = ctx_len
     key_ids = lax.broadcasted_iota(jnp.int32, (P, ctx), 1)
     q_ids = lax.broadcasted_iota(jnp.int32, (P, ctx), 0)
-    valid = (key_ids[None] >= pad_len[:, None, None]) & (key_ids[None] <= q_ids[None])
+    valid = (key_ids[None] >= pad1[:, None, None]) & (key_ids[None] <= q_ids[None])
     valid = valid | (key_ids == q_ids)[None]
     prefill_mask = jnp.where(valid, 0.0, -jnp.inf).astype(x.dtype)[:, None]
 
@@ -112,12 +116,14 @@ def decode_window_beam_jit(
         prefill_block, (x,),
         (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
     )
-    cache = cache._replace(k=k_c, v=v_c)
+    # tile every per-batch cache array from 1 row to K beam rows
+    cache = KVCache(*(jnp.repeat(a, K, axis=1) for a in (k_c, v_c, cache.xk,
+                                                         cache.xv, cache.xk_scale, cache.xv_scale)))
     sot_slot = P - sot_index_from_end
-    x_sel = jnp.stack([x[:, sot_slot], x[:, -1]], axis=1)  # (K, 2, D)
+    x_sel = jnp.stack([x[:, sot_slot], x[:, -1]], axis=1)  # (1, 2, D)
     sel_logits = _logits(_ln(x_sel, dec["ln"]), dec)
     no_speech_prob = jax.nn.softmax(sel_logits[0, 0].astype(jnp.float32))[no_speech]
-    prefill_last_logits = sel_logits[:, 1]
+    prefill_last_logits = jnp.repeat(sel_logits[:, 1], K, axis=0)  # (K, V)
 
     C = max_candidates
     init = dict(
@@ -136,7 +142,11 @@ def decode_window_beam_jit(
     )
 
     def cond(c):
-        return (c["i"] < max_new) & (c["n_finished"] < C)
+        # sequence-length cap: whisper stops decoding once the total token
+        # count would exceed n_text_ctx (the greedy path forces EOT at the
+        # same position, decoding.py); unfinished beams finalize eot-implied
+        within_ctx = (prompt_len + c["i"]) < (dims.n_text_ctx - 1)
+        return (c["i"] < max_new) & (c["n_finished"] < C) & within_ctx
 
     def body(c):
         i = c["i"]
@@ -243,14 +253,17 @@ def rank_beam_results(
     lens = np.asarray(out["finished_len"])[:n_fin].tolist()
     candidates = [(seqs[j][: lens[j]].tolist(), scores[j]) for j in range(n_fin)]
 
-    if len(candidates) < len(np.asarray(out["finished_scores"])):
-        # finalize: pad with still-running beams (sorted by score), eot-implied
+    beam_size = int(np.asarray(out["beam_tokens"]).shape[0])
+    if len(candidates) < beam_size:
+        # whisper's BeamSearchDecoder.finalize: only when fewer than beam_size
+        # sequences finished, pad with still-running beams (descending score)
+        # until beam_size candidates exist — NOT up to max_candidates
         beam_tokens = np.asarray(out["beam_tokens"])
         beam_scores = np.asarray(out["beam_scores"])
         order = np.argsort(-beam_scores)
         n_steps = int(out["n_steps"])
         for b in order:
-            if len(candidates) >= len(np.asarray(out["finished_scores"])):
+            if len(candidates) >= beam_size:
                 break
             toks = beam_tokens[b][:n_steps].tolist()
             toks = toks[: toks.index(eot)] if eot in toks else toks

@@ -432,22 +432,34 @@ class DecodeEngine:
                     mel, options, prompt_tokens, temperature=float(t), rng_seed=rng_seed,
                     fetch_alignment=fetch_alignment,
                 )[0]
-            needs_fallback = False
-            if (
-                compression_ratio_threshold is not None
-                and result.compression_ratio > compression_ratio_threshold
+            if not needs_fallback(
+                result, compression_ratio_threshold, logprob_threshold,
+                no_speech_threshold,
             ):
-                needs_fallback = True  # too repetitive
-            if logprob_threshold is not None and result.avg_logprob < logprob_threshold:
-                needs_fallback = True  # low confidence
-            if (
-                no_speech_threshold is not None
-                and result.no_speech_prob > no_speech_threshold
-            ):
-                needs_fallback = False  # silence: don't bother retrying
-            if not needs_fallback:
                 break
         return result
+
+
+def needs_fallback(
+    result: WindowDecodeResult,
+    compression_ratio_threshold: Optional[float],
+    logprob_threshold: Optional[float],
+    no_speech_threshold: Optional[float],
+) -> bool:
+    """whisper's retry predicate (shared by the serial and batched pipelines):
+    too-repetitive or low-confidence output retries at the next temperature,
+    EXCEPT when the window is silence (no-speech wins unconditionally)."""
+    nf = False
+    if (
+        compression_ratio_threshold is not None
+        and result.compression_ratio > compression_ratio_threshold
+    ):
+        nf = True  # too repetitive
+    if logprob_threshold is not None and result.avg_logprob < logprob_threshold:
+        nf = True  # low confidence
+    if no_speech_threshold is not None and result.no_speech_prob > no_speech_threshold:
+        nf = False  # silence: don't bother retrying
+    return nf
 
 
 # ---------------------------------------------------------------------------

@@ -9,8 +9,10 @@ stream's seek/prompt state on the host. Temperature fallback re-decodes only
 the failing subset — still batched.
 
 Windows of one stream are serially dependent through
-``condition_on_previous_text``; with it disabled, all windows of every stream
-are independent and enter the batch pool immediately.
+``condition_on_previous_text`` (and through the seek advance, which depends on
+the decoded timestamps either way), so the pipeline takes one window per
+active stream per step; parallelism comes from the number of streams in
+flight, not from pooling a single stream's windows.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ from ..engine import (
     Segment,
     WindowDecodeResult,
     extract_window_segments,
+    needs_fallback,
 )
 from ..postprocess import ensure_increasing_positions
 from ..tokenizer import Tokenizer
@@ -50,9 +53,6 @@ class _Stream:
     prompt_reset_since: int = 0
     segments: List[Segment] = field(default_factory=list)
     done: bool = False
-
-    # window in flight
-    pending_windows: List[Tuple[int, int]] = field(default_factory=list)  # (seek, size)
 
 
 class BatchTranscriber:
@@ -161,15 +161,21 @@ class BatchTranscriber:
         *,
         language: Optional[str] = None,
         task: str = "transcribe",
-        temperature: Sequence[float] = (0.0,),
+        temperature: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
         compression_ratio_threshold: Optional[float] = 2.4,
         logprob_threshold: Optional[float] = -1.0,
         no_speech_threshold: Optional[float] = 0.6,
         condition_on_previous_text: bool = True,
         decode_options: Optional[DecodingOptions] = None,
         rng_seed: int = 0,
+        window_hook=None,
     ) -> Dict[str, List[Segment]]:
-        """Decode all streams; returns name -> alignment-ready segments."""
+        """Decode all streams; returns name -> alignment-ready segments.
+
+        ``window_hook(segments)`` is invoked after every batched window step
+        with that step's newly extracted segments — the device-alignment mode
+        uses it to consume (and release) each step's attention buffer instead
+        of retaining every buffer until the whole run finishes."""
         engine = self.engine
         tok = engine.tokenizer
         dims = engine.dims
@@ -188,6 +194,12 @@ class BatchTranscriber:
             **{**(decode_options.__dict__ if decode_options else DecodingOptions().__dict__),
                "task": task, "language": language}
         )
+        if opts.beam_size or (opts.best_of or 0) > 1:
+            raise NotImplementedError(
+                "beam_size/best_of are not supported by the batched pipeline; "
+                "use the serial transcribe_timestamped API for beam search / "
+                "best-of sampling"
+            )
 
         streams: List[_Stream] = []
         for name, audio in audios.items():
@@ -204,10 +216,12 @@ class BatchTranscriber:
             )
 
         B = self.batch_size
+        n_iter = 0
         while True:
             active = [s for s in streams if not s.done and s.seek < s.content_frames]
             if not active:
                 break
+            n_iter += 1
             batch = active[:B]
             mels = []
             prompts = []
@@ -226,13 +240,17 @@ class BatchTranscriber:
                 prompts.append([])
             mels = np.stack(mels)
 
-            results = self._decode_batch(mels, prompts, opts, temperature[0], rng_seed)
+            # per-iteration key (the serial path varies its key per window via
+            # rng_seed + seek, engine.py; reusing one key across iterations
+            # would correlate the sampling noise of every window)
+            it_seed = rng_seed + 104729 * n_iter
+            results = self._decode_batch(mels, prompts, opts, temperature[0], it_seed)
 
             # temperature fallback on the failing subset (batched re-decode)
-            for t in temperature[1:]:
+            for ti, t in enumerate(temperature[1:], start=1):
                 failing = [
                     i for i in range(n_real)
-                    if _needs_fallback(
+                    if needs_fallback(
                         results[i], compression_ratio_threshold, logprob_threshold,
                         no_speech_threshold,
                     )
@@ -241,10 +259,11 @@ class BatchTranscriber:
                     break
                 sub_mels = np.stack([mels[i] for i in failing] + [mels[0]] * (B - len(failing)))
                 sub_prompts = [prompts[i] for i in failing] + [[]] * (B - len(failing))
-                retry = self._decode_batch(sub_mels, sub_prompts, opts, t, rng_seed + 1)
+                retry = self._decode_batch(sub_mels, sub_prompts, opts, t, it_seed + ti)
                 for k, i in enumerate(failing):
                     results[i] = retry[k]
 
+            new_segments: List[Segment] = []
             for s, result, size in zip(batch, results[:n_real], sizes):
                 segs, new_seek = extract_window_segments(
                     result, s.seek, size, tok, no_speech_threshold, logprob_threshold
@@ -254,23 +273,15 @@ class BatchTranscriber:
                     seg.id = len(s.segments)
                     s.segments.append(seg)
                     s.all_tokens.extend(seg.tokens)
+                    new_segments.append(seg)
                 if not condition_on_previous_text or result.temperature > 0.5:
                     s.prompt_reset_since = len(s.all_tokens)
                 if s.seek >= s.content_frames:
                     s.done = True
+            if window_hook is not None and new_segments:
+                window_hook(new_segments)
 
         return {s.name: s.segments for s in streams}
-
-
-def _needs_fallback(result, crt, lpt, nst):
-    nf = False
-    if crt is not None and result.compression_ratio > crt:
-        nf = True
-    if lpt is not None and result.avg_logprob < lpt:
-        nf = True
-    if nst is not None and result.no_speech_prob > nst:
-        nf = False  # silence: whisper skips the retry unconditionally
-    return nf
 
 
 def transcribe_batch(
@@ -285,6 +296,7 @@ def transcribe_batch(
     detect_disfluencies: bool = False,
     refine_whisper_precision: float = 0.5,
     min_word_duration: float = 0.02,
+    remove_empty_words: bool = False,
     vad=False,
     device_alignment: Optional[bool] = None,
     **window_options,
@@ -298,6 +310,7 @@ def transcribe_batch(
     from ..api import (
         align_and_score_segment,
         device_align_segments,
+        finalize_transcription,
         prepare_segment_tokens,
         should_use_space,
     )
@@ -333,22 +346,35 @@ def transcribe_batch(
     bt = BatchTranscriber(
         engine, batch_size=batch_size, mesh=mesh, fetch_alignment=not full_device
     )
-    all_segments = bt.transcribe_streams(audios, language=language, **window_options)
 
     refine_nframes = round(refine_whisper_precision / 0.02)
     use_space = should_use_space(language)
 
-    # one batched on-device alignment over every stream's segments
+    # device-alignment mode: align each window step's segments as soon as the
+    # step completes, then drop the step's attention buffer — retaining every
+    # window's (B, max_new, K, T) buffer until the whole run finishes would
+    # grow HBM linearly with audio length
     jumps_map: Dict[int, Any] = {}
-    if full_device:
+    preps_map: Dict[int, Any] = {}
+
+    def _align_step(new_segments: List[Segment]) -> None:
         entries = [
             (seg, prepare_segment_tokens(seg, engine.tokenizer))
-            for segments in all_segments.values()
-            for seg in segments
+            for seg in new_segments
         ]
         all_jumps = device_align_segments(entries, engine.tokenizer, refine_nframes)
-        jumps_map = {id(seg): j for (seg, _), j in zip(entries, all_jumps)}
-        preps_map = {id(seg): p for seg, p in entries}
+        windows = set()
+        for (seg, p), j in zip(entries, all_jumps):
+            preps_map[id(seg)] = p
+            jumps_map[id(seg)] = j
+            windows.add(id(seg.window))
+            seg.window.attn_dev = None  # release the device attention buffer
+        del windows
+
+    all_segments = bt.transcribe_streams(
+        audios, language=language,
+        window_hook=_align_step if full_device else None, **window_options,
+    )
 
     results = {}
     for name, segments in all_segments.items():
@@ -375,31 +401,20 @@ def transcribe_batch(
             seg_dict["id"] = idx
             seg_dicts.append(seg_dict)
             words.extend(ws)
-        ensure_increasing_positions(words, min_duration=min_word_duration)
-        for w in words:
-            w.pop("tokens", None)
-            w.pop("tokens_indices", None)
-            i = w.pop("idx_segment")
-            seg_dicts[i].setdefault("words", []).append(w)
-            if refine_whisper_precision:
-                if len(seg_dicts[i]["words"]) == 1:
-                    seg_dicts[i]["start"] = w["start"]
-                seg_dicts[i]["end"] = w["end"]
-        if name in converts:
-            convert = converts[name]
-            for s in seg_dicts:
-                for w in s.get("words", []):
-                    w["start"], w["end"] = convert(w["start"], w["end"])
-                if refine_whisper_precision and s.get("words"):
-                    s["start"] = s["words"][0]["start"]
-                    s["end"] = s["words"][-1]["end"]
-                else:
-                    s["start"], s["end"] = convert(s["start"], s["end"])
-        results[name] = {
+        transcription = {
             "text": "".join(s["text"] for s in seg_dicts),
             "segments": seg_dicts,
             "language": language,
         }
+        transcription = finalize_transcription(
+            transcription, words,
+            remove_empty_words=remove_empty_words,
+            min_word_duration=min_word_duration,
+            trust_whisper_timestamps=True,
+            refine_whisper_precision=refine_whisper_precision,
+            vad_convert=converts.get(name),
+        )
         if name in speech_activity:
-            results[name]["speech_activity"] = speech_activity[name]
+            transcription["speech_activity"] = speech_activity[name]
+        results[name] = transcription
     return results
