@@ -11,6 +11,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+# the axon backend reports near-zero compile times (the real compile is
+# remote/deferred), so jax skips cache writes unless the threshold is 0
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 import jax
@@ -135,8 +138,33 @@ def main():
     print(f"pipeline: {total*1e3:.1f} ms -> {B*30/total:.1f}x RT  "
           f"[decode(+enc) {100*t_all/total:.0f}% | align {100*t_align/total:.0f}%]", flush=True)
 
+    # --- 1-token window decode: total - one step ~= encoder + prefill ---
+    # (the standalone jit(encode) program has been observed to kill the remote
+    # compile service; the 1-token decode reuses the battle-tested program
+    # shape and isolates the loop cost by subtraction)
+    if os.environ.get("BENCH_ONETOKEN", "1") == "1":
+        def raw1(mel):
+            return decode_window_jit(
+                engine.model.params, mel, prompt, prompt_len, sm, bm,
+                jnp.float32(0.0), jax.random.PRNGKey(0),
+                dims=dims, align_heads=engine.align_heads, max_new=1,
+                sample_begin=len(buf),
+                eot=tok.eot, ts_begin=tok.timestamp_begin,
+                no_timestamps=tok.no_timestamps,
+                sot_index_from_end=sot_from_end,
+                max_initial_timestamp_index=max_init_ts,
+                suppress_blank=True, without_timestamps=False,
+                attn_dtype=jnp.bfloat16, kv_int8=kv_int8,
+            )
+
+        t1, _ = timed(raw1, [(m,) for m in mels], probe=lambda o: np.asarray(o["n_steps"]))
+        per_tok = (t_all - t1) / (n_tokens - 1)
+        print(f"1-token window decode: {t1*1e3:.1f} ms (enc+prefill+1 step)"
+              f" -> loop {per_tok*1e3:.2f} ms/token,"
+              f" enc+prefill ~= {(t1 - per_tok)*1e3:.1f} ms", flush=True)
+
     # --- encoder alone (fresh program: slow remote compile on first run) ---
-    if os.environ.get("BENCH_ENCODER", "1") == "1":
+    if os.environ.get("BENCH_ENCODER", "0") == "1":
         enc_jit = jax.jit(lambda m: jnp.mean(encode(params, m, dims).astype(jnp.float32)))
         t_enc, xa = timed(enc_jit, [(m,) for m in mels], probe=lambda o: float(o))
         print(f"encoder B={B}: {t_enc*1e3:.1f} ms "

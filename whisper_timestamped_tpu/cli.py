@@ -183,6 +183,10 @@ def main(argv=None):
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "jax_comp"),
     )
+    # some TPU runtimes report near-zero compile times (the real compile is
+    # remote/deferred), which makes jax skip cache writes at the default 1 s
+    # threshold — force-write so reruns never recompile
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     parser = build_parser()
     args = parser.parse_args(argv).__dict__
     args.pop("accurate", None)
