@@ -96,6 +96,24 @@ def test_prompt_changes_output_and_is_truncated(engine, mel):
     assert base.tokens is not None and prompted.tokens is not None
 
 
+def test_build_prompt_huge_prefix_fits_region(engine):
+    """A prefix that fills (or overflows) the prompt region must be trimmed to
+    fit alongside the prompt history instead of tripping the region assert."""
+    from whisper_timestamped_tpu.decoding import PROMPT_REGION
+
+    tok = engine.tokenizer
+    for n_prefix in (PROMPT_REGION - 5, PROMPT_REGION, PROMPT_REGION + 50):
+        opts = DecodingOptions(language="en", prefix=[300] * n_prefix)
+        buf, plen, sot_from_end = engine.build_prompt([400] * 50, opts)
+        assert len(buf) == PROMPT_REGION and plen <= PROMPT_REGION
+        assert tok.sot in buf.tolist()
+    # whisper also trims the prefix to n_ctx//2 - sample_len when set
+    opts = DecodingOptions(language="en", prefix=[300] * 500, sample_len=200)
+    buf, plen, _ = engine.build_prompt([], opts)
+    assert plen <= PROMPT_REGION
+    assert buf.tolist().count(300) <= engine.dims.n_text_ctx // 2 - 200
+
+
 def test_batched_window_decode(engine, mel):
     opts = DecodingOptions(language="en")
     batch = np.stack([mel, mel * 0.5])

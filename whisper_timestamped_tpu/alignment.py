@@ -29,14 +29,20 @@ from .ops.median import median_filter_numpy
 
 
 def dtw_path(x, allow_vertical: bool = True):
-    """Host DTW: C++ core when built (native.py), numpy wavefront otherwise."""
-    try:
+    """Host DTW: C++ core when built (native.py), numpy wavefront otherwise.
+
+    Only the import/availability probe is guarded — an error raised by the
+    native kernel itself on a valid input is a real bug and must propagate,
+    not silently degrade to the slow path."""
+    use_native = False
+    try:  # pragma: no cover - depends on the lazily-built extension
         from .native import available, dtw_path_native
 
-        if available():
-            return dtw_path_native(x, allow_vertical)
-    except Exception:  # pragma: no cover
+        use_native = available()
+    except Exception:
         pass
+    if use_native:
+        return dtw_path_native(x, allow_vertical)
     return dtw_path_numpy_wavefront(x, allow_vertical)
 
 DISFLUENCY_MARK = "[*]"

@@ -174,6 +174,14 @@ class DecodeEngine:
         if options.without_timestamps:
             sot_seq.append(tok.no_timestamps)
         prefix = list(options.prefix or [])
+        if options.sample_len:
+            # whisper trims the prefix to n_ctx//2 - sample_len when a sample
+            # budget is set (DecodingTask._get_initial_tokens)
+            max_prefix = max(0, self.dims.n_text_ctx // 2 - options.sample_len)
+            prefix = prefix[-max_prefix:] if max_prefix else []
+        # the fixed prompt region must always fit sot_prev + sot_seq + prefix
+        max_prefix = PROMPT_REGION - len(sot_seq) - 1
+        prefix = prefix[-max_prefix:] if max_prefix > 0 else []
         budget = min(
             self.dims.n_text_ctx // 2 - 1,
             PROMPT_REGION - len(sot_seq) - len(prefix) - 1,
@@ -181,7 +189,8 @@ class DecodeEngine:
         initial: List[int] = []
         if prompt_tokens:
             initial.append(tok.sot_prev)
-            initial.extend(list(prompt_tokens)[-budget:])
+            if budget > 0:  # a huge prefix can consume the whole history budget
+                initial.extend(list(prompt_tokens)[-budget:])
         initial.extend(sot_seq)
         initial.extend(prefix)
         if region is None:
@@ -313,7 +322,9 @@ class DecodeEngine:
         from .decoding_beam import decode_window_beam_jit, rank_beam_results
 
         tok = self.tokenizer
-        mel = np.asarray(mel, np.float32)
+        # keep device-resident mel on device (np.asarray would round-trip it
+        # through the host on every beam window)
+        mel = jnp.asarray(mel, jnp.float32)
         if mel.ndim == 2:
             mel = mel[None]
         assert mel.shape[0] == 1, "beam decode is per-window (B=1)"
@@ -381,10 +392,10 @@ class DecodeEngine:
         """best_of sampling: n_group independent samples, best avg-logprob wins
         (whisper GreedyDecoder + MaximumLikelihoodRanker with no penalty)."""
         n = options.best_of or 1
-        mel = np.asarray(mel, np.float32)
+        mel = jnp.asarray(mel, jnp.float32)  # stays on device if already there
         if mel.ndim == 2:
             mel = mel[None]
-        batch = np.repeat(mel, n, axis=0)
+        batch = jnp.repeat(mel, n, axis=0)
         results = self.decode_window(
             batch, options, prompt_tokens, temperature=temperature, rng_seed=rng_seed,
             fetch_alignment=fetch_alignment,

@@ -60,10 +60,12 @@ def _teacher_forced(engine: DecodeEngine, mel: np.ndarray, tokens: List[int]):
         params, jnp.asarray([tokens], jnp.int32), xa, dims, return_cross_attn=True
     )
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    # ws: (L, B, H, S, T) pre-softmax scores; select alignment heads -> (S, K, T)
-    layer_idx = np.array([l for l, _ in engine.align_heads])
-    head_idx = np.array([h for _, h in engine.align_heads])
-    rows = np.asarray(ws)[layer_idx, 0, head_idx]  # (K, S, T)
+    # ws: (L, B, H, S, T) pre-softmax scores; select alignment heads ON DEVICE
+    # (fetching the full stack first would move ~1 GB/segment at large-v3 when
+    # only the K alignment-head rows are needed) -> (S, K, T)
+    layer_idx = jnp.asarray([l for l, _ in engine.align_heads])
+    head_idx = jnp.asarray([h for _, h in engine.align_heads])
+    rows = np.asarray(ws[layer_idx, 0, head_idx])  # (K, S, T)
     return np.asarray(logprobs)[0], np.transpose(rows, (1, 0, 2))
 
 
@@ -109,6 +111,12 @@ def transcribe_naive(
         suppress_tokens=suppress_tokens,
         sample_len=sample_len,
     )
+    if verbose and language is None and tok.is_multilingual:
+        # whisper's pre-detection message (reference transcribe.py:1030-1032)
+        print(
+            "Detecting language using up to the first 30 seconds. "
+            "Use `--language` to specify the language"
+        )
     result = transcribe_windows(
         engine,
         audio,
@@ -124,8 +132,15 @@ def transcribe_naive(
         return_language_probs=language is None,
         rng_seed=seed or 0,
     )
+    if verbose and language is None and result.language is not None:
+        # whisper's detection message (reference transcribe.py:1073-1076)
+        from .api import LANGUAGE_NAMES
+
+        print(f"Detected language: {LANGUAGE_NAMES.get(result.language, result.language)}")
     language = normalize_language(result.language) if result.language else language
-    use_space = language not in LANGUAGES_WITHOUT_SPACES
+    from .api import should_use_space
+
+    use_space = should_use_space(language)
 
     whisper_segments = [seg.to_dict() for seg in result.segments]
     for i, s in enumerate(whisper_segments):
@@ -163,8 +178,6 @@ def transcribe_naive(
             words.extend(ws)
         transcription = _make_transcription(whisper_segments, result)
         return transcription, words
-
-    mel_full = None  # lazily computed per segment window
 
     words: List[dict] = []
     previous_end = 0.0
