@@ -350,6 +350,42 @@ def test_public_decode_api(engine, mel):
     assert res.cross_attention.shape == baseline.attn.shape
 
 
+def test_public_decode_detects_language_and_best_of(engine, mel):
+    """whisper.decode semantics: language=None triggers detection on a
+    multilingual model; temperature>0 + best_of routes through best-of-N."""
+    import whisper_timestamped_tpu as wtt
+
+    res = wtt.decode(engine.model, mel, wtt.DecodingOptions(),
+                     tokenizer=engine.tokenizer)
+    assert res.language is not None
+    assert res.language_probs and abs(sum(res.language_probs.values()) - 1) < 1e-3
+
+    # best_of routes through the N-sample ranker (deterministic given the key):
+    # the winner of 4 samples must score >= the first sample of the same batch
+    opts = wtt.DecodingOptions(language="en", temperature=0.9, best_of=4)
+    best = engine.decode_window_best_of(np.asarray(mel), opts, (), 0.9, 0)
+    batch = engine.decode_window(
+        jnp.repeat(jnp.asarray(mel)[None], 4, 0), opts, (), temperature=0.9, rng_seed=0
+    )
+    def score(r):
+        return r.sum_logprob / max(len(r.tokens), 1)
+    assert score(best) >= max(score(r) for r in batch) - 1e-6
+    via_api = wtt.decode(engine.model, mel, opts, tokenizer=engine.tokenizer)
+    assert via_api.tokens == best.tokens
+
+
+def test_suppress_tokens_with_whitespace(engine, mel):
+    """'-1, N' (space after comma) must still apply the -1 non-speech set."""
+    from whisper_timestamped_tpu.decoding import build_suppress_mask
+
+    m1 = build_suppress_mask(engine.tokenizer, DecodingOptions(suppress_tokens="-1"),
+                             engine.dims.n_vocab)
+    m2 = build_suppress_mask(engine.tokenizer, DecodingOptions(suppress_tokens="-1, 300"),
+                             engine.dims.n_vocab)
+    assert np.isinf(m2[300])
+    assert all(np.isinf(m2[np.isinf(m1)]))  # non-speech set still suppressed
+
+
 def test_explicit_suppress_token_list(engine, mel):
     """suppress_tokens as an explicit id list (reference CLI accepts e.g. '220,300')."""
     base = engine.decode_window(mel, DecodingOptions(language="en"))[0]

@@ -108,8 +108,11 @@ def build_suppress_mask(tokenizer: Tokenizer, options: DecodingOptions, n_vocab:
     suppress: List[int] = []
     st = options.suppress_tokens
     if isinstance(st, str) and st:
-        suppress.extend(int(t) for t in st.split(",") if t.strip() not in ("", "-1"))
-        if "-1" in st.split(","):
+        # whisper parses with int() (which strips whitespace), so "-1, 50256"
+        # must still trigger the non-speech sentinel
+        ids = [int(t) for t in st.split(",") if t.strip()]
+        suppress.extend(t for t in ids if t != -1)
+        if -1 in ids:
             suppress.extend(tokenizer.non_speech_tokens)
     elif isinstance(st, (list, tuple)):
         suppress.extend(int(t) for t in st if int(t) != -1)
@@ -510,12 +513,31 @@ def decode(model, mel, options: Optional[DecodingOptions] = None, tokenizer=None
     options = options or DecodingOptions()
     tok = _resolve_tokenizer(model, tokenizer, options.language, options.task)
     engine = DecodeEngine(model, tok)
+
+    mel = np.asarray(mel)
+    language = options.language
+    language_probs = None
+    if language is None and tok.is_multilingual:
+        # whisper.decode detects the language first when none is given
+        codes, probs = detect_language(
+            model.params, mel[None] if mel.ndim == 2 else mel, model.dims, tok
+        )
+        language, language_probs = codes[0], probs[0]
+        options = DecodingOptions(**{**options.__dict__, "language": language})
+    elif language is None:
+        language = "en"
+
     if options.beam_size:
-        res = engine.decode_window_beam(np.asarray(mel), options,
+        res = engine.decode_window_beam(mel, options,
                                         prompt_tokens=options.prompt or ())
+    elif options.temperature and (options.best_of or 0) > 1:
+        res = engine.decode_window_best_of(
+            mel, options, options.prompt or (), float(options.temperature), 0,
+        )
+        res.temperature = float(options.temperature)
     else:
         res = engine.decode_window(
-            np.asarray(mel), options, prompt_tokens=options.prompt or (),
+            mel, options, prompt_tokens=options.prompt or (),
             temperature=options.temperature,
         )[0]
     return DecodingResult(
@@ -525,7 +547,8 @@ def decode(model, mel, options: Optional[DecodingOptions] = None, tokenizer=None
         no_speech_prob=res.no_speech_prob,
         temperature=res.temperature,
         compression_ratio=res.compression_ratio,
-        language=options.language,
+        language=language,
+        language_probs=language_probs,
         token_logprobs=res.token_logprobs,
         cross_attention=res.attn,
     )

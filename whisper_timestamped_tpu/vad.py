@@ -68,7 +68,6 @@ def check_vad_method(method, with_version: bool = False):
         except Exception:
             raise ValueError(f"Got unexpected VAD method {method}")
         return check_vad_method(method, with_version=with_version)
-    return method
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +116,9 @@ def _energy_split(
                     segments.append({"start": start * win, "end": end * win})
                 start, silence = None, 0
     if start is not None:
-        end = n - max(0, silence - 1)
+        # drop trailing silence, like the in-loop close (and auditok's
+        # drop_trailing_silence=True): end is the frame after the last active one
+        end = n - silence
         if end - start >= min_speech_frames:
             segments.append({"start": start * win, "end": min(end * win, len(audio))})
     return segments
@@ -129,10 +130,17 @@ def _energy_split(
 
 
 def _find_local_silero(version: Optional[str]) -> Optional[str]:
-    """Locate a locally cached silero-vad jit/onnx model (no downloads)."""
+    """Locate a locally cached silero-vad jit/onnx model (no downloads).
+
+    With ``version`` (e.g. "v3.1"), a cache directory carrying that version in
+    its name (torch.hub layout: ``snakers4_silero-vad_v3.1``) is required —
+    silently loading a different version would change segmentation. ``.jit``
+    models are preferred over ``.onnx`` (the torchscript adapter is the
+    supported path)."""
     env = os.environ.get("SILERO_VAD_PATH")
     if env and os.path.exists(env):
         return env
+    candidates = []
     hub = os.path.join(os.path.expanduser("~"), ".cache", "torch", "hub")
     if os.path.isdir(hub):
         for root, _, files in os.walk(hub):
@@ -140,8 +148,12 @@ def _find_local_silero(version: Optional[str]) -> Optional[str]:
                 if f in ("silero_vad.jit", "silero_vad.onnx") or (
                     f.startswith("silero_vad") and f.endswith((".jit", ".onnx"))
                 ):
-                    return os.path.join(root, f)
-    return None
+                    candidates.append(os.path.join(root, f))
+    if version is not None:
+        candidates = [p for p in candidates if version in os.path.dirname(p)]
+    # prefer .jit, then shortest (most canonical) path
+    candidates.sort(key=lambda p: (not p.endswith(".jit"), len(p)))
+    return candidates[0] if candidates else None
 
 
 def _silero_speech_segments(audio, sample_rate, min_speech_duration, min_silence_duration, version=None):
