@@ -71,18 +71,20 @@ def main():
     xs = [mk_x(i) for i in range(reps + 1)]
 
     if "full" in sections:
-        f = jax.jit(lambda m: encode(params, m, dims))
-        t = timed(f, [(m,) for m in mels])
+        # params must be an ARGUMENT: closing over them inlines ~2 GB of
+        # weights as HLO constants and overflows the remote compile service
+        f = jax.jit(lambda p, m: encode(p, m, dims))
+        t = timed(f, [(params, m) for m in mels])
         print(f"encode full       B={B}: {t*1e3:7.1f} ms", flush=True)
 
     if "convs" in sections:
-        def convs(m):
+        def convs(e, m):
             x = jnp.swapaxes(m, -1, -2).astype(jnp.bfloat16)
-            x = jax.nn.gelu(_conv1d(x, enc["conv1"], 1), approximate=False)
-            x = jax.nn.gelu(_conv1d(x, enc["conv2"], 2), approximate=False)
+            x = jax.nn.gelu(_conv1d(x, e["conv1"], 1), approximate=False)
+            x = jax.nn.gelu(_conv1d(x, e["conv2"], 2), approximate=False)
             return x + jnp.asarray(sinusoids(T, D)).astype(x.dtype)
         f = jax.jit(convs)
-        t = timed(f, [(m,) for m in mels])
+        t = timed(f, [(enc, m) for m in mels])
         print(f"convs+pos         B={B}: {t*1e3:7.1f} ms", flush=True)
 
     def one_block(x, bp):
@@ -97,7 +99,7 @@ def main():
         return x + _linear(h, bp["mlp"]["fc2"])
 
     if "attn" in sections:
-        def attn_stack(x):
+        def attn_stack(blocks, x):
             def step(x, bp):
                 a = _encoder_attention(
                     _linear(_ln(x, bp["attn_ln"]), bp["attn"]["q"]),
@@ -106,20 +108,20 @@ def main():
                     H,
                 )
                 return x + _linear(a, bp["attn"]["o"]), None
-            return jax.lax.scan(step, x, enc["blocks"])[0]
+            return jax.lax.scan(step, x, blocks)[0]
         f = jax.jit(attn_stack)
-        t = timed(f, [(x,) for x in xs])
+        t = timed(f, [(enc["blocks"], x) for x in xs])
         print(f"attn sublayers x{L} B={B}: {t*1e3:7.1f} ms ({t/L*1e3:.2f} ms/layer)", flush=True)
 
     if "mlp" in sections:
-        def mlp_stack(x):
+        def mlp_stack(blocks, x):
             def step(x, bp):
                 h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]),
                                 approximate=False)
                 return x + _linear(h, bp["mlp"]["fc2"]), None
-            return jax.lax.scan(step, x, enc["blocks"])[0]
+            return jax.lax.scan(step, x, blocks)[0]
         f = jax.jit(mlp_stack)
-        t = timed(f, [(x,) for x in xs])
+        t = timed(f, [(enc["blocks"], x) for x in xs])
         print(f"mlp sublayers x{L}  B={B}: {t*1e3:7.1f} ms ({t/L*1e3:.2f} ms/layer)", flush=True)
 
 

@@ -108,8 +108,10 @@ def main():
         )
 
     t_all, out = timed(raw, [(m,) for m in mels], probe=lambda o: np.asarray(o["n_steps"]))
+    n_steps = int(np.asarray(out["n_steps"]))
     print(f"window decode total (enc+prefill+loop): {t_all*1e3:.1f} ms"
-          f" -> {t_all*1e3/n_tokens:.2f} ms/token upper bound @ B={B}", flush=True)
+          f" -> {t_all*1e3/n_tokens:.2f} ms/token upper bound @ B={B}"
+          f" [loop ran {n_steps} steps]", flush=True)
 
     # --- device alignment (distinct attn buffers per rep) ---
     from whisper_timestamped_tpu.device_align import compute_jumps_batch, make_task
@@ -163,10 +165,12 @@ def main():
               f" -> loop {per_tok*1e3:.2f} ms/token,"
               f" enc+prefill ~= {(t1 - per_tok)*1e3:.1f} ms", flush=True)
 
-    # --- encoder alone (fresh program: slow remote compile on first run) ---
+    # --- encoder alone ---
+    # params must be an ARGUMENT: closing over them inlines ~2 GB of weights
+    # as HLO constants, which overflows the remote compile service (HTTP 413)
     if os.environ.get("BENCH_ENCODER", "0") == "1":
-        enc_jit = jax.jit(lambda m: jnp.mean(encode(params, m, dims).astype(jnp.float32)))
-        t_enc, xa = timed(enc_jit, [(m,) for m in mels], probe=lambda o: float(o))
+        enc_jit = jax.jit(lambda p, m: jnp.mean(encode(p, m, dims).astype(jnp.float32)))
+        t_enc, xa = timed(enc_jit, [(params, m) for m in mels], probe=lambda o: float(o))
         print(f"encoder B={B}: {t_enc*1e3:.1f} ms "
               f"(decode loop+prefill ~= {(t_all-t_enc)*1e3:.1f} ms"
               f" -> {(t_all-t_enc)*1e3/n_tokens:.2f} ms/token)", flush=True)

@@ -139,6 +139,56 @@ def test_cross_attention_stacked_matches_xla():
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-5)
 
 
+def test_cross_attention_stacked_v2_matches_xla():
+    """Lane-parallel stacked decode cross-attention (v2) vs the XLA math path,
+    with a T that does not divide the tile (exercises the online-softmax carry
+    and the padded-tail masking)."""
+    from whisper_timestamped_tpu.models.whisper_jax import _attention
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_pallas_v2,
+    )
+
+    L, B, T, D, H = 3, 2, 300, 256, 4
+    r = np.random.default_rng(7)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    for l in range(L):
+        o1, s1 = cross_attention_stacked_pallas_v2(
+            l, q, xk, xv, H, block_t=128, interpret=True
+        )
+        o2, s2 = _attention(q, xk[l], xv[l], H, return_scores=True)
+        assert o1.shape == o2.shape and s1.shape == s2.shape
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
+
+
+def test_self_attention_stacked_matches_xla():
+    """Stacked-cache single-query self-attention kernel vs the XLA math path
+    with the decode step's [pad_len, pos] key mask."""
+    from whisper_timestamped_tpu.models.whisper_jax import _attention
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        self_attention_stacked_pallas,
+    )
+
+    L, B, CTX, D, H = 3, 2, 40, 256, 4
+    r = np.random.default_rng(3)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    ks = jnp.asarray(r.standard_normal((L, B, CTX, D)).astype(np.float32))
+    vs = jnp.asarray(r.standard_normal((L, B, CTX, D)).astype(np.float32))
+    pos, pad_len = 17, np.array([0, 5], np.int32)
+    col = np.arange(CTX)
+    for l in range(L):
+        o1 = self_attention_stacked_pallas(
+            l, q, ks, vs, pos, pad_len, H, interpret=True
+        )
+        mask = np.where(
+            (col[None] >= pad_len[:, None]) & (col[None] <= pos), 0.0, -np.inf
+        )[:, None, None, :].astype(np.float32)  # (B,1,1,CTX)
+        o2, _ = _attention(q, ks[l], vs[l], H, mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
+
+
 def test_cross_attention_stacked_int8_matches_xla_int8():
     """Stacked int8 decode cross-attention kernel vs the XLA int8 math path."""
     from whisper_timestamped_tpu.models.whisper_jax import (

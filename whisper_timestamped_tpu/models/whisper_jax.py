@@ -537,11 +537,28 @@ def decode_step(
         v_new = _linear(xn, bp["attn"]["v"])
         k_all = lax.dynamic_update_slice(k_all, k_new[None], (l_idx, 0, pos, 0))
         v_all = lax.dynamic_update_slice(v_all, v_new[None], (l_idx, 0, pos, 0))
-        k_cache = lax.dynamic_slice(k_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
-        v_cache = lax.dynamic_slice(v_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
-        a, _ = _attention(
-            _linear(xn, bp["attn"]["q"]), k_cache, v_cache, dims.n_text_head, mask=mask
-        )
+        if use_stacked_xattn:
+            # read layer l of the stacked cache directly inside the kernel —
+            # the dynamic_slice form materializes a (B, ctx, D) copy of K and
+            # V per layer per step (~2.4 GB/step of copy traffic at large-v3)
+            from ..ops.pallas_kernels import self_attention_stacked_pallas
+
+            pad = (
+                kv_valid_from
+                if kv_valid_from is not None
+                else jnp.zeros((B_,), jnp.int32)
+            )
+            a = self_attention_stacked_pallas(
+                l_idx, _linear(xn, bp["attn"]["q"]), k_all, v_all, pos, pad,
+                dims.n_text_head,
+            )
+        else:
+            k_cache = lax.dynamic_slice(k_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
+            v_cache = lax.dynamic_slice(v_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
+            a, _ = _attention(
+                _linear(xn, bp["attn"]["q"]), k_cache, v_cache, dims.n_text_head,
+                mask=mask,
+            )
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
         q_cross = _linear(xc, bp["cross"]["q"])
@@ -553,9 +570,12 @@ def decode_step(
                 cache.xv_scale, dims.n_text_head,
             )
         elif use_stacked_xattn:
-            from ..ops.pallas_kernels import cross_attention_stacked_pallas
+            # v2: lane-parallel heads (block-diagonal sum matrices on the MXU)
+            # + T-tiled online softmax; v1's 40 M=1 dots per program left the
+            # kernel compute-bound at ~450-500 GB/s on a streaming problem
+            from ..ops.pallas_kernels import cross_attention_stacked_pallas_v2
 
-            c, w = cross_attention_stacked_pallas(
+            c, w = cross_attention_stacked_pallas_v2(
                 l_idx, q_cross, cache.xk, cache.xv, dims.n_text_head
             )
         else:

@@ -702,6 +702,291 @@ def cross_attention_stacked_int8_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Stacked-layer cross-attention decode-step kernel, v2 (lane-parallel)
+# ---------------------------------------------------------------------------
+
+
+def _xattn_stacked_v2_kernel(
+    H, T_real, inv,  # static (bound via functools.partial)
+    l_ref, q_ref, k_ref, v_ref, smat_ref, emat_ref,
+    out_ref, sc_ref, m_ref, l_acc_ref, num_ref,
+):
+    """One (batch, T-tile) program of single-query cross-attention.
+
+    v1 (`_xattn_stacked_kernel`) issues 2 MXU dots PER HEAD with M=1 rows —
+    40 tiny ops per program that leave the kernel compute-bound (~450-500 GB/s
+    effective on a pure streaming problem). Here all heads are computed
+    lane-parallel with two real matmuls per tile:
+
+      scores(TT,HP) = (K ⊙ q) @ S        S (D,HP): S[h*dh+d, h] = 1
+      w_full(TT,D)  = p @ E              E (HP,D): E[h, h*dh+d] = 1
+
+    so the per-head reduction/broadcast runs on the MXU at M=TT. T is tiled
+    (VMEM is ~16 MB; the full 1500x1280 K/V pair would not fit double-
+    buffered) with the standard online-softmax carry in scratch across the
+    T-tile grid steps. The pre-softmax scores output tile is produced already
+    transposed — dot_general(S, prod) -> (HP,TT) — to match the (B,H,1,T)
+    contract without an in-kernel transpose."""
+    del l_ref  # consumed by the BlockSpec index maps
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    _, _, TT, D = k_ref.shape
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_acc_ref[...] = jnp.zeros_like(l_acc_ref)
+        num_ref[...] = jnp.zeros_like(num_ref)
+
+    q = q_ref[0, 0, :]  # (D,) bf16
+    k = k_ref[0, 0]  # (TT, D) bf16
+    v = v_ref[0, 0]
+    smat = smat_ref[...]  # (D, HP) bf16 block-diagonal indicator
+    emat = emat_ref[...]  # (HP, D) f32 expansion indicator
+
+    prod = k * q[None, :]  # (TT, D) bf16
+    scores = (
+        jax.lax.dot_general(
+            prod, smat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv
+    )  # (TT, HP) f32
+    # raw scores for the aligner, transposed orientation (HP, TT)
+    sc_t = (
+        jax.lax.dot_general(
+            smat, prod, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv
+    )
+    sc_ref[0, :, 0, :] = sc_t[:H, :]
+
+    # mask the padded T tail (the last tile reads out of bounds)
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + t * TT
+    scores = jnp.where(row < T_real, scores, -jnp.inf)
+
+    m_old = m_ref[...]  # (1, HP) f32
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=0, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)  # (1, HP); t==0: exp(-inf)=0
+    p = jnp.exp(scores - m_new)  # (TT, HP) f32; masked rows -> 0
+    l_new = l_acc_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    w_full = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), emat.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # (TT, D)
+    vw = v * w_full
+    # w_full is 0 in the padded tail, but v's out-of-bounds rows may be
+    # NaN/garbage and NaN*0 = NaN — select, don't rely on the zero
+    row_d = jax.lax.broadcasted_iota(jnp.int32, vw.shape, 0) + t * TT
+    vw = jnp.where(row_d < T_real, vw, jnp.zeros_like(vw))
+    contrib = jnp.sum(vw, axis=0, keepdims=True, dtype=jnp.float32)
+    alpha_d = jax.lax.dot_general(
+        alpha, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, D)
+    num_new = num_ref[...] * alpha_d + contrib
+    m_ref[...] = m_new
+    l_acc_ref[...] = l_new
+    num_ref[...] = num_new
+
+    @pl.when(t == nt - 1)
+    def _finish():
+        l_d = jax.lax.dot_general(
+            l_new, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0, :] = (num_new / l_d)[0].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_t", "interpret"))
+def cross_attention_stacked_pallas_v2(
+    l_idx: jnp.ndarray,  # scalar int32: layer index into the stacked buffers
+    q: jnp.ndarray,  # (B, 1, D)
+    xk_all: jnp.ndarray,  # (L, B, T, D) bf16
+    xv_all: jnp.ndarray,  # (L, B, T, D) bf16
+    n_head: int,
+    block_t: int = 512,
+    interpret=None,
+):
+    """Lane-parallel stacked-layer single-query cross-attention.
+
+    Same contract as ``cross_attention_stacked_pallas``: returns
+    (out (B,1,D) in q.dtype, pre-softmax scores (B,H,1,T) f32)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and D % n_head == 0
+    L, _, T, _ = xk_all.shape
+    dh = D // n_head
+    HP = max(128, int(np.ceil(n_head / 128) * 128))
+    assert n_head <= HP
+    nt = int(np.ceil(T / block_t))
+
+    smat = np.zeros((D, HP), np.float32)
+    emat = np.zeros((HP, D), np.float32)
+    for h in range(n_head):
+        smat[h * dh : (h + 1) * dh, h] = 1.0
+        emat[h, h * dh : (h + 1) * dh] = 1.0
+
+    kernel = functools.partial(
+        _xattn_stacked_v2_kernel, n_head, T, np.float32(dh**-0.5)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
+            pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
+            pl.BlockSpec((1, n_head, 1, block_t), lambda b, t, l: (b, 0, 0, t)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, HP), jnp.float32),
+            pltpu.VMEM((1, HP), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+        ],
+    )
+    out, scores = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n_head, 1, nt * block_t), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(l_idx, jnp.int32).reshape(1),
+        q,
+        xk_all,
+        xv_all,
+        jnp.asarray(smat, jnp.bfloat16),
+        jnp.asarray(emat, jnp.float32),
+    )
+    return out, scores[:, :, :, :T]
+
+
+# ---------------------------------------------------------------------------
+# Stacked-layer SELF-attention decode-step kernel (lane-parallel)
+# ---------------------------------------------------------------------------
+
+
+def _self_attn_stacked_kernel(
+    H, inv,  # static
+    sp_ref, q_ref, k_ref, v_ref, smat_ref, emat_ref, out_ref,
+):
+    """Single-query self-attention against layer l of the stacked KV cache.
+
+    Replaces the per-layer ``lax.dynamic_slice`` of the (L,B,ctx,D) cache in
+    the decode step (a (B,ctx,D) HBM copy per layer per step, ~2.4 GB/step of
+    pure copy traffic at large-v3 B=24) with a direct scalar-prefetch-driven
+    read. Valid keys for batch b are cache slots in [pad_len[b], pos]
+    (matching decode_step's mask with kv_valid_from); heads are lane-parallel
+    via the same block-diagonal S/E matrices as the cross-attention v2 kernel.
+    ctx (<=456) fits VMEM untiled, so a plain (not online) softmax suffices.
+    Scores are not emitted (self-attention is never captured for alignment)."""
+    b = pl.program_id(0)
+    # prefetch layout: [l_idx, pos, pad_len[0..B-1]]
+    pos = sp_ref[1]
+    pad_b = sp_ref[2 + b]
+    _, _, CTX, D = k_ref.shape
+
+    q = q_ref[0, 0, :]
+    k = k_ref[0, 0]  # (CTX, D)
+    v = v_ref[0, 0]
+    smat = smat_ref[...]
+    emat = emat_ref[...]
+
+    prod = k * q[None, :]
+    scores = (
+        jax.lax.dot_general(
+            prod, smat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv
+    )  # (CTX, HP)
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    valid = (row >= pad_b) & (row <= pos)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    m = jnp.max(scores, axis=0, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    w = p / l  # (CTX, HP)
+    w_full = jax.lax.dot_general(
+        w.astype(jnp.bfloat16), emat.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)  # (CTX, D); zeros outside [pad_b, pos]
+    out_ref[0, 0, :] = jnp.sum(v * w_full, axis=0, dtype=jnp.float32).astype(
+        out_ref.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def self_attention_stacked_pallas(
+    l_idx: jnp.ndarray,  # scalar int32
+    q: jnp.ndarray,  # (B, 1, D)
+    k_all: jnp.ndarray,  # (L, B, ctx, D)
+    v_all: jnp.ndarray,  # (L, B, ctx, D)
+    pos: jnp.ndarray,  # scalar int32: the query's cache slot
+    pad_len: jnp.ndarray,  # (B,) int32: first valid cache slot per batch row
+    n_head: int,
+    interpret=None,
+):
+    """Single-query masked self-attention reading layer ``l_idx`` of the
+    stacked KV cache in place. Returns (B, 1, D) in q.dtype."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and D % n_head == 0
+    L, _, CTX, _ = k_all.shape
+    dh = D // n_head
+    HP = max(128, int(np.ceil(n_head / 128) * 128))
+
+    smat = np.zeros((D, HP), np.float32)
+    emat = np.zeros((HP, D), np.float32)
+    for h in range(n_head):
+        smat[h * dh : (h + 1) * dh, h] = 1.0
+        emat[h, h * dh : (h + 1) * dh] = 1.0
+
+    # prefetch layout: [l_idx, pos, pad_len[0..B-1]]
+    sp = jnp.concatenate(
+        [
+            jnp.asarray(l_idx, jnp.int32).reshape(1),
+            jnp.asarray(pos, jnp.int32).reshape(1),
+            jnp.asarray(pad_len, jnp.int32).reshape(B),
+        ]
+    )
+    kernel = functools.partial(_self_attn_stacked_kernel, n_head, np.float32(dh**-0.5))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, sp: (b, 0, 0)),
+            pl.BlockSpec((1, 1, CTX, D), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, CTX, D), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((D, HP), lambda b, sp: (0, 0)),
+            pl.BlockSpec((HP, D), lambda b, sp: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D), lambda b, sp: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+        interpret=interpret,
+    )(
+        sp, q, k_all, v_all,
+        jnp.asarray(smat, jnp.bfloat16),
+        jnp.asarray(emat, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stacked-layer matmul (decode-step weight streaming)
 # ---------------------------------------------------------------------------
 
