@@ -59,7 +59,9 @@ def main():
     from whisper_timestamped_tpu.tokenizer import Tokenizer, BytePairEncoder, synthetic_ranks
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    B = int(os.environ.get("BENCH_BATCH", "24"))  # measured knee: 24 > 12 > 32
+    # measured knee with the stacked-attention kernels: 32 (409.6x) > 24
+    # (389x); B=40 exceeds HBM in bf16 (needs ~17.7 of 15.75 GB)
+    B = int(os.environ.get("BENCH_BATCH", "32"))
     n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     kv_int8 = os.environ.get("BENCH_KV_INT8") == "1"

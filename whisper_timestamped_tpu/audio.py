@@ -271,8 +271,10 @@ def load_audio(
         try:
             data, orig_sr = _read_wav(path)
             return resample(data, orig_sr, sr)
-        except (wave.Error, EOFError):
-            pass  # not a plain PCM wav; fall through to ffmpeg
+        except (wave.Error, EOFError, ValueError):
+            # not a plain PCM wav (or an unsupported sample width);
+            # fall through to ffmpeg, which can decode it
+            pass
     if _ffmpeg_available():
         return _read_via_ffmpeg(path, sr)
     raise RuntimeError(

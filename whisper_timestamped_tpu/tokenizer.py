@@ -20,6 +20,7 @@ import base64
 import functools
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -249,10 +250,14 @@ class Tokenizer:
     # --- sot sequences --------------------------------------------------------
     @property
     def sot_sequence(self) -> Tuple[int, ...]:
+        """openai-whisper semantics: the language token appears only when a
+        language is set, the task token only when a task is set."""
         seq = [self.sot]
         if self.multilingual:
-            seq.append(self.to_language_token(self.language or "en"))
-            seq.append(self.transcribe if self.task != "translate" else self.translate)
+            if self.language is not None:
+                seq.append(self.to_language_token(self.language))
+            if self.task is not None:
+                seq.append(self.translate if self.task == "translate" else self.transcribe)
         return tuple(seq)
 
     @property
@@ -261,7 +266,25 @@ class Tokenizer:
 
     # --- encode / decode ------------------------------------------------------
     def encode(self, text: str, allowed_special=None) -> List[int]:
-        return self.bpe.encode(text)
+        """``allowed_special`` mirrors tiktoken: "all" (or a set of special
+        token strings) maps occurrences of those specials to their ids
+        instead of byte-BPE-ing the literal "<|...|>" text."""
+        if not allowed_special:
+            return self.bpe.encode(text)
+        allowed = (
+            set(self._specials) if allowed_special == "all" else set(allowed_special)
+        )
+        out: List[int] = []
+        pos = 0
+        for m in re.finditer(r"<\|[^<>|]*\|>", text):
+            tok_id = self._specials.get(m.group(0))
+            if tok_id is None or m.group(0) not in allowed:
+                continue
+            out.extend(self.bpe.encode(text[pos : m.start()]))
+            out.append(tok_id)
+            pos = m.end()
+        out.extend(self.bpe.encode(text[pos:]))
+        return out
 
     def decode(self, ids: Sequence[int]) -> str:
         """Decode, skipping special & timestamp tokens (like whisper's decode)."""
@@ -344,8 +367,10 @@ def get_tokenizer(
     """Build a Whisper tokenizer from an explicit vocabulary source.
 
     ``vocab_path`` may be a ``.tiktoken`` file, an HF ``vocab.json``, or a
-    directory containing either (plus optional ``merges.txt``). ``ranks``
-    overrides with an explicit byte→rank dict.
+    directory containing either (for HF vocabs the merge ranks are derived
+    from the token ids, which matches GPT-2-style vocabularies where id order
+    is merge-priority order). ``ranks`` overrides with an explicit
+    byte→rank dict.
     """
     if ranks is None:
         if vocab_path is None:
@@ -354,7 +379,15 @@ def get_tokenizer(
                 "an HF tokenizer directory) or ranks=. Nothing is downloaded."
             )
         if os.path.isdir(vocab_path):
-            for cand in ("multilingual.tiktoken", "gpt2.tiktoken", "vocab.json"):
+            # honor the multilingual flag: *.en models must get gpt2.tiktoken
+            # (50256 base tokens) — the multilingual vocab has one more entry
+            # and would shift every special/timestamp id by one
+            order = (
+                ("multilingual.tiktoken", "gpt2.tiktoken", "vocab.json")
+                if multilingual
+                else ("gpt2.tiktoken", "multilingual.tiktoken", "vocab.json")
+            )
+            for cand in order:
                 p = os.path.join(vocab_path, cand)
                 if os.path.exists(p):
                     vocab_path = p

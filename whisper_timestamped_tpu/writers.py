@@ -101,11 +101,19 @@ def write_csv(
 
 
 def write_tsv(transcript: Iterable[dict], file: IO):
-    """start/end in integer milliseconds, tab-separated, with header."""
-    write_csv(
-        transcript, file, sep="\t", header=True, text_first=False,
-        format_timestamps=lambda x: round(1000 * x),
-    )
+    """start/end in integer milliseconds, tab-separated, with header.
+
+    Plain prints like whisper's WriteTSV (which the reference reuses) — no
+    csv-module quoting; tabs inside the text are replaced with spaces."""
+    print("start", "end", "text", sep="\t", file=file)
+    for seg in transcript:
+        print(
+            round(1000 * seg["start"]),
+            round(1000 * seg["end"]),
+            seg["text"].strip().replace("\t", " "),
+            sep="\t",
+            file=file,
+        )
 
 
 def write_json(result: dict, file: IO):
@@ -135,7 +143,10 @@ def write_all_formats(result: dict, outname: str, formats: List[str]):
     for fmt in ("vtt", "srt", "csv", "tsv"):
         if fmt in formats:
             writer = WRITERS[fmt]
-            with open(f"{outname}.{fmt}", "w", encoding="utf-8") as f:
+            # newline="" is required for files handed to csv.writer (else \n
+            # gets platform-translated on top of csv's own \r\n terminator)
+            nl = "" if fmt == "csv" else None
+            with open(f"{outname}.{fmt}", "w", encoding="utf-8", newline=nl) as f:
                 writer(remove_keys(segments, "words"), f)
-            with open(f"{outname}.words.{fmt}", "w", encoding="utf-8") as f:
+            with open(f"{outname}.words.{fmt}", "w", encoding="utf-8", newline=nl) as f:
                 writer(flatten(segments, "words"), f)
