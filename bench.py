@@ -59,12 +59,14 @@ def main():
     from whisper_timestamped_tpu.tokenizer import Tokenizer, BytePairEncoder, synthetic_ranks
 
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    # measured knee with the stacked-attention kernels: 32 (409.6x) > 24
-    # (389x); B=40 exceeds HBM in bf16 (needs ~17.7 of 15.75 GB)
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    # measured knees with the stacked-attention kernels: bf16 B=32 (409.6x)
+    # > B=24 (389x), B=40 bf16 exceeds HBM (~17.7 of 15.75 GB); int8
+    # cross-KV halves the dominant KV read and unlocks B=40 (456.1x) —
+    # the production-serving configuration, so it is the default
+    kv_int8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
+    B = int(os.environ.get("BENCH_BATCH", "40" if kv_int8 else "32"))
     n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    kv_int8 = os.environ.get("BENCH_KV_INT8") == "1"
 
     dims = WhisperDims(n_audio_ctx=1500, n_text_ctx=448, **GEOMETRIES[model_name])
     params = cast_params(init_params(dims, jax.random.PRNGKey(0)), jnp.bfloat16)
