@@ -163,6 +163,33 @@ def test_cross_attention_stacked_v2_matches_xla():
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
 
 
+def test_cross_attention_stacked_int8_v2_matches_xla_int8():
+    """Lane-parallel stacked int8 kernel (v2) vs the XLA int8 math path, with
+    a non-tile-aligned T."""
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _quantize_rows,
+        cross_attention,
+    )
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas_v2,
+    )
+
+    L, B, T, D, H = 3, 2, 300, 256, 4
+    r = np.random.default_rng(11)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    k8, ks = _quantize_rows(xk)
+    v8, vs = _quantize_rows(xv)
+    for l in range(L):
+        o1, s1 = cross_attention_stacked_int8_pallas_v2(
+            l, q, k8, ks, v8, vs, H, block_t=128, interpret=True
+        )
+        o2, s2 = cross_attention(q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-2)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
+
+
 def test_self_attention_stacked_matches_xla():
     """Stacked-cache single-query self-attention kernel vs the XLA math path
     with the decode step's [pad_len, pos] key mask."""

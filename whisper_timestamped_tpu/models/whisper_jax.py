@@ -563,9 +563,12 @@ def decode_step(
         xc = _ln(x, bp["cross_ln"])
         q_cross = _linear(xc, bp["cross"]["q"])
         if use_stacked_xattn and stacked_int8:
-            from ..ops.pallas_kernels import cross_attention_stacked_int8_pallas
+            # v2: lane-parallel (same rewrite as the bf16 kernel) — the v1
+            # int8 kernel's per-head M=1 dots made it compute-bound, slower
+            # per byte than bf16 despite halving the DMA
+            from ..ops.pallas_kernels import cross_attention_stacked_int8_pallas_v2
 
-            c, w = cross_attention_stacked_int8_pallas(
+            c, w = cross_attention_stacked_int8_pallas_v2(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,
             )

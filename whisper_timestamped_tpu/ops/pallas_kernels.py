@@ -871,6 +871,162 @@ def cross_attention_stacked_pallas_v2(
     return out, scores[:, :, :, :T]
 
 
+def _xattn_stacked_int8_v2_kernel(
+    H, T_real, inv,  # static
+    l_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, smat_ref, emat_ref,
+    out_ref, sc_ref, m_ref, l_acc_ref, num_ref,
+):
+    """int8 variant of ``_xattn_stacked_v2_kernel``: K/V rows arrive int8 with
+    per-position scales; the scales fold into the scores and the online
+    numerator, so dequantized K/V never exist (int8 -> bf16 casts are exact).
+    The v1 int8 kernel's 40 M=1 dots per program made the int8 path COMPUTE-
+    bound — slower per byte than bf16 despite moving half the data."""
+    del l_ref
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    _, _, TT, D = k_ref.shape
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_acc_ref[...] = jnp.zeros_like(l_acc_ref)
+        num_ref[...] = jnp.zeros_like(num_ref)
+
+    q = q_ref[0, 0, :]
+    k = k_ref[0, 0].astype(jnp.bfloat16)  # (TT, D) int8 -> exact bf16
+    v = v_ref[0, 0].astype(jnp.bfloat16)
+    ks = ks_ref[0, 0, 0].astype(jnp.float32)  # (TT,)
+    vs = vs_ref[0, 0, 0].astype(jnp.float32)
+    smat = smat_ref[...]
+    emat = emat_ref[...]
+
+    prod = k * q[None, :].astype(jnp.bfloat16)
+    scores = (
+        jax.lax.dot_general(
+            prod, smat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * ks[:, None]
+        * inv
+    )  # (TT, HP) f32
+    sc_t = (
+        jax.lax.dot_general(
+            smat, prod, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * ks[None, :]
+        * inv
+    )
+    sc_ref[0, :, 0, :] = sc_t[:H, :]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + t * TT
+    scores = jnp.where(row < T_real, scores, -jnp.inf)
+
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=0, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(scores - m_new)  # (TT, HP)
+    l_new = l_acc_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    # fold the V scale into the weights before the head expansion
+    p2 = p * vs[:, None]
+    w_full = jax.lax.dot_general(
+        p2.astype(jnp.bfloat16), emat.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    vw = v * w_full
+    row_d = jax.lax.broadcasted_iota(jnp.int32, vw.shape, 0) + t * TT
+    vw = jnp.where(row_d < T_real, vw, jnp.zeros_like(vw))
+    contrib = jnp.sum(vw, axis=0, keepdims=True, dtype=jnp.float32)
+    alpha_d = jax.lax.dot_general(
+        alpha, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    num_new = num_ref[...] * alpha_d + contrib
+    m_ref[...] = m_new
+    l_acc_ref[...] = l_new
+    num_ref[...] = num_new
+
+    @pl.when(t == nt - 1)
+    def _finish():
+        l_d = jax.lax.dot_general(
+            l_new, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0, :] = (num_new / l_d)[0].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block_t", "interpret"))
+def cross_attention_stacked_int8_pallas_v2(
+    l_idx: jnp.ndarray,  # scalar int32
+    q: jnp.ndarray,  # (B, 1, D)
+    xk_all: jnp.ndarray,  # (L, B, T, D) int8
+    xk_scale: jnp.ndarray,  # (L, B, T) f32
+    xv_all: jnp.ndarray,  # (L, B, T, D) int8
+    xv_scale: jnp.ndarray,  # (L, B, T) f32
+    n_head: int,
+    block_t: int = 512,
+    interpret=None,
+):
+    """Lane-parallel stacked int8 single-query cross-attention (same contract
+    as ``cross_attention``'s int8 path)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and D % n_head == 0
+    L, _, T, _ = xk_all.shape
+    dh = D // n_head
+    HP = max(128, int(np.ceil(n_head / 128) * 128))
+    nt = int(np.ceil(T / block_t))
+
+    smat = np.zeros((D, HP), np.float32)
+    emat = np.zeros((HP, D), np.float32)
+    for h in range(n_head):
+        smat[h * dh : (h + 1) * dh, h] = 1.0
+        emat[h, h * dh : (h + 1) * dh] = 1.0
+
+    kernel = functools.partial(
+        _xattn_stacked_int8_v2_kernel, n_head, T, np.float32(dh**-0.5)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
+            pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
+            pl.BlockSpec((1, n_head, 1, block_t), lambda b, t, l: (b, 0, 0, t)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, HP), jnp.float32),
+            pltpu.VMEM((1, HP), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+        ],
+    )
+    out, scores = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n_head, 1, nt * block_t), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(l_idx, jnp.int32).reshape(1),
+        q, xk_all, xk_scale.astype(jnp.float32)[:, :, None, :], xv_all,
+        xv_scale.astype(jnp.float32)[:, :, None, :],
+        jnp.asarray(smat, jnp.bfloat16),
+        jnp.asarray(emat, jnp.float32),
+    )
+    return out, scores[:, :, :, :T]
+
+
 # ---------------------------------------------------------------------------
 # Stacked-layer SELF-attention decode-step kernel (lane-parallel)
 # ---------------------------------------------------------------------------
