@@ -175,6 +175,11 @@ def transcribe_timestamped(
         # naive variant, transcribe.py:1178-1202)
         naive_approach = True
 
+    if plot_word_alignment:
+        from .plotting import reset_plot_counter
+
+        reset_plot_counter()  # figure numbering restarts per call (ref :300-301)
+
     vad = check_vad_method(vad)
     if isinstance(model, str):
         model = load_model(model)

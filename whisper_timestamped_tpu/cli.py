@@ -211,8 +211,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", device)
 
     backend = args.pop("backend")
-    if backend != "jax":
-        logger.info("backend %r checkpoints are loaded natively into JAX", backend)
 
     audio_files = args.pop("audio")
     model_name = args.pop("model")
@@ -227,6 +225,8 @@ def main(argv=None):
     logging.basicConfig()
     if debug:
         logger.setLevel(logging.DEBUG)
+    if backend != "jax":
+        logger.info("backend %r checkpoints are loaded natively into JAX", backend)
 
     output_dir = args.pop("output_dir")
     if output_dir and not os.path.isdir(output_dir):
@@ -236,7 +236,6 @@ def main(argv=None):
     args["remove_punctuation_from_words"] = not args.pop("punctuations_with_words")
     args["compute_word_confidence"] = args.pop("compute_confidence")
     args["trust_whisper_timestamps"] = not args.pop("recompute_all_timestamps")
-    args["plot_word_alignment"] = plot_word_alignment
 
     import jax.numpy as jnp
 
@@ -249,6 +248,11 @@ def main(argv=None):
     for audio_path in audio_files:
         outname = (
             os.path.join(output_dir, os.path.basename(audio_path)) if output_dir else None
+        )
+        # with an output dir, figures are SAVED next to the outputs
+        # (reference transcribe.py:3136); bare --plot shows them interactively
+        args["plot_word_alignment"] = (
+            outname if (outname and plot_word_alignment) else plot_word_alignment
         )
         result = transcribe_timestamped(
             model, audio_path, temperature=temperature, tokenizer=tokenizer, **args

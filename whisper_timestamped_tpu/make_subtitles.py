@@ -11,14 +11,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import string
 from typing import List, Optional
 
+from .alignment import _punctuation
 from .writers import write_srt, write_vtt
-
-_punctuation = (
-    "".join(c for c in string.punctuation if c not in ["-", "'"]) + "。，！？：”、…"
-)
 
 
 class _LineBuilder:
@@ -46,6 +42,9 @@ class _LineBuilder:
     def flush_at_cut(self) -> dict:
         pos, end_time, next_start = self.cut
         emitted = {"text": self.buf[:pos], "start": self.start, "end": end_time}
+        # NOTE: pos+1 assumes a space follows the cut; with use_space=False
+        # this drops the next word's first character — a reference quirk
+        # (reference make_subtitles.py:42) pinned by its goldens
         self.buf = self.buf[pos + 1 :]
         self.start = next_start
         self.cut = None
@@ -112,8 +111,13 @@ def main(argv=None):
             else [os.path.basename(args.input)]
         )
         extensions = [args.format] if args.format != "all" else ["srt", "vtt"]
+        def stem(f):
+            # reference behavior is a blind [:-11]; be graceful for inputs
+            # that are json but not *.words.json (same result otherwise)
+            return f[: -len(".words.json")] if f.endswith(".words.json") else os.path.splitext(f)[0]
+
         output_files = [
-            [os.path.join(args.output, f[: -len(".words.json")] + "." + e) for e in extensions]
+            [os.path.join(args.output, stem(f) + "." + e) for e in extensions]
             for f in input_files
         ]
         if os.path.isdir(args.input):

@@ -15,6 +15,13 @@ import numpy as np
 num_alignment_for_plot = 0
 
 
+def reset_plot_counter() -> None:
+    """Called at the start of each transcription so figure numbering restarts
+    at 001 per call (reference ``transcribe.py:300-301``)."""
+    global num_alignment_for_plot
+    num_alignment_for_plot = 0
+
+
 def plot_alignment(
     cost: np.ndarray,  # (n_tokens, span) negative-similarity cost matrix
     index1s: np.ndarray,
