@@ -6,7 +6,7 @@ The reference loads silero via ``torch.hub`` + the package's
   * the frame-probability model is pluggable: locally cached silero
     ``.jit`` weights run through torch-cpu (VAD is a host-side pre-pass; the
     TPU-native default is the energy VAD in vad.py), or any callable
-    ``probs_fn(chunks (B, window)) -> (B,)``;
+    ``probs_fn(chunks (B, window), sample_rate) -> (B,)``;
   * the hysteresis state machine below reimplements the published silero
     ``get_speech_timestamps`` semantics (threshold / neg_threshold=thr-0.15,
     min_speech/min_silence durations, speech padding) and is unit-tested
@@ -126,10 +126,9 @@ def silero_get_speech_timestamps(
 
     Matches the reference's invocation (``transcribe.py:2016-2023``:
     normalized audio, durations in ms)."""
-    audio = np.asarray(audio, np.float32)
-    # normalize with gain capped at 10x (reference transcribe.py:2016-2018)
-    peak = float(np.abs(audio).max()) if audio.size else 0.0
-    audio = audio / max(0.1, peak if peak > 0 else 1.0)
+    from ..vad import normalize_gain
+
+    audio = normalize_gain(np.asarray(audio, np.float32))
 
     if probs_fn is None:
         if model_path.endswith(".onnx"):

@@ -47,8 +47,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH):
-            if not os.path.exists(_SRC_PATH) or not _build():
+        have_lib = os.path.exists(_LIB_PATH)
+        have_src = os.path.exists(_SRC_PATH)
+        # a prebuilt .so without the source is fine (e.g. pruned install);
+        # rebuild only when the source exists and is newer than the .so
+        stale = (
+            have_src
+            and have_lib
+            and os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)
+        )
+        if not have_lib or stale:
+            if not have_src or not _build():
                 _build_failed = True
                 return None
         lib = ctypes.CDLL(_LIB_PATH)
@@ -92,17 +101,19 @@ class NativeBPE:
         blob = b"".join(parts)
         self._lib = lib
         self._handle = lib.wtt_bpe_new(blob, len(blob))
-        self._buf = (ctypes.c_int32 * 4096)()
 
     def encode_piece(self, piece: bytes) -> List[int]:
+        # per-call buffer: reentrant under threads, and sized to the piece
+        # (worst case one id per input byte), so no length ever overflows
+        buf = (ctypes.c_int32 * max(16, len(piece)))()
         n = self._lib.wtt_bpe_encode_piece(
-            self._handle, piece, len(piece), self._buf, len(self._buf)
+            self._handle, piece, len(piece), buf, len(buf)
         )
         if n == -1:
             raise KeyError(f"byte sequence not in vocabulary: {piece!r}")
-        if n == -2:
+        if n == -2:  # pragma: no cover - buffer is provably large enough
             raise RuntimeError("native BPE output buffer too small")
-        return list(self._buf[:n])
+        return list(buf[:n])
 
     def __del__(self):
         try:

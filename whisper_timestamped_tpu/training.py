@@ -64,7 +64,8 @@ def save_checkpoint(path: str, state: TrainState) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), state)
+    # force=True: periodic saves to a fixed path (ckpt/latest) must overwrite
+    ckptr.save(os.path.abspath(path), state, force=True)
     ckptr.wait_until_finished()
 
 

@@ -70,6 +70,14 @@ def check_vad_method(method, with_version: bool = False):
         return check_vad_method(method, with_version=with_version)
 
 
+def normalize_gain(audio):
+    """Volume normalization with gain capped at 10x (the reference applies
+    the same expression before silero and auditok, transcribe.py:2016-2029);
+    silent audio passes through unscaled."""
+    peak = float(np.abs(audio).max()) if getattr(audio, "size", len(audio)) else 0.0
+    return audio / max(0.1, peak if peak > 0 else 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Energy VAD (auditok-equivalent)
 # ---------------------------------------------------------------------------
@@ -89,8 +97,7 @@ def _energy_split(
     n = len(audio) // win
     if n == 0:
         return []
-    # cheap volume normalization, gain capped at 10x (reference transcribe.py:2029)
-    audio = audio / max(0.1, float(np.abs(audio).max() or 1.0))
+    audio = normalize_gain(audio)
     frames = audio[: n * win].reshape(n, win).astype(np.float64) * 32767.0
     energy = 20.0 * np.log10(np.sqrt(np.mean(frames**2, axis=-1)) + 1e-10)
     active = energy >= energy_threshold_db
