@@ -6,7 +6,11 @@
 
 import argparse
 import json
+import os
 import sys
+
+# allow running straight from a repo checkout without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import whisper_timestamped_tpu as wtt
 from whisper_timestamped_tpu.api import _resolve_tokenizer
