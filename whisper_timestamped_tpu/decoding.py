@@ -210,7 +210,7 @@ def apply_timestamp_rules(
         "dims", "align_heads", "max_new", "sample_begin", "eot", "ts_begin",
         "no_timestamps", "sot_index_from_end", "max_initial_timestamp_index",
         "suppress_blank", "without_timestamps", "attn_dtype", "kv_int8",
-        "capture_attention", "layer_unroll",
+        "capture_attention", "layer_unroll", "allow_pallas",
     ),
 )
 def decode_window_jit(
@@ -238,6 +238,7 @@ def decode_window_jit(
     kv_int8: bool = False,
     capture_attention: bool = True,
     layer_unroll: int = 1,
+    allow_pallas: bool = True,
 ):
     """Decode one 30-s window for a batch. Returns a dict of buffers:
 
@@ -250,7 +251,7 @@ def decode_window_jit(
     V = dims.n_vocab
     no_speech = no_timestamps - 1  # layout fact: <|nospeech|> precedes <|notimestamps|>
 
-    xa = encode(params, mel, dims)
+    xa = encode(params, mel, dims, allow_pallas=allow_pallas)
     # size the cache to the decode extent (8-aligned): the dead tail of a full
     # 448-slot cache is pure HBM-bandwidth waste at every step
     ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
@@ -308,17 +309,24 @@ def decode_window_jit(
             # small prompt region: the full pass's scores are cheap to keep —
             # reuse them for the last position instead of a second
             # cross-attention that re-reads the (B, T, D) K/V from HBM
-            c, w_full = cross_attention(q_cross, xk, xv, xk_s, xv_s, dims.n_text_head)
+            c, w_full = cross_attention(
+                q_cross, xk, xv, xk_s, xv_s, dims.n_text_head,
+                allow_pallas=allow_pallas,
+            )
             w_last = w_full[:, :, -1:]
         else:
-            c, _ = cross_attention(q_cross, xk, xv, xk_s, xv_s, dims.n_text_head)
+            c, _ = cross_attention(
+                q_cross, xk, xv, xk_s, xv_s, dims.n_text_head,
+                allow_pallas=allow_pallas,
+            )
             w_last = None
         if capture_attention:
             # the LAST prompt position's scores predict the first sampled token
             # (reference convention: token k <-> the row that predicted it)
             if w_last is None:
                 _, w_last = cross_attention(
-                    q_cross[:, -1:], xk, xv, xk_s, xv_s, dims.n_text_head
+                    q_cross[:, -1:], xk, xv, xk_s, xv_s, dims.n_text_head,
+                    allow_pallas=allow_pallas,
                 )  # (B, H, 1, T)
             sel = w_last[:, head_idx_arr]  # (B, K, 1, T)
             hit = (jnp.asarray(head_layer_arr) == l_idx).astype(jnp.float32)
@@ -351,7 +359,12 @@ def decode_window_jit(
         max_timestamp=jnp.full((B,), ts_begin - 1, jnp.int32),
         tokens=jnp.full((B, max_new), eot, jnp.int32),
         token_logprobs=jnp.zeros((B, max_new), jnp.float32),
-        ts_logprobs=jnp.zeros((B, max_new, V - ts_begin), jnp.float32),
+        # the timestamp-slice rows feed the same repair/alignment machinery as
+        # the attention rows; skip the (B, max_new, 1501) buffer with them
+        ts_logprobs=jnp.zeros(
+            (B, max_new, V - ts_begin) if capture_attention else (B, max_new, 1),
+            jnp.float32,
+        ),
         attn=(
             jnp.zeros((B, max_new, K, T_audio), attn_dtype)
             .at[:, 0]
@@ -402,7 +415,11 @@ def decode_window_jit(
         )
         # timestamp-token slice of the step's distribution: consumed by the
         # end-token re-estimation heuristic (reference transcribe.py:528-538)
-        ts_logprobs = c["ts_logprobs"].at[:, i].set(logprobs[:, ts_begin:])
+        ts_logprobs = (
+            c["ts_logprobs"].at[:, i].set(logprobs[:, ts_begin:])
+            if capture_attention
+            else c["ts_logprobs"]
+        )
 
         # --- feed the chosen token through the decoder ---
         step_pos = P + i
@@ -412,6 +429,7 @@ def decode_window_jit(
             capture_attention=capture_attention,
             align_heads=align_heads if capture_attention else None,
             unroll_layers=layer_unroll,
+            allow_pallas=allow_pallas,
         )
         if capture_attention:
             # rows (B, K, 1, T): the forward that consumed y_i PREDICTS y_{i+1}
@@ -463,9 +481,11 @@ def decode_window_jit(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "sot", "lang_token_ids"))
-def _detect_language_jit(params, mel, *, dims, sot, lang_token_ids):
-    xa = encode(params, mel, dims)
+@functools.partial(
+    jax.jit, static_argnames=("dims", "sot", "lang_token_ids", "allow_pallas")
+)
+def _detect_language_jit(params, mel, *, dims, sot, lang_token_ids, allow_pallas=True):
+    xa = encode(params, mel, dims, allow_pallas=allow_pallas)
     tokens = jnp.full((mel.shape[0], 1), sot, jnp.int32)
     logits, _ = decode_full(params, tokens, xa, dims)
     logits = logits[:, 0].astype(jnp.float32)  # (B, V)
@@ -475,7 +495,9 @@ def _detect_language_jit(params, mel, *, dims, sot, lang_token_ids):
     return probs
 
 
-def detect_language(params, mel, dims: WhisperDims, tokenizer: Tokenizer):
+def detect_language(
+    params, mel, dims: WhisperDims, tokenizer: Tokenizer, allow_pallas: bool = True
+):
     """Language-id over a (B, n_mels, 3000) mel window.
 
     Returns (codes, probs_dicts) — the ``language_probs`` output the reference
@@ -486,6 +508,7 @@ def detect_language(params, mel, dims: WhisperDims, tokenizer: Tokenizer):
     probs = _detect_language_jit(
         params, mel, dims=dims, sot=tokenizer.sot,
         lang_token_ids=tuple(tokenizer.all_language_tokens),
+        allow_pallas=allow_pallas,
     )
     probs = np.asarray(probs)
     codes, prob_dicts = [], []
@@ -514,7 +537,10 @@ def decode(model, mel, options: Optional[DecodingOptions] = None, tokenizer=None
     tok = _resolve_tokenizer(model, tokenizer, options.language, options.task)
     engine = DecodeEngine(model, tok)
 
-    mel = np.asarray(mel)
+    # keep device-resident mel on device (np.asarray would round-trip it
+    # through the host before the engine re-uploads it)
+    if not isinstance(mel, jnp.ndarray):
+        mel = np.asarray(mel)
     language = options.language
     language_probs = None
     if language is None and tok.is_multilingual:

@@ -33,6 +33,7 @@ from .models.whisper_jax import KVCache, WhisperDims, decode_step, encode, init_
         "dims", "beam_size", "max_candidates", "max_new", "sample_begin", "eot",
         "ts_begin", "no_timestamps", "sot_index_from_end",
         "max_initial_timestamp_index", "suppress_blank", "without_timestamps",
+        "allow_pallas",
     ),
 )
 def decode_window_beam_jit(
@@ -55,6 +56,7 @@ def decode_window_beam_jit(
     max_initial_timestamp_index: Optional[int],
     suppress_blank: bool = True,
     without_timestamps: bool = False,
+    allow_pallas: bool = True,
 ):
     """Returns dict with finished sequences/scores and no_speech_prob."""
     from .models.whisper_jax import (  # internal reuse
@@ -67,7 +69,7 @@ def decode_window_beam_jit(
     no_speech = no_timestamps - 1
     NEG = jnp.float32(-1e30)
 
-    xa = encode(params, mel, dims)  # (1, T, D)
+    xa = encode(params, mel, dims, allow_pallas=allow_pallas)  # (1, T, D)
     ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
     # prefill at batch 1 — all beams are identical until the first sampled
     # token (enforced by the -1e30 sum_logprobs init), so running the P-slot
@@ -105,7 +107,8 @@ def decode_window_beam_jit(
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
         c, _ = cross_attention(
-            _linear(xc, bp["cross"]["q"]), xk, xv, xk_s, xv_s, dims.n_text_head
+            _linear(xc, bp["cross"]["q"]), xk, xv, xk_s, xv_s, dims.n_text_head,
+            allow_pallas=allow_pallas,
         )
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
@@ -211,6 +214,7 @@ def decode_window_beam_jit(
         logits_new, cache_new, _ = decode_step(
             params, sel_tok[:, None], cache_g, P + i, dims,
             pos_offset=pad_len, kv_valid_from=pad_len,
+            allow_pallas=allow_pallas,
         )
         return dict(
             i=i + 1,

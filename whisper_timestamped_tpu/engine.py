@@ -120,15 +120,30 @@ class Segment:
 
 
 class DecodeEngine:
-    """Bound (model, tokenizer, options-geometry) with cached jit buffers."""
+    """Bound (model, tokenizer, options-geometry) with cached jit buffers.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with ("dp", "tp") axes. The engine
+    shards the model parameters itself (megatron TP rules from
+    ``parallel/mesh.py``) and places every window batch on the mesh — callers
+    never handle sharding. tp>1 disables the Pallas decode kernels (GSPMD
+    cannot partition a pallas_call); the XLA math path is partitioned instead.
+    The reference has no counterpart: it is strictly single-device batch-1
+    (reference ``transcribe.py:806``).
+    """
 
     def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32,
-                 kv_int8: bool = False, layer_unroll: Optional[int] = None):
+                 kv_int8: bool = False, layer_unroll: Optional[int] = None,
+                 mesh=None):
         self.model = model
         self.tokenizer = tokenizer
         self.dims = model.dims
         self.attn_dtype = attn_dtype
         self.kv_int8 = kv_int8  # int8 cross-KV (2x KV capacity; memory lever)
+        self.mesh = None
+        self.tp = 1
+        self.allow_pallas = True
+        if mesh is not None:
+            self.attach_mesh(mesh)
         # layer_unroll: experimental knob. Unrolling the decode-step layer
         # scan was hypothesized to remove the per-step stacked-param slice
         # copies (~4ms/step at large-v3 B=12 in profiles), but measured SLOWER
@@ -143,6 +158,34 @@ class DecodeEngine:
             heads = [(l, h) for l in range(L // 2, L) for h in range(H)]
         self.align_heads: Tuple[Tuple[int, int], ...] = tuple(heads)
         self._mask_cache: Dict[Any, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+    # ------------------------------------------------------------------
+    def attach_mesh(self, mesh) -> None:
+        """Shard the model parameters over ``mesh`` and route all subsequent
+        decodes through it (dp over the window batch, megatron TP over
+        heads/FFN). Idempotent: re-attaching the same mesh is a no-op-cost
+        re-placement."""
+        from dataclasses import replace as dc_replace
+
+        from .parallel.mesh import shard_params
+
+        self.mesh = mesh
+        self.tp = int(dict(mesh.shape).get("tp", 1))
+        # Pallas kernels read unsharded head/state axes; under TP the XLA
+        # math path runs so GSPMD can insert the psum collectives
+        self.allow_pallas = self.tp == 1
+        self.model = dc_replace(
+            self.model, params=shard_params(self.model.params, mesh)
+        )
+
+    def _place(self, tree):
+        """Put window-batch inputs on the mesh (dp-sharded when divisible,
+        replicated otherwise). Identity without a mesh."""
+        if self.mesh is None:
+            return tree
+        from .parallel.mesh import place_batch
+
+        return place_batch(tree, self.mesh)
 
     # ------------------------------------------------------------------
     def _masks(self, options: DecodingOptions):
@@ -212,6 +255,7 @@ class DecodeEngine:
         temperature: float = 0.0,
         rng_seed: int = 0,
         fetch_alignment: bool = True,
+        capture_attention: bool = True,
     ) -> List[WindowDecodeResult]:
         tok = self.tokenizer
         # keep device arrays on device (host<->device traffic is precious);
@@ -225,6 +269,7 @@ class DecodeEngine:
         buf, plen, sot_from_end = self.build_prompt(prompt_tokens, options)
         prompt = jnp.asarray(np.tile(buf[None], (B, 1)))
         prompt_len = jnp.full((B,), plen, jnp.int32)
+        mel, prompt, prompt_len = self._place((mel, prompt, prompt_len))
         sm, bm = self._masks(options)
         max_init_ts = (
             round(options.max_initial_timestamp / TIME_PER_POSITION)
@@ -254,8 +299,12 @@ class DecodeEngine:
             attn_dtype=self.attn_dtype,
             kv_int8=self.kv_int8,
             layer_unroll=self.layer_unroll,
+            allow_pallas=self.allow_pallas,
+            capture_attention=capture_attention,
         )
-        return self.unpack_window_outputs(out, temperature, fetch_alignment=fetch_alignment)
+        return self.unpack_window_outputs(
+            out, temperature, fetch_alignment=fetch_alignment and capture_attention
+        )
 
     def unpack_window_outputs(
         self, out, temperature, fetch_alignment: bool = True
@@ -340,6 +389,7 @@ class DecodeEngine:
             if options.max_initial_timestamp is not None
             else None
         )
+        mel = self._place(mel) if self.mesh is not None else mel
         out = decode_window_beam_jit(
             self.model.params,
             jnp.asarray(mel),
@@ -359,6 +409,7 @@ class DecodeEngine:
             max_initial_timestamp_index=max_init_ts,
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
+            allow_pallas=self.allow_pallas,
         )
         tokens, sum_lp = rank_beam_results(
             {k: np.asarray(v) if hasattr(v, "shape") else v for k, v in out.items()},
@@ -388,6 +439,7 @@ class DecodeEngine:
         temperature: float,
         rng_seed: int,
         fetch_alignment: bool = True,
+        capture_attention: bool = True,
     ) -> WindowDecodeResult:
         """best_of sampling: n_group independent samples, best avg-logprob wins
         (whisper GreedyDecoder + MaximumLikelihoodRanker with no penalty)."""
@@ -398,17 +450,11 @@ class DecodeEngine:
         batch = jnp.repeat(mel, n, axis=0)
         results = self.decode_window(
             batch, options, prompt_tokens, temperature=temperature, rng_seed=rng_seed,
-            fetch_alignment=fetch_alignment,
+            fetch_alignment=fetch_alignment, capture_attention=capture_attention,
         )
         # NOTE: decode_window uses one PRNG key folded per batch element via
         # jax.random.categorical over the batch, so samples differ per row.
-        def score(r):
-            length = len(r.tokens)
-            if options.length_penalty is None:
-                return r.sum_logprob / max(length, 1)
-            return r.sum_logprob / (((5.0 + length) / 6.0) ** options.length_penalty)
-
-        return max(results, key=score)
+        return max(results, key=lambda r: sequence_score(r, options.length_penalty))
 
     # ------------------------------------------------------------------
     def decode_with_fallback(
@@ -422,6 +468,7 @@ class DecodeEngine:
         no_speech_threshold: Optional[float],
         rng_seed: int = 0,
         fetch_alignment: bool = True,
+        capture_attention: bool = True,
     ) -> WindowDecodeResult:
         """whisper's decode_with_fallback: escalate temperature on bad output.
 
@@ -436,12 +483,14 @@ class DecodeEngine:
                 result = self.decode_window_best_of(
                     mel, options, prompt_tokens, float(t), rng_seed,
                     fetch_alignment=fetch_alignment,
+                    capture_attention=capture_attention,
                 )
                 result.temperature = float(t)
             else:
                 result = self.decode_window(
                     mel, options, prompt_tokens, temperature=float(t), rng_seed=rng_seed,
                     fetch_alignment=fetch_alignment,
+                    capture_attention=capture_attention,
                 )[0]
             if not needs_fallback(
                 result, compression_ratio_threshold, logprob_threshold,
@@ -449,6 +498,16 @@ class DecodeEngine:
             ):
                 break
         return result
+
+
+def sequence_score(result: WindowDecodeResult, length_penalty: Optional[float]) -> float:
+    """whisper MaximumLikelihoodRanker: length-normalized sum logprob (or the
+    GNMT length penalty when set). Shared by best_of selection in the serial
+    and batched pipelines."""
+    length = len(result.tokens)
+    if length_penalty is None:
+        return result.sum_logprob / max(length, 1)
+    return result.sum_logprob / (((5.0 + length) / 6.0) ** length_penalty)
 
 
 def needs_fallback(
@@ -503,6 +562,7 @@ def transcribe_windows(
     verbose_callback=None,
     rng_seed: int = 0,
     fetch_alignment: bool = True,
+    capture_attention: bool = True,
 ) -> TranscribeResult:
     """whisper-semantics long-form loop, emitting alignment-ready segments."""
     tok = engine.tokenizer
@@ -536,12 +596,18 @@ def transcribe_windows(
                     "Detecting language using up to the first 30 seconds. "
                     "Use `--language` to specify the language"
                 )
-            codes, probs = detect_language(engine.model.params, _first_window()[None], dims, tok)
+            codes, probs = detect_language(
+                engine.model.params, _first_window()[None], dims, tok,
+                allow_pallas=engine.allow_pallas,
+            )
             language, language_probs = codes[0], probs[0]
         else:
             language = "en"
     elif return_language_probs and engine.tokenizer.is_multilingual:
-        _, probs = detect_language(engine.model.params, _first_window()[None], dims, tok)
+        _, probs = detect_language(
+            engine.model.params, _first_window()[None], dims, tok,
+            allow_pallas=engine.allow_pallas,
+        )
         language_probs = probs[0]
 
     base_opts = decode_options or DecodingOptions()
@@ -579,6 +645,7 @@ def transcribe_windows(
                 no_speech_threshold,
                 rng_seed=rng_seed + seek,
                 fetch_alignment=fetch_alignment,
+                capture_attention=capture_attention,
             )
 
         window_segments, seek = extract_window_segments(

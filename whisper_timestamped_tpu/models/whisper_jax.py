@@ -183,7 +183,7 @@ def _merge_heads(x):  # (B, H, S, dh) -> (B, S, D)
     return x.transpose(0, 2, 1, 3).reshape(B, S, H * dh)
 
 
-def _encoder_attention(q, k, v, n_head):
+def _encoder_attention(q, k, v, n_head, allow_pallas: bool = True):
     """Encoder self-attention (no mask, no scores needed).
 
     On TPU this routes through the in-tree Pallas flash-attention kernel:
@@ -192,9 +192,13 @@ def _encoder_attention(q, k, v, n_head):
     layer — profiled at ~11 ms/layer, dominating the encoder. The sequence is
     padded to a 128-multiple with segment-id masking; padded rows are sliced
     away. Elsewhere (CPU tests) the plain XLA math path runs.
+
+    ``allow_pallas=False`` forces the XLA path — required under tensor
+    parallelism, where GSPMD cannot partition a pallas_call (the TP engine
+    passes this down so the sharded head axis stays distributed).
     """
     dh = q.shape[-1] // n_head
-    if jax.default_backend() == "tpu" and dh % 8 == 0 and q.shape[1] >= 128:
+    if allow_pallas and jax.default_backend() == "tpu" and dh % 8 == 0 and q.shape[1] >= 128:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
             SegmentIds,
@@ -267,7 +271,9 @@ def _conv1d(x, p, stride):
     )
 
 
-def encode(params: Params, mel: jnp.ndarray, dims: WhisperDims) -> jnp.ndarray:
+def encode(
+    params: Params, mel: jnp.ndarray, dims: WhisperDims, allow_pallas: bool = True
+) -> jnp.ndarray:
     """Audio encoder: mel (B, n_mels, T) -> features (B, T//2, D)."""
     enc = params["encoder"]
     x = jnp.swapaxes(mel, -1, -2)  # (B, T, n_mels)
@@ -285,6 +291,7 @@ def encode(params: Params, mel: jnp.ndarray, dims: WhisperDims) -> jnp.ndarray:
             _linear(_ln(x, bp["attn_ln"]), bp["attn"]["k"]),
             _linear(_ln(x, bp["attn_ln"]), bp["attn"]["v"]),
             dims.n_audio_head,
+            allow_pallas=allow_pallas,
         )
         x = x + _linear(a, bp["attn"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
@@ -412,7 +419,7 @@ def init_cache(
                    xk_scale=ones, xv_scale=ones)
 
 
-def cross_attention(q, xk, xv, xk_scale, xv_scale, n_head):
+def cross_attention(q, xk, xv, xk_scale, xv_scale, n_head, allow_pallas: bool = True):
     """Cross-attention supporting int8 K/V with per-position scales.
 
     Returns (out (B,S,D), pre-softmax scores f32 (B,H,S,T)) with whisper's
@@ -422,7 +429,8 @@ def cross_attention(q, xk, xv, xk_scale, xv_scale, n_head):
     """
     dh = q.shape[-1] // n_head
     if (
-        xk.dtype == jnp.int8
+        allow_pallas
+        and xk.dtype == jnp.int8
         and q.shape[1] == 1
         and n_head % 2 == 0
         and (2 * dh) % 128 == 0  # Mosaic lane constraint; true for dh=64 models
@@ -456,6 +464,7 @@ def decode_step(
     capture_attention: bool = True,
     align_heads: Optional[Tuple[Tuple[int, int], ...]] = None,
     unroll_layers: int = 1,
+    allow_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One decode step for S_new tokens (S_new=1 in the loop, >1 for the prompt).
 
@@ -514,7 +523,8 @@ def decode_step(
     # cross-KV through scan xs instead makes XLA materialize a full per-layer
     # slice COPY every step — profiled at ~8 ms of a ~21 ms step at large-v3.
     use_stacked_xattn = (
-        jax.default_backend() == "tpu"
+        allow_pallas
+        and jax.default_backend() == "tpu"
         and S == 1
         and dims.n_text_head % 2 == 0
         and (2 * (dims.n_text_state // dims.n_text_head)) % 128 == 0
@@ -582,7 +592,10 @@ def decode_step(
                 l_idx, q_cross, cache.xk, cache.xv, dims.n_text_head
             )
         else:
-            c, w = cross_attention(q_cross, xk, xv, xk_s, xv_s, dims.n_text_head)
+            c, w = cross_attention(
+                q_cross, xk, xv, xk_s, xv_s, dims.n_text_head,
+                allow_pallas=allow_pallas,
+            )
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
         x = x + _linear(h, bp["mlp"]["fc2"])

@@ -84,3 +84,19 @@ def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, tree)
+
+
+def place_batch(tree, mesh: Mesh, axis: str = "dp"):
+    """Like ``shard_batch`` but tolerant: leaves whose leading axis is not
+    divisible by the mesh axis are replicated instead (e.g. a B=1 serial
+    decode on a tp-only mesh, or masks shared across the batch)."""
+    n = mesh.shape[axis]
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
+            spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
