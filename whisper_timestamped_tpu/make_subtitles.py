@@ -87,8 +87,65 @@ def split_long_segments(segments: List[dict], max_length: int, use_space: bool =
     return out
 
 
+_FORMATS = ("srt", "vtt")
+
+
+def _stem(name: str) -> str:
+    """`x.words.json` -> `x`; other json names lose one extension."""
+    if name.endswith(".words.json"):
+        return name[: -len(".words.json")]
+    return os.path.splitext(name)[0]
+
+
+def _plan_jobs(input_arg: str, output_arg: str, fmt: str):
+    """Resolve (input json path, [output paths]) pairs.
+
+    Two modes: an explicitly named output file (single conversion), or an
+    output folder that receives one file per requested format per input
+    (the input then being a single json or a folder of ``*.words.json``).
+    """
+    if not os.path.isdir(input_arg) and any(output_arg.endswith(e) for e in _FORMATS):
+        parent = os.path.dirname(output_arg)
+        if parent and not os.path.isdir(parent):
+            os.makedirs(parent)
+        return [(input_arg, [output_arg])]
+
+    if os.path.isdir(input_arg):
+        sources = [
+            (os.path.join(input_arg, n), n)
+            for n in os.listdir(input_arg)
+            if n.endswith(".words.json")
+        ]
+    else:
+        sources = [(input_arg, os.path.basename(input_arg))]
+    if not os.path.isdir(output_arg):
+        os.makedirs(output_arg)
+    wanted = list(_FORMATS) if fmt == "all" else [fmt]
+    return [
+        (path, [os.path.join(output_arg, _stem(name) + "." + e) for e in wanted])
+        for path, name in sources
+    ]
+
+
+def _convert_one(path: str, outputs: List[str], max_length: int) -> None:
+    with open(path, encoding="utf-8") as f:
+        transcript = json.load(f)
+    segments = transcript["segments"]
+    if max_length:
+        # the reference CLI's unspaced-language list (make_subtitles.py:142;
+        # note: without "yue", unlike the transcription-side should_use_space)
+        use_space = transcript["language"] not in ("zh", "ja", "th", "lo", "my")
+        segments = split_long_segments(segments, max_length, use_space=use_space)
+    writers = {".srt": write_srt, ".vtt": write_vtt}
+    for out in outputs:
+        writer = writers.get(os.path.splitext(out)[1])
+        if writer is None:
+            raise RuntimeError(f"Unknown output format for {out}")
+        with open(out, "w", encoding="utf-8") as f:
+            writer(segments, file=f)
+
+
 def main(argv=None):
-    supported_formats = ["srt", "vtt"]
     parser = argparse.ArgumentParser(
         description="Convert .words.json transcriptions to srt/vtt, cutting long segments",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
@@ -98,58 +155,12 @@ def main(argv=None):
     parser.add_argument("--max_length", default=200, type=int,
                         help="maximum length of a segment in characters")
     parser.add_argument("--format", type=str, default="all",
-                        choices=supported_formats + ["all"],
+                        choices=list(_FORMATS) + ["all"],
                         help="output format (when the output is a folder)")
     args = parser.parse_args(argv)
 
-    if os.path.isdir(args.input) or not max(
-        args.output.endswith(e) for e in supported_formats
-    ):
-        input_files = (
-            [f for f in os.listdir(args.input) if f.endswith(".words.json")]
-            if os.path.isdir(args.input)
-            else [os.path.basename(args.input)]
-        )
-        extensions = [args.format] if args.format != "all" else ["srt", "vtt"]
-        def stem(f):
-            # reference behavior is a blind [:-11]; be graceful for inputs
-            # that are json but not *.words.json (same result otherwise)
-            return f[: -len(".words.json")] if f.endswith(".words.json") else os.path.splitext(f)[0]
-
-        output_files = [
-            [os.path.join(args.output, stem(f) + "." + e) for e in extensions]
-            for f in input_files
-        ]
-        if os.path.isdir(args.input):
-            input_files = [os.path.join(args.input, f) for f in input_files]
-        else:
-            input_files = [args.input]
-        if not os.path.isdir(args.output):
-            os.makedirs(args.output)
-    else:
-        input_files = [args.input]
-        output_files = [[args.output]]
-        outdir = os.path.dirname(args.output)
-        if outdir and not os.path.isdir(outdir):
-            os.makedirs(outdir)
-
-    for fn, outputs in zip(input_files, output_files):
-        with open(fn, "r", encoding="utf-8") as f:
-            transcript = json.load(f)
-        segments = transcript["segments"]
-        if args.max_length:
-            language = transcript["language"]
-            use_space = language not in ["zh", "ja", "th", "lo", "my"]
-            segments = split_long_segments(segments, args.max_length, use_space=use_space)
-        for output in outputs:
-            if output.endswith(".srt"):
-                with open(output, "w", encoding="utf-8") as f:
-                    write_srt(segments, file=f)
-            elif output.endswith(".vtt"):
-                with open(output, "w", encoding="utf-8") as f:
-                    write_vtt(segments, file=f)
-            else:
-                raise RuntimeError(f"Unknown output format for {output}")
+    for path, outputs in _plan_jobs(args.input, args.output, args.format):
+        _convert_one(path, outputs, args.max_length)
 
 
 if __name__ == "__main__":

@@ -8,9 +8,10 @@ Port of the reference VAD subsystem (``check_vad_method``
   * ``"auditok"`` / ``"energy"``: an auditok-style energy splitter in
     numpy/jnp (reference delegates to the auditok package,
     ``transcribe.py:2025-2054``).
-  * ``"silero"`` (and ``"silero:vX.Y"``): a JAX port of the Silero VAD
-    network, loading locally cached silero weights (torch.hub cache / explicit
-    path). No downloads.
+  * ``"silero"`` (and ``"silero:vX.Y"``): the Silero VAD hysteresis state
+    machine reimplemented here, with frame probabilities from locally cached
+    silero weights (torch.hub cache / explicit path; torchscript adapter on
+    host torch, see ``models/silero_jax.py``). No downloads.
   * explicit ``[(start, end), ...]`` second pairs.
 
 Segment dilation+merge and the piecewise timestamp back-conversion match the
@@ -286,37 +287,41 @@ def remove_non_speech(
 
 
 def do_convert_timestamps(segments, t, t2=None):
-    """Map a timestamp in concatenated-speech time back to original-audio time
-    via the piecewise offsets (reference ``transcribe.py:2158-2200``)."""
-    assert len(segments)
-    ioffset = 0  # input offset
-    ooffset = 0  # output offset
-    ipreviousend = 0
-    result = []
-    for istart, iend in segments:
-        ostart = ooffset
-        oend = ostart + (iend - istart)
-        ooffset = oend
-        ioffset += istart - ipreviousend
-        ipreviousend = iend
-        t_in = t <= oend
-        t2_in = t_in if t2 is None else t2 <= oend
-        if t_in or t2_in:
-            result.append(
-                [
-                    max(istart, min(iend, ioffset + t)),
-                    max(istart, min(iend, ioffset + t2)) if t2 is not None else None,
-                ]
-            )
-            if t_in and t2_in:
-                break
-    if not len(result):
-        result.append([ioffset + t, ioffset + t2 if t2 is not None else None])
+    """Map a timestamp in concatenated-speech time back to original-audio time.
 
-    if len(result) > 1:
-        # pick the candidate that best preserves the duration
-        result = sorted(result, key=lambda x: abs(abs(t2 - t) - abs(x[1] - x[0])))
-    result = result[0]
+    Behavioral counterpart of the reference's piecewise inverse mapping
+    (``transcribe.py:2158-2200``), computed here from the cumulative speech
+    spans: segment k of the concatenation covers speech time
+    ``[span_starts[k], span_ends[k]]`` and maps affinely back onto
+    ``[starts[k], ends[k]]`` in the original audio. When ``t2`` is given, the
+    two timestamps should land in one segment; if they straddle several, each
+    segment between them yields a clamped candidate pair and the one that
+    best preserves the duration ``t2 - t`` wins (first wins on ties).
+    """
+    assert len(segments)
+    starts = np.asarray([s for s, _ in segments], np.float64)
+    ends = np.asarray([e for _, e in segments], np.float64)
+    span_ends = np.cumsum(ends - starts)  # right edge of each segment, speech time
+    span_starts = span_ends - (ends - starts)
+
+    def project(ts, k):  # speech time -> original time, clamped into segment k
+        return float(np.clip(starts[k] + (ts - span_starts[k]), starts[k], ends[k]))
+
+    n = len(segments)
+    queries = (t,) if t2 is None else (t, t2)
+    ks = [int(np.searchsorted(span_ends, q)) for q in queries]
+    if min(ks) >= n:
+        # beyond the concatenated speech entirely: extrapolate past the last
+        # segment, unclamped (matches the reference's fallback)
+        base = starts[-1] - span_starts[-1]
+        out = [base + q for q in queries]
+    else:
+        lo, hi = min(ks), min(max(ks), n - 1)
+        candidates = [tuple(project(q, k) for q in queries) for k in range(lo, hi + 1)]
+        out = min(
+            candidates,
+            key=lambda c: 0.0 if t2 is None else abs(abs(t2 - t) - abs(c[1] - c[0])),
+        )
     if t2 is None:
-        return round(result[0], 2)
-    return [round(x, 2) for x in result]
+        return round(out[0], 2)
+    return [round(x, 2) for x in out]
