@@ -2,21 +2,34 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: audio-seconds transcribed per wall-clock second per chip ("x realtime")
-for the batched efficient path at large-v3 geometry — batched 30-s window
-decode (bf16, KV cache, on-the-fly alignment-head attention capture) plus the
-host DTW word alignment. The reference publishes no throughput numbers
-(BASELINE.md); the north-star target is >=100x realtime per v5e chip at
-large-v3, so ``vs_baseline`` reports value/100.
+Modes (BENCH_MODE):
+  * ``pipeline`` (default, the reported metric): the END-TO-END batched
+    long-form pipeline via ``transcribe_batch`` — mel front-end, window
+    seeking, prompt threading (``condition_on_previous_text=True``, i.e. the
+    full 232-slot prompt region after the first window), batched window
+    decode, on-device word alignment, host word/segment assembly and
+    words.json serialization. This is the reference's unit of work
+    (``transcribe_timestamped``, reference ``transcribe.py:79-357``) scaled
+    to many streams.
+  * ``decode``: the decode+align inner-loop proxy (fixed token budget,
+    promptless windows; excludes windowing/prompt/mel/assembly). Kept for
+    kernel-level regression tracking.
 
-Environment knobs: BENCH_MODEL (large-v3|turbo|base|tiny), BENCH_BATCH,
-BENCH_TOKENS (decoded tokens per 30-s window; ~2.5 tok/s speech -> default 75),
-BENCH_REPS.
+Metric: audio-seconds transcribed per wall-clock second per chip
+("x realtime") at large-v3 geometry. The reference publishes no throughput
+numbers (BASELINE.md); the north-star target is >=100x realtime per v5e chip
+at large-v3, so ``vs_baseline`` reports value/100.
+
+Environment knobs: BENCH_MODE, BENCH_MODEL (large-v3|turbo|base|tiny),
+BENCH_BATCH (streams in flight / window batch), BENCH_TOKENS (token budget
+per 30-s window; ~2.5 tok/s speech -> default 75), BENCH_REPS,
+BENCH_STREAM_SECONDS (pipeline audio length per stream), BENCH_KV_INT8.
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -43,13 +56,15 @@ GEOMETRIES = {
 }
 
 
-def main():
+def build_engine(model_name, kv_int8):
+    """Synthetic large-geometry model + real multilingual token layout.
+
+    No checkpoints are downloadable in this environment; decode speed depends
+    on the geometry and vocab SIZE, not the weight values.
+    """
     import jax
     import jax.numpy as jnp
 
-    from whisper_timestamped_tpu.alignment import perform_word_alignment
-    from whisper_timestamped_tpu.audio import log_mel_spectrogram, pad_or_trim
-    from whisper_timestamped_tpu.decoding import DecodingOptions
     from whisper_timestamped_tpu.engine import DecodeEngine
     from whisper_timestamped_tpu.models.alignment_heads import ALIGNMENT_HEADS
     from whisper_timestamped_tpu.models.load import WhisperModel
@@ -58,21 +73,9 @@ def main():
     )
     from whisper_timestamped_tpu.tokenizer import Tokenizer, BytePairEncoder, synthetic_ranks
 
-    model_name = os.environ.get("BENCH_MODEL", "large-v3")
-    # measured knees with the stacked-attention kernels: bf16 B=32 (409.6x)
-    # > B=24 (389x), B=40 bf16 exceeds HBM (~17.7 of 15.75 GB); int8
-    # cross-KV halves the dominant KV read and unlocks B=40 (456.1x) —
-    # the production-serving configuration, so it is the default
-    kv_int8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
-    B = int(os.environ.get("BENCH_BATCH", "40" if kv_int8 else "32"))
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
-
     dims = WhisperDims(n_audio_ctx=1500, n_text_ctx=448, **GEOMETRIES[model_name])
     params = cast_params(init_params(dims, jax.random.PRNGKey(0)), jnp.bfloat16)
 
-    # real multilingual special-token layout over a synthetic byte BPE
-    # (decode speed depends on the vocab SIZE, not its contents)
     ranks = synthetic_ranks()
     pad_base = dims.n_vocab - 1509 - (100 if dims.n_vocab == 51866 else 99) - len(ranks)
     for i in range(pad_base):
@@ -85,24 +88,77 @@ def main():
     heads = ALIGNMENT_HEADS.get(model_name) or [(dims.n_text_layer - 1, h) for h in range(6)]
     wm = WhisperModel(params=params, dims=dims, alignment_heads=heads)
     engine = DecodeEngine(wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8)
+    return wm, tok, engine, dims
 
-    rng = np.random.default_rng(0)
+
+# ---------------------------------------------------------------------------
+# pipeline mode: the product metric
+# ---------------------------------------------------------------------------
+
+
+def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
+    from whisper_timestamped_tpu.decoding import DecodingOptions
+    from whisper_timestamped_tpu.parallel.batch import transcribe_batch
+
+    def make_streams(seed):
+        # distinct audio per rep: the TPU tunnel memoizes executions on
+        # identical argument buffers, which would fake the timing
+        r = np.random.default_rng(seed)
+        return {
+            f"s{i:02d}": (r.standard_normal(stream_seconds * 16000) * 0.1).astype(np.float32)
+            for i in range(B)
+        }
+
+    def run(streams, outdir):
+        results = transcribe_batch(
+            wm, streams, tok,
+            language="en",
+            batch_size=B,
+            engine=engine,
+            device_alignment=True,
+            temperature=[0.0],
+            no_speech_threshold=None,
+            logprob_threshold=None,
+            condition_on_previous_text=True,
+            decode_options=DecodingOptions(language="en", sample_len=n_tokens),
+        )
+        for name, res in results.items():
+            with open(os.path.join(outdir, name + ".words.json"), "w", encoding="utf-8") as f:
+                json.dump(res, f, ensure_ascii=False)
+        return results
+
+    with tempfile.TemporaryDirectory() as td:
+        run(make_streams(10_000), td)  # compile + warmup
+        times = []
+        for rep in range(reps):
+            streams = make_streams(rep)
+            t0 = time.time()
+            run(streams, td)
+            times.append(time.time() - t0)
+    return B * stream_seconds / min(times)
+
+
+# ---------------------------------------------------------------------------
+# decode mode: kernel-level inner-loop proxy
+# ---------------------------------------------------------------------------
+
+
+def bench_decode(wm, tok, engine, dims, B, n_tokens, reps):
+    import jax.numpy as jnp
+
+    from whisper_timestamped_tpu.alignment import perform_word_alignment
+    from whisper_timestamped_tpu.audio import log_mel_spectrogram
+    from whisper_timestamped_tpu.decoding import DecodingOptions
+    from whisper_timestamped_tpu.device_align import compute_jumps_batch, make_task
 
     def make_mel(seed):
-        import jax.numpy as jnp
-
         r = np.random.default_rng(seed)
         audio = (r.standard_normal(B * 30 * 16000) * 0.1).astype(np.float32)
         m = log_mel_spectrogram(audio.reshape(B, -1), n_mels=dims.n_mels)
         return jnp.pad(m, ((0, 0), (0, 0), (0, 3000 - m.shape[-1])))  # stays on device
 
-    # distinct inputs per rep: the TPU tunnel memoizes executions on
-    # identical argument buffers, which would fake the timing
     mels = [make_mel(i) for i in range(reps + 1)]
-
     opts = DecodingOptions(language="en", sample_len=n_tokens)
-
-    from whisper_timestamped_tpu.device_align import compute_jumps_batch, make_task
 
     def run(mel):
         """Decode + fully on-device word alignment: the attention buffer never
@@ -131,22 +187,44 @@ def main():
             )
         return words
 
-    # warmup + compile
-    run(mels[-1])
+    run(mels[-1])  # compile + warmup
     times = []
     for rep in range(reps):
-        mel = mels[rep]
         t0 = time.time()
-        run(mel)
+        run(mels[rep])
         times.append(time.time() - t0)
+    return B * 30.0 / min(times)
 
-    best = min(times)
-    audio_seconds = B * 30.0
-    rtf = audio_seconds / best
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "pipeline")
+    model_name = os.environ.get("BENCH_MODEL", "large-v3")
+    # measured knees with the stacked-attention kernels: bf16 B=32 (409.6x)
+    # > B=24 (389x), B=40 bf16 exceeds HBM (~17.7 of 15.75 GB); int8
+    # cross-KV halves the dominant KV read and unlocks B=40 (456.1x) —
+    # the production-serving configuration, so it is the default
+    kv_int8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
+    B = int(os.environ.get("BENCH_BATCH", "40" if kv_int8 else "32"))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
+
+    wm, tok, engine, dims = build_engine(model_name, kv_int8)
+
+    if mode == "pipeline":
+        reps = int(os.environ.get("BENCH_REPS", "3"))
+        stream_seconds = int(os.environ.get("BENCH_STREAM_SECONDS", "60"))
+        rtf = bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds)
+        metric = f"e2e_audio_sec_per_sec_per_chip_{model_name}_b{B}"
+    else:
+        reps = int(os.environ.get("BENCH_REPS", "5"))
+        rtf = bench_decode(wm, tok, engine, dims, B, n_tokens, reps)
+        metric = f"audio_sec_per_sec_per_chip_{model_name}_b{B}"
+    if kv_int8:
+        metric += "_kvint8"
+
     print(
         json.dumps(
             {
-                "metric": f"audio_sec_per_sec_per_chip_{model_name}_b{B}" + ("_kvint8" if kv_int8 else ""),
+                "metric": metric,
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 100.0, 3),

@@ -402,6 +402,21 @@ def _transcribe_efficient(
         and not plot_word_alignment
         and len(engine.align_heads) <= MAX_K
     )
+    if device_alignment and not full_device:
+        # never downgrade silently (reference pattern: every repair/fallback
+        # warns, e.g. transcribe.py:496-538)
+        reasons = [
+            r for cond, r in (
+                (detect_disfluencies, "detect_disfluencies=True needs host-side peak detection"),
+                (plot_word_alignment, "plot_word_alignment needs the host cost matrix"),
+                (len(engine.align_heads) > MAX_K,
+                 f"{len(engine.align_heads)} alignment heads exceed the device aligner's capacity ({MAX_K})"),
+            ) if cond
+        ]
+        logger.warning(
+            "device_alignment requested but falling back to host alignment: %s",
+            "; ".join(reasons),
+        )
 
     opts = DecodingOptions(suppress_tokens=suppress_tokens, sample_len=sample_len)
     result = transcribe_windows(

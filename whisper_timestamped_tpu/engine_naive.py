@@ -131,6 +131,12 @@ def transcribe_naive(
         decode_options=opts,
         return_language_probs=language is None,
         rng_seed=seed or 0,
+        # pass 1 only needs attention when it serves as the "backend" word
+        # timestamps; otherwise the teacher-forced pass 2 supplies alignment
+        # and capturing/fetching the (B, max_new, K, 1500) buffer per window
+        # would be pure waste
+        fetch_alignment=use_backend_timestamps,
+        capture_attention=use_backend_timestamps,
     )
     if verbose and language is None and result.language is not None:
         # whisper's detection message (reference transcribe.py:1073-1076)
@@ -147,7 +153,10 @@ def transcribe_naive(
         s["id"] = i
 
     have_attention = all(
-        seg.window is not None and seg.window.attn.size for seg in result.segments
+        seg.window is not None
+        and seg.window.attn is not None
+        and seg.window.attn.size
+        for seg in result.segments
     )
     if use_backend_timestamps and not have_attention:
         logger.warning(

@@ -53,6 +53,8 @@ class _Stream:
     prompt_reset_since: int = 0
     segments: List[Segment] = field(default_factory=list)
     done: bool = False
+    language: Optional[str] = None
+    language_probs: Optional[dict] = None
 
 
 class BatchTranscriber:
@@ -73,10 +75,15 @@ class BatchTranscriber:
     ):
         self.engine = engine
         self.batch_size = batch_size
-        self.mesh = mesh
+        if mesh is not None and engine.mesh is None:
+            # self-contained mesh path: the engine shards its own params
+            engine.attach_mesh(mesh)
+        self.mesh = mesh if mesh is not None else engine.mesh
         # False = device-alignment mode: attention buffers stay on device and
         # the batched Pallas aligner (device_align.py) consumes them later
         self.fetch_alignment = fetch_alignment
+        # name -> {"language", "language_probs"} after transcribe_streams
+        self.stream_meta: Dict[str, dict] = {}
 
     # --------------------------------------------------------------
     def _decode_batch(
@@ -86,15 +93,24 @@ class BatchTranscriber:
         options: DecodingOptions,
         temperature: float,
         rng_seed: int,
+        languages: Optional[List[Optional[str]]] = None,
     ) -> List[WindowDecodeResult]:
-        """One batched device call. Prompts may differ per row — they are
-        right-aligned into the shared prompt region with per-row lengths."""
+        """One batched device call. Prompts (and languages) may differ per
+        row — prompts are right-aligned into the shared prompt region with
+        per-row lengths, and each row's sot sequence carries its own language
+        token."""
         engine = self.engine
         tok = engine.tokenizer
 
+        def row_opts(i: int) -> DecodingOptions:
+            lang = languages[i] if languages else None
+            if lang is None or lang == options.language:
+                return options
+            return DecodingOptions(**{**options.__dict__, "language": lang})
+
         bufs, lens, sot_from_end = [], [], None
-        for p in prompts:
-            buf, plen, sfe = engine.build_prompt(p, options)
+        for i, p in enumerate(prompts):
+            buf, plen, sfe = engine.build_prompt(p, row_opts(i))
             bufs.append(buf)
             lens.append(plen)
             sot_from_end = sfe
@@ -103,8 +119,8 @@ class BatchTranscriber:
             from ..decoding import PROMPT_REGION
 
             bufs = [
-                engine.build_prompt(p, options, region=PROMPT_REGION)[0]
-                for p in prompts
+                engine.build_prompt(p, row_opts(i), region=PROMPT_REGION)[0]
+                for i, p in enumerate(prompts)
             ]
         prompt = np.stack(bufs)
         prompt_len = np.asarray(lens, np.int32)
@@ -122,9 +138,9 @@ class BatchTranscriber:
         def put(x):
             if self.mesh is None:
                 return jnp.asarray(x)
-            from .mesh import shard_batch
+            from .mesh import place_batch
 
-            return shard_batch(jnp.asarray(x), self.mesh)
+            return place_batch(jnp.asarray(x), self.mesh)
 
         out = decode_window_jit(
             engine.model.params,
@@ -149,10 +165,85 @@ class BatchTranscriber:
             attn_dtype=engine.attn_dtype,
             kv_int8=engine.kv_int8,
             layer_unroll=engine.layer_unroll,
+            allow_pallas=engine.allow_pallas,
         )
         return engine.unpack_window_outputs(
             out, temperature, fetch_alignment=self.fetch_alignment
         )
+
+    # --------------------------------------------------------------
+    def _detect_stream_languages(self, streams: List[_Stream]) -> None:
+        """Batched language-ID over each stream's first 30-s window.
+
+        Chunks are padded to ``batch_size`` so one compiled program serves
+        every chunk."""
+        from ..decoding import detect_language
+
+        engine = self.engine
+        B = self.batch_size
+        for c0 in range(0, len(streams), B):
+            chunk = streams[c0 : c0 + B]
+            mels = [
+                pad_or_trim(s.mel[:, :N_FRAMES], N_FRAMES, axis=-1) for s in chunk
+            ]
+            while len(mels) < B:
+                mels.append(np.zeros_like(mels[0]))
+            mel_dev = jnp.asarray(np.stack(mels).astype(np.float32))
+            if engine.mesh is not None:
+                from .mesh import place_batch
+
+                mel_dev = place_batch(mel_dev, engine.mesh)
+            codes, probs = detect_language(
+                engine.model.params, mel_dev, engine.dims, engine.tokenizer,
+                allow_pallas=engine.allow_pallas,
+            )
+            for s, code, p in zip(chunk, codes, probs):
+                s.language = code
+                s.language_probs = p
+
+    # --------------------------------------------------------------
+    def _decode_batch_best_of(
+        self,
+        mels: np.ndarray,
+        prompts: List[Sequence[int]],
+        options: DecodingOptions,
+        temperature: float,
+        rng_seed: int,
+        languages: Optional[List[Optional[str]]],
+    ) -> List[WindowDecodeResult]:
+        """best_of at t>0 by row replication: each row is decoded
+        ``best_of`` times (independent samples — decode_window draws one
+        categorical per batch row per step) in batch-size chunks; the
+        best-scoring sample per row wins (whisper MaximumLikelihoodRanker,
+        same rule as the serial engine's decode_window_best_of)."""
+        from ..engine import sequence_score
+
+        n = options.best_of or 1
+        if temperature <= 0 or n <= 1:
+            return self._decode_batch(
+                mels, prompts, options, temperature, rng_seed, languages
+            )
+        B = self.batch_size
+        n_rows = len(prompts)
+        rep_idx = [i for i in range(n_rows) for _ in range(n)]
+        best: List[Optional[WindowDecodeResult]] = [None] * n_rows
+        for c0 in range(0, len(rep_idx), B):
+            chunk = rep_idx[c0 : c0 + B]
+            pad = B - len(chunk)
+            sub_mels = np.stack([mels[i] for i in chunk] + [mels[0]] * pad)
+            sub_prompts = [prompts[i] for i in chunk] + [[]] * pad
+            sub_langs = (
+                [languages[i] for i in chunk] + [None] * pad if languages else None
+            )
+            rs = self._decode_batch(
+                sub_mels, sub_prompts, options, temperature, rng_seed + c0, sub_langs
+            )
+            for k, i in enumerate(chunk):
+                if best[i] is None or sequence_score(
+                    rs[k], options.length_penalty
+                ) > sequence_score(best[i], options.length_penalty):
+                    best[i] = rs[k]
+        return best
 
     # --------------------------------------------------------------
     def transcribe_streams(
@@ -182,23 +273,17 @@ class BatchTranscriber:
         if isinstance(temperature, (int, float)):
             temperature = [float(temperature)]
 
-        if language is None:
-            if tok.is_multilingual:
-                raise ValueError(
-                    "the batched pipeline requires an explicit language= "
-                    "(per-stream auto-detection would fragment the batch)"
-                )
+        if language is None and not tok.is_multilingual:
             language = "en"
 
         opts = DecodingOptions(
             **{**(decode_options.__dict__ if decode_options else DecodingOptions().__dict__),
                "task": task, "language": language}
         )
-        if opts.beam_size or (opts.best_of or 0) > 1:
+        if opts.beam_size:
             raise NotImplementedError(
-                "beam_size/best_of are not supported by the batched pipeline; "
-                "use the serial transcribe_timestamped API for beam search / "
-                "best-of sampling"
+                "beam_size is not supported by the batched pipeline; use the "
+                "serial transcribe_timestamped API for beam search"
             )
 
         streams: List[_Stream] = []
@@ -212,8 +297,18 @@ class BatchTranscriber:
                     name=name,
                     mel=mel,
                     content_frames=mel.shape[-1] - N_FRAMES,
+                    language=language,
                 )
             )
+
+        if language is None:
+            # per-stream language ID over the first windows, batched
+            # (the reference detects per file, transcribe.py:817-867)
+            self._detect_stream_languages(streams)
+        self.stream_meta = {
+            s.name: {"language": s.language, "language_probs": s.language_probs}
+            for s in streams
+        }
 
         B = self.batch_size
         n_iter = 0
@@ -226,6 +321,7 @@ class BatchTranscriber:
             mels = []
             prompts = []
             sizes = []
+            languages: List[Optional[str]] = []
             for s in batch:
                 mel_window = pad_or_trim(
                     s.mel[:, s.seek : s.seek + N_FRAMES], N_FRAMES, axis=-1
@@ -233,18 +329,22 @@ class BatchTranscriber:
                 mels.append(mel_window)
                 prompts.append(s.all_tokens[s.prompt_reset_since:] if condition_on_previous_text else [])
                 sizes.append(min(N_FRAMES, s.content_frames - s.seek))
+                languages.append(s.language)
             # pad the batch to the fixed size with silent windows
             n_real = len(mels)
             while len(mels) < B:
                 mels.append(np.zeros_like(mels[0]))
                 prompts.append([])
+                languages.append(None)
             mels = np.stack(mels)
 
             # per-iteration key (the serial path varies its key per window via
             # rng_seed + seek, engine.py; reusing one key across iterations
             # would correlate the sampling noise of every window)
             it_seed = rng_seed + 104729 * n_iter
-            results = self._decode_batch(mels, prompts, opts, temperature[0], it_seed)
+            results = self._decode_batch_best_of(
+                mels, prompts, opts, temperature[0], it_seed, languages
+            )
 
             # temperature fallback on the failing subset (batched re-decode)
             for ti, t in enumerate(temperature[1:], start=1):
@@ -257,9 +357,13 @@ class BatchTranscriber:
                 ]
                 if not failing:
                     break
-                sub_mels = np.stack([mels[i] for i in failing] + [mels[0]] * (B - len(failing)))
-                sub_prompts = [prompts[i] for i in failing] + [[]] * (B - len(failing))
-                retry = self._decode_batch(sub_mels, sub_prompts, opts, t, it_seed + ti)
+                n_pad = B - len(failing)
+                sub_mels = np.stack([mels[i] for i in failing] + [mels[0]] * n_pad)
+                sub_prompts = [prompts[i] for i in failing] + [[]] * n_pad
+                sub_langs = [languages[i] for i in failing] + [None] * n_pad
+                retry = self._decode_batch_best_of(
+                    sub_mels, sub_prompts, opts, t, it_seed + ti, sub_langs
+                )
                 for k, i in enumerate(failing):
                     results[i] = retry[k]
 
@@ -289,7 +393,7 @@ def transcribe_batch(
     audios: Dict[str, Any],
     tokenizer: Tokenizer,
     *,
-    language: str,
+    language: Optional[str] = None,
     batch_size: int = 8,
     mesh=None,
     compute_word_confidence: bool = True,
@@ -299,6 +403,7 @@ def transcribe_batch(
     remove_empty_words: bool = False,
     vad=False,
     device_alignment: Optional[bool] = None,
+    engine: Optional[DecodeEngine] = None,
     **window_options,
 ) -> Dict[str, dict]:
     """High-level batched API: name -> full whisper-timestamped result dict.
@@ -306,7 +411,9 @@ def transcribe_batch(
     ``vad`` applies per-stream speech extraction on the host before the batched
     decode; word/segment timestamps are mapped back to original-audio time.
     ``device_alignment`` keeps attention on device and aligns with the batched
-    Pallas cost+DTW kernels (default: the WTT_DEVICE_ALIGN env var)."""
+    Pallas cost+DTW kernels (default: the WTT_DEVICE_ALIGN env var).
+    ``engine`` overrides the default DecodeEngine (custom attn dtype /
+    int8 cross-KV / pre-attached mesh)."""
     from ..api import (
         align_and_score_segment,
         device_align_segments,
@@ -337,18 +444,36 @@ def transcribe_batch(
             speech_activity[name] = [{"start": s, "end": e} for (s, e) in segs]
         audios = preprocessed
 
-    engine = DecodeEngine(model, tokenizer)
+    if engine is None:
+        engine = DecodeEngine(model, tokenizer, mesh=mesh)
+    elif mesh is not None and engine.mesh is None:
+        engine.attach_mesh(mesh)
     full_device = (
         device_alignment
         and not detect_disfluencies
         and len(engine.align_heads) <= MAX_K
     )
+    if device_alignment and not full_device:
+        # never downgrade silently (the reference warns on every such repair
+        # or fallback, e.g. transcribe.py:496-538)
+        reasons = []
+        if detect_disfluencies:
+            reasons.append("detect_disfluencies=True needs per-token peak "
+                           "detection on the host cost matrix")
+        if len(engine.align_heads) > MAX_K:
+            reasons.append(
+                f"{len(engine.align_heads)} alignment heads exceed the device "
+                f"aligner's capacity ({MAX_K})"
+            )
+        logger.warning(
+            "device_alignment requested but falling back to host alignment: %s",
+            "; ".join(reasons),
+        )
     bt = BatchTranscriber(
         engine, batch_size=batch_size, mesh=mesh, fetch_alignment=not full_device
     )
 
     refine_nframes = round(refine_whisper_precision / 0.02)
-    use_space = should_use_space(language)
 
     # device-alignment mode: align each window step's segments as soon as the
     # step completes, then drop the step's attention buffer — retaining every
@@ -363,13 +488,10 @@ def transcribe_batch(
             for seg in new_segments
         ]
         all_jumps = device_align_segments(entries, engine.tokenizer, refine_nframes)
-        windows = set()
         for (seg, p), j in zip(entries, all_jumps):
             preps_map[id(seg)] = p
             jumps_map[id(seg)] = j
-            windows.add(id(seg.window))
             seg.window.attn_dev = None  # release the device attention buffer
-        del windows
 
     all_segments = bt.transcribe_streams(
         audios, language=language,
@@ -378,6 +500,9 @@ def transcribe_batch(
 
     results = {}
     for name, segments in all_segments.items():
+        meta = bt.stream_meta.get(name, {})
+        stream_language = meta.get("language") or language or "en"
+        use_space = should_use_space(stream_language)
         words: List[dict] = []
         seg_dicts: List[dict] = []
         for seg in segments:
@@ -404,8 +529,10 @@ def transcribe_batch(
         transcription = {
             "text": "".join(s["text"] for s in seg_dicts),
             "segments": seg_dicts,
-            "language": language,
+            "language": stream_language,
         }
+        if meta.get("language_probs") is not None:
+            transcription["language_probs"] = meta["language_probs"]
         transcription = finalize_transcription(
             transcription, words,
             remove_empty_words=remove_empty_words,
