@@ -114,6 +114,145 @@ def test_silero_hysteresis_brief_dip():
     assert len(segs) == 1  # dip bridged
 
 
+def _make_fake_silero_jit(tmp_path):
+    """A torchscript model with the silero-v5 architecture and state_dict
+    schema (STFT basis conv -> 4 reparam convs -> LSTMCell -> conv head,
+    64-sample streaming context) — the oracle for the JAX port."""
+    import torch
+    import torch.nn as nn
+
+    class Stft(nn.Module):
+        def __init__(self):
+            super().__init__()
+            g = torch.Generator().manual_seed(7)
+            self.register_buffer(
+                "forward_basis_buffer", torch.randn(258, 1, 256, generator=g) * 0.1
+            )
+
+        def forward(self, x):  # (B, 576) -> (B, 129, T)
+            out = nn.functional.conv1d(x[:, None, :], self.forward_basis_buffer, stride=128)
+            return torch.sqrt(out[:, :129] ** 2 + out[:, 129:] ** 2 + 1e-12)
+
+    class EncBlock(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.reparam_conv = nn.Conv1d(cin, cout, 3, stride=stride, padding=1)
+
+        def forward(self, x):
+            return torch.relu(self.reparam_conv(x))
+
+    class Decoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rnn = nn.LSTMCell(128, 128)
+            self.decoder = nn.Sequential(
+                nn.Identity(), nn.ReLU(), nn.Conv1d(128, 1, 1), nn.Sigmoid()
+            )
+
+    class Inner(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stft = Stft()
+            self.encoder = nn.Sequential(
+                EncBlock(129, 128, 1), EncBlock(128, 64, 2),
+                EncBlock(64, 64, 2), EncBlock(64, 128, 1),
+            )
+            self.decoder = Decoder()
+
+    class FakeSilero(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self._model = Inner()
+            self.register_buffer("_h", torch.zeros(1, 128))
+            self.register_buffer("_c", torch.zeros(1, 128))
+            self.register_buffer("_ctx", torch.zeros(64))
+
+        @torch.jit.export
+        def reset_states(self):
+            self._h.zero_()
+            self._c.zero_()
+            self._ctx.zero_()
+
+        def forward(self, x, sr: int):
+            frame = torch.cat([self._ctx, x])[None]  # (1, 576)
+            mag = self._model.stft(frame)
+            feat = self._model.encoder(mag).mean(dim=-1)  # (1, 128)
+            h, c = self._model.decoder.rnn(feat, (self._h, self._c))
+            self._h.copy_(h)
+            self._c.copy_(c)
+            self._ctx.copy_(x[-64:])
+            return self._model.decoder.decoder(h[:, :, None]).reshape(())
+
+    torch.manual_seed(3)
+    path = str(tmp_path / "silero_vad.jit")
+    torch.jit.script(FakeSilero().eval()).save(path)
+    return path
+
+
+def test_jax_silero_port_matches_torchscript(tmp_path):
+    from whisper_timestamped_tpu.models import silero_jax as sj
+
+    path = _make_fake_silero_jit(tmp_path)
+    jax_fn = sj.load_jax_prob_model(path)
+    assert jax_fn is not None and getattr(jax_fn, "is_jax", False)
+    ts_fn = sj.load_torchscript_prob_model(path)
+    rng = np.random.default_rng(1)
+    chunks = (rng.standard_normal((20, 512)) * 0.3).astype(np.float32)
+    np.testing.assert_allclose(
+        jax_fn(chunks, 16000), ts_fn(chunks, 16000), atol=1e-4
+    )
+
+
+def test_jax_silero_end_to_end_via_vad(tmp_path, monkeypatch):
+    """vad='silero' resolves weights from SILERO_VAD_PATH and segments
+    through the JAX port; segments equal the torchscript adapter's."""
+    from whisper_timestamped_tpu.models import silero_jax as sj
+
+    path = _make_fake_silero_jit(tmp_path)
+    monkeypatch.setenv("SILERO_VAD_PATH", path)
+    a = _speech_like()
+    segs = get_vad_segments(a, method="silero", dilatation=0.0)
+    assert sj._PROB_MODEL_CACHE[path].is_jax
+
+    ts_segs = sj.silero_get_speech_timestamps(
+        a, path, probs_fn=sj.load_torchscript_prob_model(path),
+        min_speech_duration=0.1, min_silence_duration=0.1,
+    )
+    jx_segs = sj.silero_get_speech_timestamps(
+        a, path, min_speech_duration=0.1, min_silence_duration=0.1,
+    )
+    assert jx_segs == ts_segs
+
+
+def test_silero_unknown_architecture_falls_back(tmp_path):
+    """A .jit model outside the known schema must use the torchscript
+    adapter, not silently mis-score."""
+    import torch
+    import torch.nn as nn
+
+    from whisper_timestamped_tpu.models import silero_jax as sj
+
+    class Odd(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = nn.Linear(512, 1)
+
+        @torch.jit.export
+        def reset_states(self):
+            pass
+
+        def forward(self, x, sr: int):
+            return torch.sigmoid(self.lin(x)).reshape(())
+
+    path = str(tmp_path / "odd.jit")
+    torch.jit.script(Odd().eval()).save(path)
+    assert sj.load_jax_prob_model(path) is None
+    fn = sj._cached_prob_model(path)
+    assert not getattr(fn, "is_jax", False)
+    probs = fn(np.zeros((3, 512), np.float32), 16000)
+    assert probs.shape == (3,)
+
+
 def test_silero_fake_prob_model_end_to_end():
     from whisper_timestamped_tpu.models.silero_jax import silero_get_speech_timestamps
 

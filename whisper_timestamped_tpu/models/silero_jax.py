@@ -3,10 +3,15 @@
 The reference loads silero via ``torch.hub`` + the package's
 ``get_speech_timestamps`` util (reference ``transcribe.py:1949-2023``). Here:
 
-  * the frame-probability model is pluggable: locally cached silero
-    ``.jit`` weights run through torch-cpu (VAD is a host-side pre-pass; the
-    TPU-native default is the energy VAD in vad.py), or any callable
-    ``probs_fn(chunks (B, window), sample_rate) -> (B,)``;
+  * the frame-probability model is a **JAX port** of the silero VAD network
+    (STFT filter-bank conv -> 4-layer conv encoder -> LSTM cell -> 1x1 conv
+    head): the ``.jit`` checkpoint's state_dict is parsed ONCE at load time
+    (torch on host), after which inference is a single jitted program —
+    framing, STFT, and the encoder run batched over all chunks, the LSTM is
+    a ``lax.scan`` over the chunk axis. The port is self-validating: at load
+    it is checked against the torchscript forward on random chunks, and any
+    mismatch (an unknown silero architecture revision) falls back to the
+    torchscript adapter with a log message.
   * the hysteresis state machine below reimplements the published silero
     ``get_speech_timestamps`` semantics (threshold / neg_threshold=thr-0.15,
     min_speech/min_silence durations, speech padding) and is unit-tested
@@ -18,11 +23,162 @@ Nothing is downloaded: silero weights must already exist locally
 
 from __future__ import annotations
 
+import logging
 from typing import Callable, List, Optional
 
 import numpy as np
 
+logger = logging.getLogger("whisper_timestamped_tpu")
+
 WINDOW_SIZE_SAMPLES = 512  # silero v4/v5 @ 16 kHz
+CONTEXT_SAMPLES = 64  # leading context carried from the previous chunk (v5)
+
+
+# ---------------------------------------------------------------------------
+# JAX port of the silero VAD network (v5 architecture)
+# ---------------------------------------------------------------------------
+
+# state_dict schema of the published silero-vad v5 .jit checkpoint (16 kHz
+# path). The shapes drive the jnp forward; anything else falls back to the
+# torchscript adapter.
+_V5_KEYS = {
+    "stft": "_model.stft.forward_basis_buffer",  # (258, 1, 256) conv, stride 128
+    "enc_w": "_model.encoder.{i}.reparam_conv.weight",  # 4 conv1d layers, k=3
+    "enc_b": "_model.encoder.{i}.reparam_conv.bias",
+    "rnn_wi": "_model.decoder.rnn.weight_ih",  # LSTMCell(128, 128)
+    "rnn_wh": "_model.decoder.rnn.weight_hh",
+    "rnn_bi": "_model.decoder.rnn.bias_ih",
+    "rnn_bh": "_model.decoder.rnn.bias_hh",
+    "head_w": "_model.decoder.decoder.2.weight",  # (1, 128, 1) conv head
+    "head_b": "_model.decoder.decoder.2.bias",
+}
+_ENC_STRIDES = (1, 2, 2, 1)  # per encoder layer, padding 1 each
+
+
+def parse_silero_state_dict(sd: dict) -> Optional[dict]:
+    """Extract the v5-schema weights as numpy arrays, or None if the
+    checkpoint does not match (e.g. the v3/v4 architecture)."""
+
+    def get(key):
+        t = sd.get(key)
+        return None if t is None else np.asarray(t.detach().cpu().numpy(), np.float32)
+
+    stft = get(_V5_KEYS["stft"])
+    if stft is None or stft.ndim != 3 or stft.shape[1] != 1 or stft.shape[0] % 2:
+        return None
+    enc = []
+    for i in range(4):
+        w = get(_V5_KEYS["enc_w"].format(i=i))
+        b = get(_V5_KEYS["enc_b"].format(i=i))
+        if w is None or b is None or w.ndim != 3 or w.shape[2] != 3:
+            return None
+        enc.append((w, b))
+    rnn = tuple(get(_V5_KEYS[k]) for k in ("rnn_wi", "rnn_wh", "rnn_bi", "rnn_bh"))
+    head_w, head_b = get(_V5_KEYS["head_w"]), get(_V5_KEYS["head_b"])
+    if any(x is None for x in rnn) or head_w is None or head_b is None:
+        return None
+    if rnn[0].shape[0] != 4 * rnn[1].shape[1]:
+        return None
+    return {"stft": stft, "enc": enc, "rnn": rnn, "head": (head_w, head_b)}
+
+
+def make_jax_prob_fn(weights: dict) -> Callable[[np.ndarray, int], np.ndarray]:
+    """Build ``probs_fn(chunks (N, 512), sr) -> (N,)`` running entirely in
+    JAX. The LSTM recurrence is a ``lax.scan`` over chunks; everything before
+    it is batched over all chunks at once."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    stft = jnp.asarray(weights["stft"])  # (2F, 1, K)
+    enc = [(jnp.asarray(w), jnp.asarray(b)) for w, b in weights["enc"]]
+    wi, wh, bi, bh = (jnp.asarray(x) for x in weights["rnn"])
+    head_w, head_b = (jnp.asarray(x) for x in weights["head"])
+    F2, _, K = stft.shape
+    F = F2 // 2
+    H = wh.shape[1]
+
+    @jax.jit
+    def forward(chunks: jnp.ndarray) -> jnp.ndarray:  # (N, 512) -> (N,)
+        N = chunks.shape[0]
+        # v5 framing: each chunk is prefixed with the last 64 samples of the
+        # previous one (zeros before the first) -> 576-sample frames
+        flat = jnp.concatenate([jnp.zeros((CONTEXT_SAMPLES,), chunks.dtype), chunks.reshape(-1)])
+        idx = (
+            jnp.arange(N)[:, None] * WINDOW_SIZE_SAMPLES
+            + jnp.arange(WINDOW_SIZE_SAMPLES + CONTEXT_SAMPLES)[None, :]
+        )
+        frames = flat[idx]  # (N, 576)
+
+        # STFT as a strided conv with the precomputed real/imag basis
+        x = lax.conv_general_dilated(
+            frames[:, None, :], stft, window_strides=(K // 2,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )  # (N, 2F, T)
+        mag = jnp.sqrt(x[:, :F] ** 2 + x[:, F:] ** 2 + 1e-12)
+
+        h = mag
+        for (w, b), s in zip(enc, _ENC_STRIDES):
+            h = lax.conv_general_dilated(
+                h, jnp.asarray(w), window_strides=(s,), padding=[(1, 1)],
+                dimension_numbers=("NCW", "OIW", "NCW"),
+            ) + b[None, :, None]
+            h = jax.nn.relu(h)
+        feat = h.mean(axis=-1)  # (N, C) — collapse the residual time axis
+
+        def lstm_step(carry, x_t):
+            hS, cS = carry
+            gates = x_t @ wi.T + bi + hS @ wh.T + bh
+            i_g, f_g, g_g, o_g = jnp.split(gates, 4)
+            cS = jax.nn.sigmoid(f_g) * cS + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+            hS = jax.nn.sigmoid(o_g) * jnp.tanh(cS)
+            return (hS, cS), hS
+
+        (_, _), hs = lax.scan(
+            lstm_step, (jnp.zeros((H,)), jnp.zeros((H,))), feat
+        )  # (N, H)
+        out = jax.nn.relu(hs) @ head_w[0, :, 0] + head_b[0]
+        return jax.nn.sigmoid(out)
+
+    def probs_fn(chunks: np.ndarray, sample_rate: int) -> np.ndarray:
+        assert sample_rate == 16000, "the JAX silero port supports 16 kHz audio"
+        return np.asarray(forward(jnp.asarray(chunks, jnp.float32)))
+
+    probs_fn.is_jax = True  # inference is torch-free (tests assert this)
+    return probs_fn
+
+
+def load_jax_prob_model(path: str) -> Optional[Callable[[np.ndarray, int], np.ndarray]]:
+    """Parse silero ``.jit`` weights into the jnp forward; None on mismatch.
+
+    Self-validating: the JAX forward is compared against the torchscript
+    model on random chunks before torch is released — a silero architecture
+    this port does not model is detected here, not silently mis-scored.
+    """
+    import torch
+
+    model = torch.jit.load(path, map_location="cpu")
+    weights = parse_silero_state_dict(dict(model.state_dict()))
+    if weights is None:
+        return None
+    jax_fn = make_jax_prob_fn(weights)
+    ts_fn = load_torchscript_prob_model(path)
+    rng = np.random.default_rng(0)
+    chunks = (rng.standard_normal((6, WINDOW_SIZE_SAMPLES)) * 0.2).astype(np.float32)
+    try:
+        want = ts_fn(chunks, 16000)
+        got = jax_fn(chunks, 16000)
+    except Exception as exc:  # torchscript refused our call convention
+        logger.warning("silero torchscript validation failed (%s)", exc)
+        return None
+    if not np.allclose(got, want, atol=1e-4):
+        logger.warning(
+            "JAX silero port disagrees with the torchscript model "
+            "(max diff %.3g) — falling back to the torchscript adapter",
+            float(np.max(np.abs(got - want))),
+        )
+        return None
+    return jax_fn
 
 
 def load_torchscript_prob_model(path: str) -> Callable[[np.ndarray, int], np.ndarray]:
@@ -112,6 +268,19 @@ def speech_probs_to_timestamps(
     return speeches
 
 
+_PROB_MODEL_CACHE: dict = {}
+
+
+def _cached_prob_model(path: str) -> Callable[[np.ndarray, int], np.ndarray]:
+    """JAX port when the checkpoint matches, torchscript otherwise; cached so
+    weight parsing/validation happens once per path."""
+    fn = _PROB_MODEL_CACHE.get(path)
+    if fn is None:
+        fn = load_jax_prob_model(path) or load_torchscript_prob_model(path)
+        _PROB_MODEL_CACHE[path] = fn
+    return fn
+
+
 def silero_get_speech_timestamps(
     audio: np.ndarray,
     model_path: str,
@@ -136,7 +305,9 @@ def silero_get_speech_timestamps(
                 "onnxruntime is not available in this environment; provide a "
                 ".jit silero model or use the energy VAD."
             )
-        probs_fn = load_torchscript_prob_model(model_path)
+        # prefer the JAX port (torch is only touched once, to parse weights);
+        # unknown architectures fall back to the torchscript adapter
+        probs_fn = _cached_prob_model(model_path)
 
     n = len(audio)
     n_chunks = int(np.ceil(n / WINDOW_SIZE_SAMPLES))

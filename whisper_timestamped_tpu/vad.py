@@ -8,10 +8,12 @@ Port of the reference VAD subsystem (``check_vad_method``
   * ``"auditok"`` / ``"energy"``: an auditok-style energy splitter in
     numpy/jnp (reference delegates to the auditok package,
     ``transcribe.py:2025-2054``).
-  * ``"silero"`` (and ``"silero:vX.Y"``): the Silero VAD hysteresis state
-    machine reimplemented here, with frame probabilities from locally cached
-    silero weights (torch.hub cache / explicit path; torchscript adapter on
-    host torch, see ``models/silero_jax.py``). No downloads.
+  * ``"silero"`` (and ``"silero:vX.Y"``): a JAX port of the Silero VAD
+    network (``models/silero_jax.py``): locally cached ``.jit`` weights are
+    parsed once at load time, then inference is a jitted conv+LSTM-scan
+    program, load-time-validated against the torchscript model (which
+    remains the fallback for unknown silero revisions). The hysteresis state
+    machine is reimplemented here. No downloads.
   * explicit ``[(start, end), ...]`` second pairs.
 
 Segment dilation+merge and the piecewise timestamp back-conversion match the
