@@ -144,3 +144,23 @@ def test_languages_table():
     assert len(LANGUAGES) == 100
     assert list(LANGUAGES)[0] == "en"
     assert list(LANGUAGES)[-1] == "yue"
+
+
+def test_encode_allowed_special_maps_specials_and_timestamps():
+    from model_utils import make_tokenizer
+
+    t = make_tokenizer()
+    # named specials map to their ids
+    ids = t.encode("<|startoftranscript|>", allowed_special="all")
+    assert ids == [t.sot]
+    # timestamp literals are registered specials in tiktoken/whisper: they
+    # must resolve to timestamp ids, not byte-BPE of the literal text
+    assert t.encode("<|0.00|>", allowed_special="all") == [t.timestamp_begin]
+    assert t.encode("<|1.50|>", allowed_special="all") == [t.timestamp_begin + 75]
+    assert t.encode("<|30.00|>", allowed_special="all") == [t.timestamp_begin + 1500]
+    # non-multiples of 20 ms are NOT registered: byte-BPE'd as text
+    assert len(t.encode("<|0.01|>", allowed_special="all")) > 1
+    # without allowed_special, the literal is byte-BPE'd
+    assert len(t.encode("<|0.00|>")) > 1
+    # a specific allow-set works for timestamps too
+    assert t.encode("<|0.02|>", allowed_special={"<|0.02|>"}) == [t.timestamp_begin + 1]

@@ -1067,7 +1067,10 @@ def _self_attn_stacked_kernel(
         * inv
     )  # (CTX, HP)
     row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    valid = (row >= pad_b) & (row <= pos)
+    # the query's own slot stays attendable even when pos < pad_b (mirrors
+    # decode_step's "col == pos" escape hatch: a fully masked row would turn
+    # this softmax into NaNs that poison later cache slots)
+    valid = ((row >= pad_b) & (row <= pos)) | (row == pos)
     scores = jnp.where(valid, scores, -jnp.inf)
     m = jnp.max(scores, axis=0, keepdims=True)
     p = jnp.exp(scores - m)

@@ -268,17 +268,32 @@ class Tokenizer:
     def encode(self, text: str, allowed_special=None) -> List[int]:
         """``allowed_special`` mirrors tiktoken: "all" (or a set of special
         token strings) maps occurrences of those specials to their ids
-        instead of byte-BPE-ing the literal "<|...|>" text."""
+        instead of byte-BPE-ing the literal "<|...|>" text. tiktoken/whisper
+        registers all 1501 timestamp strings (``<|0.00|>``..``<|30.00|>``) as
+        specials too, so those resolve to timestamp ids here."""
         if not allowed_special:
             return self.bpe.encode(text)
-        allowed = (
-            set(self._specials) if allowed_special == "all" else set(allowed_special)
-        )
+        allow_all = allowed_special == "all"
+        allowed = set() if allow_all else set(allowed_special)
+
+        def special_id(s: str):
+            tok_id = self._specials.get(s)
+            if tok_id is not None:
+                return tok_id if (allow_all or s in allowed) else None
+            ts = re.fullmatch(r"<\|(\d{1,2})\.(\d{2})\|>", s)
+            if ts is None or not (allow_all or s in allowed):
+                return None
+            cents = int(ts.group(1)) * 100 + int(ts.group(2))
+            # only exact 20 ms multiples up to 30.00 are registered specials
+            if cents % 2 == 0 and cents <= 3000:
+                return self._timestamp_begin + cents // 2
+            return None
+
         out: List[int] = []
         pos = 0
         for m in re.finditer(r"<\|[^<>|]*\|>", text):
-            tok_id = self._specials.get(m.group(0))
-            if tok_id is None or m.group(0) not in allowed:
+            tok_id = special_id(m.group(0))
+            if tok_id is None:
                 continue
             out.extend(self.bpe.encode(text[pos : m.start()]))
             out.append(tok_id)
