@@ -127,14 +127,24 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
                 json.dump(res, f, ensure_ascii=False)
         return results
 
+    from whisper_timestamped_tpu.utils.profiling import (
+        get_stage_timings, reset_stage_timings,
+    )
+
     with tempfile.TemporaryDirectory() as td:
         run(make_streams(10_000), td)  # compile + warmup
         times = []
         for rep in range(reps):
             streams = make_streams(rep)
+            reset_stage_timings()
             t0 = time.time()
             run(streams, td)
             times.append(time.time() - t0)
+            if os.environ.get("BENCH_STAGES") == "1":
+                stages = {
+                    k: round(v["total_s"], 3) for k, v in get_stage_timings().items()
+                }
+                print(f"# rep {rep}: {times[-1]:.2f}s stages={stages}", file=sys.stderr)
     return B * stream_seconds / min(times)
 
 

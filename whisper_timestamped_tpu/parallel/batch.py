@@ -37,16 +37,19 @@ from ..engine import (
 )
 from ..postprocess import ensure_increasing_positions
 from ..tokenizer import Tokenizer
+from ..utils.profiling import stage_timer
 
 logger = logging.getLogger("whisper_timestamped_tpu")
 
 
 @dataclass
 class _Stream:
-    """Per-file decoding state."""
+    """Per-file decoding state. The stream's mel lives in the transcriber's
+    stacked device array (row ``row``) — only token ids and scalars ever
+    cross the host boundary during the decode loop."""
 
     name: str
-    mel: np.ndarray  # (n_mels, total_frames) incl. 30s zero padding
+    row: int  # index into the stacked device mel array
     content_frames: int
     seek: int = 0
     all_tokens: List[int] = field(default_factory=list)
@@ -55,6 +58,18 @@ class _Stream:
     done: bool = False
     language: Optional[str] = None
     language_probs: Optional[dict] = None
+
+
+@jax.jit
+def _slice_windows_jit(mel_stack, rows, seeks):
+    """Per-row (n_mels, N_FRAMES) windows out of the stacked device mel."""
+    n_mels = mel_stack.shape[1]
+
+    def one(row, seek):
+        m = jax.lax.dynamic_index_in_dim(mel_stack, row, 0, keepdims=False)
+        return jax.lax.dynamic_slice(m, (0, seek), (n_mels, N_FRAMES))
+
+    return jax.vmap(one)(rows, seeks)
 
 
 class BatchTranscriber:
@@ -172,6 +187,15 @@ class BatchTranscriber:
         )
 
     # --------------------------------------------------------------
+    def _gather_windows(self, rows: List[int], seeks: List[int]) -> jnp.ndarray:
+        """(B, n_mels, N_FRAMES) window batch sliced out of the device mel
+        stack — one tiny jitted gather, zero host traffic."""
+        B = self.batch_size
+        rows = np.asarray((rows + [0] * B)[:B], np.int32)
+        seeks = np.asarray((seeks + [0] * B)[:B], np.int32)
+        return _slice_windows_jit(self._mel_stack, jnp.asarray(rows), jnp.asarray(seeks))
+
+    # --------------------------------------------------------------
     def _detect_stream_languages(self, streams: List[_Stream]) -> None:
         """Batched language-ID over each stream's first 30-s window.
 
@@ -183,12 +207,7 @@ class BatchTranscriber:
         B = self.batch_size
         for c0 in range(0, len(streams), B):
             chunk = streams[c0 : c0 + B]
-            mels = [
-                pad_or_trim(s.mel[:, :N_FRAMES], N_FRAMES, axis=-1) for s in chunk
-            ]
-            while len(mels) < B:
-                mels.append(np.zeros_like(mels[0]))
-            mel_dev = jnp.asarray(np.stack(mels).astype(np.float32))
+            mel_dev = self._gather_windows([s.row for s in chunk], [0] * len(chunk))
             if engine.mesh is not None:
                 from .mesh import place_batch
 
@@ -230,7 +249,12 @@ class BatchTranscriber:
         for c0 in range(0, len(rep_idx), B):
             chunk = rep_idx[c0 : c0 + B]
             pad = B - len(chunk)
-            sub_mels = np.stack([mels[i] for i in chunk] + [mels[0]] * pad)
+            idx = np.asarray(chunk + [0] * pad, np.int32)
+            sub_mels = (
+                jnp.take(mels, jnp.asarray(idx), axis=0)
+                if isinstance(mels, jnp.ndarray)
+                else np.take(np.asarray(mels), idx, axis=0)
+            )
             sub_prompts = [prompts[i] for i in chunk] + [[]] * pad
             sub_langs = (
                 [languages[i] for i in chunk] + [None] * pad if languages else None
@@ -286,17 +310,32 @@ class BatchTranscriber:
                 "serial transcribe_timestamped API for beam search"
             )
 
+        # One batched on-device mel for ALL streams (shorter audio is
+        # zero-padded to the longest, which IS whisper's window padding —
+        # log-mel of appended zeros equals the per-stream padding). The mel
+        # stack stays on device for the whole run: every window batch is a
+        # jitted dynamic-slice gather, so no mel bytes ever cross the
+        # host↔device boundary after the initial audio upload (the dominant
+        # cost on remote-tunnel TPUs).
+        with stage_timer("batch_mel"):
+            wavs = [np.asarray(load_audio(a), np.float32) for a in audios.values()]
+            lengths = [w.shape[-1] for w in wavs]
+            audio_stack = np.zeros((len(wavs), max(lengths)), np.float32)
+            for i, w in enumerate(wavs):
+                audio_stack[i, : len(w)] = w
+            self._mel_stack = log_mel_spectrogram(
+                audio_stack, n_mels=dims.n_mels, padding=N_FRAMES * HOP_LENGTH
+            )  # device (N, n_mels, T_max + N_FRAMES)
+
         streams: List[_Stream] = []
-        for name, audio in audios.items():
-            wav = load_audio(audio)
-            mel = np.asarray(
-                log_mel_spectrogram(wav, n_mels=dims.n_mels, padding=N_FRAMES * HOP_LENGTH)
-            )
+        for row, (name, n_samples) in enumerate(zip(audios, lengths)):
             streams.append(
                 _Stream(
                     name=name,
-                    mel=mel,
-                    content_frames=mel.shape[-1] - N_FRAMES,
+                    row=row,
+                    # same value the per-stream mel would give: frame count
+                    # minus the 30-s padding (HOP divides N_SAMPLES exactly)
+                    content_frames=n_samples // HOP_LENGTH,
                     language=language,
                 )
             )
@@ -318,33 +357,29 @@ class BatchTranscriber:
                 break
             n_iter += 1
             batch = active[:B]
-            mels = []
             prompts = []
             sizes = []
             languages: List[Optional[str]] = []
             for s in batch:
-                mel_window = pad_or_trim(
-                    s.mel[:, s.seek : s.seek + N_FRAMES], N_FRAMES, axis=-1
-                )
-                mels.append(mel_window)
                 prompts.append(s.all_tokens[s.prompt_reset_since:] if condition_on_previous_text else [])
                 sizes.append(min(N_FRAMES, s.content_frames - s.seek))
                 languages.append(s.language)
-            # pad the batch to the fixed size with silent windows
-            n_real = len(mels)
-            while len(mels) < B:
-                mels.append(np.zeros_like(mels[0]))
-                prompts.append([])
-                languages.append(None)
-            mels = np.stack(mels)
+            # pad the batch to the fixed size (row 0 repeated; results ignored)
+            n_real = len(batch)
+            prompts += [[]] * (B - n_real)
+            languages += [None] * (B - n_real)
+            mels = self._gather_windows(
+                [s.row for s in batch], [s.seek for s in batch]
+            )
 
             # per-iteration key (the serial path varies its key per window via
             # rng_seed + seek, engine.py; reusing one key across iterations
             # would correlate the sampling noise of every window)
             it_seed = rng_seed + 104729 * n_iter
-            results = self._decode_batch_best_of(
-                mels, prompts, opts, temperature[0], it_seed, languages
-            )
+            with stage_timer("batch_decode"):
+                results = self._decode_batch_best_of(
+                    mels, prompts, opts, temperature[0], it_seed, languages
+                )
 
             # temperature fallback on the failing subset (batched re-decode)
             for ti, t in enumerate(temperature[1:], start=1):
@@ -358,7 +393,10 @@ class BatchTranscriber:
                 if not failing:
                     break
                 n_pad = B - len(failing)
-                sub_mels = np.stack([mels[i] for i in failing] + [mels[0]] * n_pad)
+                # fixed-shape device gather: one compiled program for any
+                # failing-subset size
+                sub_idx = jnp.asarray(np.asarray((failing + [0] * B)[:B], np.int32))
+                sub_mels = jnp.take(mels, sub_idx, axis=0)
                 sub_prompts = [prompts[i] for i in failing] + [[]] * n_pad
                 sub_langs = [languages[i] for i in failing] + [None] * n_pad
                 retry = self._decode_batch_best_of(
@@ -483,15 +521,16 @@ def transcribe_batch(
     preps_map: Dict[int, Any] = {}
 
     def _align_step(new_segments: List[Segment]) -> None:
-        entries = [
-            (seg, prepare_segment_tokens(seg, engine.tokenizer))
-            for seg in new_segments
-        ]
-        all_jumps = device_align_segments(entries, engine.tokenizer, refine_nframes)
-        for (seg, p), j in zip(entries, all_jumps):
-            preps_map[id(seg)] = p
-            jumps_map[id(seg)] = j
-            seg.window.attn_dev = None  # release the device attention buffer
+        with stage_timer("batch_align"):
+            entries = [
+                (seg, prepare_segment_tokens(seg, engine.tokenizer))
+                for seg in new_segments
+            ]
+            all_jumps = device_align_segments(entries, engine.tokenizer, refine_nframes)
+            for (seg, p), j in zip(entries, all_jumps):
+                preps_map[id(seg)] = p
+                jumps_map[id(seg)] = j
+                seg.window.attn_dev = None  # release the device attention buffer
 
     all_segments = bt.transcribe_streams(
         audios, language=language,
@@ -499,6 +538,8 @@ def transcribe_batch(
     )
 
     results = {}
+    assemble_timer = stage_timer("batch_assemble")
+    assemble_timer.__enter__()
     for name, segments in all_segments.items():
         meta = bt.stream_meta.get(name, {})
         stream_language = meta.get("language") or language or "en"
@@ -544,4 +585,5 @@ def transcribe_batch(
         if name in speech_activity:
             transcription["speech_activity"] = speech_activity[name]
         results[name] = transcription
+    assemble_timer.__exit__(None, None, None)
     return results
