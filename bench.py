@@ -142,7 +142,8 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
             times.append(time.time() - t0)
             if os.environ.get("BENCH_STAGES") == "1":
                 stages = {
-                    k: round(v["total_s"], 3) for k, v in get_stage_timings().items()
+                    k: (round(v["total_s"], 3), v["count"])
+                    for k, v in get_stage_timings().items()
                 }
                 print(f"# rep {rep}: {times[-1]:.2f}s stages={stages}", file=sys.stderr)
     return B * stream_seconds / min(times)

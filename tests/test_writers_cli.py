@@ -312,3 +312,67 @@ def test_cli_stdout_json_is_clean(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     json.loads(proc.stdout)  # must parse as pure JSON
+
+
+def test_cli_vad_verbose_stdout_format(tmp_path):
+    """VAD behavior is pinned by the reference via verbose stdout transcripts
+    (reference test_transcribe.py:490-524; goldens like
+    tests/expected/verbose/vad_auditok_words.wav.stdout). Real-weight content
+    conformance is weights-gated (tools/run_reference_conformance.py); here
+    the FORMAT and the VAD back-conversion of the printed word lines are
+    pinned: `[mm:ss.mmm --> mm:ss.mmm] word` in ORIGINAL-audio time."""
+    import base64
+    import re
+    import wave
+
+    from model_utils import make_hf_model, save_openai_pt
+    from whisper_timestamped_tpu.tokenizer import synthetic_ranks
+
+    model = make_hf_model(seed=0)
+    ckpt = str(tmp_path / "model.pt")
+    save_openai_pt(model, ckpt)
+    with open(tmp_path / "multilingual.tiktoken", "wb") as f:
+        for k, v in synthetic_ranks().items():
+            f.write(base64.b64encode(k) + b" " + str(v).encode() + b"\n")
+
+    # 2s silence, then 3s of loud noise: VAD must cut the leading silence and
+    # the printed word timestamps must be mapped BACK past it
+    wav = str(tmp_path / "v.wav")
+    rng = np.random.default_rng(2)
+    sig = np.zeros(16000 * 5, np.float32)
+    sig[16000 * 2 :] = rng.standard_normal(16000 * 3) * 0.3
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((sig * 32767).astype("<i2").tobytes())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from whisper_timestamped_tpu.cli import main; main()",
+         wav, "--model", ckpt, "--language", "en", "--vad", "auditok",
+         "--verbose", "True", "--output_dir", str(tmp_path / "out"),
+         "--no_speech_threshold", "None", "--logprob_threshold", "None",
+         "--compression_ratio_threshold", "None"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    word_lines = [
+        l for l in proc.stdout.splitlines()
+        if re.match(r"^\[\d{2}:\d{2}\.\d{3} --> \d{2}:\d{2}\.\d{3}\]", l)
+    ]
+    assert word_lines, proc.stdout
+    line_re = re.compile(
+        r"^\[(\d{2}):(\d{2})\.(\d{3}) --> (\d{2}):(\d{2})\.(\d{3})\] .*$"
+    )
+    for line in word_lines:
+        m = line_re.match(line)
+        assert m, line
+    # first printed word must start in original-audio time, past the VAD cut
+    # (speech starts at 2.0s; 0.5s dilation -> earliest possible 1.5s)
+    m = line_re.match(word_lines[0])
+    start = int(m.group(1)) * 60 + int(m.group(2)) + int(m.group(3)) / 1000
+    assert start >= 1.4, word_lines[0]

@@ -220,6 +220,12 @@ def transcribe_timestamped(
         list(temperature) if isinstance(temperature, (list, tuple)) else [float(temperature)]
     )
 
+    # with VAD, on-the-fly printing would show speech-time (pre-back-
+    # conversion) timestamps, so live verbose is disabled and word lines are
+    # printed after VAD back-conversion instead (the reference applies the
+    # same rule, transcribe.py:286)
+    live_verbose = verbose if (vad is None or verbose is not True) else False
+
     if naive_approach:
         from .engine_naive import transcribe_naive
 
@@ -248,7 +254,7 @@ def transcribe_timestamped(
             compute_word_confidence=compute_word_confidence,
             include_punctuation_in_confidence=include_punctuation_in_confidence,
             detect_disfluencies=detect_disfluencies,
-            verbose=verbose,
+            verbose=live_verbose,
         )
     else:
         transcription, words = _transcribe_efficient(
@@ -270,7 +276,7 @@ def transcribe_timestamped(
             compute_word_confidence=compute_word_confidence,
             include_punctuation_in_confidence=include_punctuation_in_confidence,
             detect_disfluencies=detect_disfluencies,
-            verbose=verbose,
+            verbose=live_verbose,
             plot_word_alignment=plot_word_alignment,
             device_alignment=device_alignment,
         )

@@ -376,7 +376,8 @@ class BatchTranscriber:
             # rng_seed + seek, engine.py; reusing one key across iterations
             # would correlate the sampling noise of every window)
             it_seed = rng_seed + 104729 * n_iter
-            with stage_timer("batch_decode"):
+            logger.debug("window iteration %d: %d active streams", n_iter, n_real)
+            with stage_timer(f"batch_decode_a{min(n_real, B)}"):
                 results = self._decode_batch_best_of(
                     mels, prompts, opts, temperature[0], it_seed, languages
                 )

@@ -95,7 +95,13 @@ def _energy_split(
     analysis_window: float = 0.05,
 ) -> List[dict]:
     """auditok-style splitter: frames are speech when their log-energy (dB re
-    int16 LSB) exceeds the threshold; bounded silence inside a region."""
+    int16 LSB) exceeds the threshold; bounded silence inside a region.
+
+    Fully vectorized (run-length detection + gap merge) — no per-frame host
+    loop, so hour-scale multi-stream VAD stays cheap. Trailing silence is
+    dropped (auditok's ``drop_trailing_silence=True``): runs end at the
+    frame after the last active one.
+    """
     win = max(1, int(analysis_window * sample_rate))
     n = len(audio) // win
     if n == 0:
@@ -104,34 +110,36 @@ def _energy_split(
     frames = audio[: n * win].reshape(n, win).astype(np.float64) * 32767.0
     energy = 20.0 * np.log10(np.sqrt(np.mean(frames**2, axis=-1)) + 1e-10)
     active = energy >= energy_threshold_db
+    if not active.any():
+        return []
 
     audio_duration = len(audio) / sample_rate
     max_silence = min(audio_duration * 0.95, min_silence_duration)
     max_silence_frames = max(1, int(round(max_silence / analysis_window)))
     min_speech_frames = max(1, int(round(min_speech_duration / analysis_window)))
 
-    segments = []
-    start = None
-    silence = 0
-    for i, a in enumerate(active):
-        if a:
-            if start is None:
-                start = i
-            silence = 0
-        elif start is not None:
-            silence += 1
-            if silence > max_silence_frames:
-                end = i - silence + 1
-                if end - start >= min_speech_frames:
-                    segments.append({"start": start * win, "end": end * win})
-                start, silence = None, 0
-    if start is not None:
-        # drop trailing silence, like the in-loop close (and auditok's
-        # drop_trailing_silence=True): end is the frame after the last active one
-        end = n - silence
-        if end - start >= min_speech_frames:
-            segments.append({"start": start * win, "end": min(end * win, len(audio))})
-    return segments
+    flips = np.diff(active.astype(np.int8))
+    starts = np.flatnonzero(flips == 1) + 1
+    ends = np.flatnonzero(flips == -1) + 1  # exclusive
+    if active[0]:
+        starts = np.r_[0, starts]
+    if active[-1]:
+        ends = np.r_[ends, n]
+
+    # merge active runs whose silence gap fits within max_silence_frames
+    # (a region only closes when the in-region silence EXCEEDS the bound)
+    merged: List[Tuple[int, int]] = [(int(starts[0]), int(ends[0]))]
+    for s, e in zip(starts[1:].tolist(), ends[1:].tolist()):
+        if s - merged[-1][1] <= max_silence_frames:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+
+    return [
+        {"start": s * win, "end": min(e * win, len(audio))}
+        for s, e in merged
+        if e - s >= min_speech_frames
+    ]
 
 
 # ---------------------------------------------------------------------------
