@@ -324,3 +324,28 @@ def test_postprocess_invariant_on_reference_outputs():
         ], path
         t2, w2 = remove_last_null_duration_words(copy.deepcopy(result), copy.deepcopy(words))
         assert len(w2) <= len(words)
+
+
+def test_translate_task_prompt_and_result(model, tok, audio):
+    """task='translate' must put the translate token in the sot sequence and
+    flow through the full pipeline (reference passes task into whisper's
+    DecodingOptions via transcribe.py:165-204)."""
+    from whisper_timestamped_tpu.decoding import DecodingOptions
+    from whisper_timestamped_tpu.engine import DecodeEngine
+
+    eng = DecodeEngine(model, tok)
+    buf, plen, sot_from_end = eng.build_prompt(
+        [], DecodingOptions(language="fr", task="translate")
+    )
+    initial = buf[len(buf) - plen:].tolist()
+    assert initial[0] == tok.sot
+    assert initial[1] == tok.to_language_token("fr")
+    assert initial[2] == tok.translate
+
+    res = transcribe_timestamped(
+        model, audio, language="fr", task="translate", tokenizer=tok,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert res["language"] == "fr"
+    assert "segments" in res

@@ -125,6 +125,22 @@ def test_tp_batched_pipeline_matches_serial(model, tok):
             assert s.start == b.start and s.end == b.end
 
 
+def test_tail_batch_matches_full_batch(model, tok):
+    """tail_batch switches late iterations to a smaller static program; the
+    decoded tokens must not change."""
+    audios = {"a": _audio(0, 5), "b": _audio(1, 8), "c": _audio(2, 12)}
+    kw = dict(language="en", temperature=[0.0], no_speech_threshold=None,
+              logprob_threshold=None)
+    ref = BatchTranscriber(DecodeEngine(model, tok), batch_size=4).transcribe_streams(
+        audios, **kw
+    )
+    got = BatchTranscriber(
+        DecodeEngine(model, tok), batch_size=4, tail_batch=2
+    ).transcribe_streams(audios, **kw)
+    for name in audios:
+        assert [s.tokens for s in got[name]] == [s.tokens for s in ref[name]]
+
+
 def test_batched_language_autodetect_matches_serial(model):
     """language=None: per-stream batched language-ID must reproduce the
     serial path's detection and decode."""

@@ -317,13 +317,16 @@ class DecodeEngine:
         logprobs and scalars — a few KB — cross the host boundary. The big
         buffers dominate the transfer cost on remote-tunnel TPUs."""
         tok = self.tokenizer
-        tokens_all = np.asarray(out["tokens"])
-        logprobs_all = np.asarray(out["token_logprobs"])
-        sum_lp = np.asarray(out["sum_logprobs"])
-        nsp = np.asarray(out["no_speech_prob"])
+        # ONE host transfer for all the small outputs — on remote-tunnel TPUs
+        # every np.asarray is a separate round trip (~0.1 s each)
+        small = jax.device_get(
+            (out["tokens"], out["token_logprobs"], out["sum_logprobs"],
+             out["no_speech_prob"])
+        )
+        tokens_all, logprobs_all, sum_lp, nsp = (np.asarray(x) for x in small)
         if fetch_alignment:
-            ts_lp_all = np.asarray(out["ts_logprobs"])
-            attn_all = np.asarray(out["attn"], np.float32)
+            ts_lp_all, attn_all = jax.device_get((out["ts_logprobs"], out["attn"]))
+            attn_all = np.asarray(attn_all, np.float32)
 
         results = []
         for b in range(tokens_all.shape[0]):

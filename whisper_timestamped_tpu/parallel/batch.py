@@ -18,6 +18,7 @@ flight, not from pooling a single stream's windows.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -87,6 +88,7 @@ class BatchTranscriber:
         batch_size: int = 8,
         mesh=None,
         fetch_alignment: bool = True,
+        tail_batch: Optional[int] = None,
     ):
         self.engine = engine
         self.batch_size = batch_size
@@ -99,6 +101,12 @@ class BatchTranscriber:
         self.fetch_alignment = fetch_alignment
         # name -> {"language", "language_probs"} after transcribe_streams
         self.stream_meta: Dict[str, dict] = {}
+        # optional smaller static batch for late "tail" iterations (few
+        # streams still active): per-step cost is ~batch-proportional
+        # (HBM-bound), so decoding 3 stragglers in a 40-row program wastes
+        # most of the step. Costs one extra compiled program per prompt
+        # region; None disables.
+        self.tail_batch = tail_batch
 
     # --------------------------------------------------------------
     def _decode_batch(
@@ -159,7 +167,9 @@ class BatchTranscriber:
 
         out = decode_window_jit(
             engine.model.params,
-            put(np.asarray(mels, np.float32)),
+            # device-resident mels pass straight through (np.asarray would
+            # round-trip the (B, n_mels, 3000) batch through the host)
+            put(mels if isinstance(mels, jnp.ndarray) else np.asarray(mels, np.float32)),
             put(prompt),
             put(prompt_len),
             sm,
@@ -187,10 +197,12 @@ class BatchTranscriber:
         )
 
     # --------------------------------------------------------------
-    def _gather_windows(self, rows: List[int], seeks: List[int]) -> jnp.ndarray:
+    def _gather_windows(
+        self, rows: List[int], seeks: List[int], batch: Optional[int] = None
+    ) -> jnp.ndarray:
         """(B, n_mels, N_FRAMES) window batch sliced out of the device mel
         stack — one tiny jitted gather, zero host traffic."""
-        B = self.batch_size
+        B = batch or self.batch_size
         rows = np.asarray((rows + [0] * B)[:B], np.int32)
         seeks = np.asarray((seeks + [0] * B)[:B], np.int32)
         return _slice_windows_jit(self._mel_stack, jnp.asarray(rows), jnp.asarray(seeks))
@@ -242,7 +254,7 @@ class BatchTranscriber:
             return self._decode_batch(
                 mels, prompts, options, temperature, rng_seed, languages
             )
-        B = self.batch_size
+        B = len(prompts)  # the (possibly tail-sized) window batch
         n_rows = len(prompts)
         rep_idx = [i for i in range(n_rows) for _ in range(n)]
         best: List[Optional[WindowDecodeResult]] = [None] * n_rows
@@ -356,7 +368,10 @@ class BatchTranscriber:
             if not active:
                 break
             n_iter += 1
-            batch = active[:B]
+            B_eff = B
+            if self.tail_batch and len(active) <= self.tail_batch:
+                B_eff = self.tail_batch  # straggler phase: smaller program
+            batch = active[:B_eff]
             prompts = []
             sizes = []
             languages: List[Optional[str]] = []
@@ -366,10 +381,10 @@ class BatchTranscriber:
                 languages.append(s.language)
             # pad the batch to the fixed size (row 0 repeated; results ignored)
             n_real = len(batch)
-            prompts += [[]] * (B - n_real)
-            languages += [None] * (B - n_real)
+            prompts += [[]] * (B_eff - n_real)
+            languages += [None] * (B_eff - n_real)
             mels = self._gather_windows(
-                [s.row for s in batch], [s.seek for s in batch]
+                [s.row for s in batch], [s.seek for s in batch], batch=B_eff
             )
 
             # per-iteration key (the serial path varies its key per window via
@@ -377,7 +392,7 @@ class BatchTranscriber:
             # would correlate the sampling noise of every window)
             it_seed = rng_seed + 104729 * n_iter
             logger.debug("window iteration %d: %d active streams", n_iter, n_real)
-            with stage_timer(f"batch_decode_a{min(n_real, B)}"):
+            with stage_timer(f"batch_decode_b{B_eff}_a{n_real}"):
                 results = self._decode_batch_best_of(
                     mels, prompts, opts, temperature[0], it_seed, languages
                 )
@@ -393,10 +408,10 @@ class BatchTranscriber:
                 ]
                 if not failing:
                     break
-                n_pad = B - len(failing)
+                n_pad = B_eff - len(failing)
                 # fixed-shape device gather: one compiled program for any
                 # failing-subset size
-                sub_idx = jnp.asarray(np.asarray((failing + [0] * B)[:B], np.int32))
+                sub_idx = jnp.asarray(np.asarray((failing + [0] * B_eff)[:B_eff], np.int32))
                 sub_mels = jnp.take(mels, sub_idx, axis=0)
                 sub_prompts = [prompts[i] for i in failing] + [[]] * n_pad
                 sub_langs = [languages[i] for i in failing] + [None] * n_pad
@@ -464,8 +479,6 @@ def transcribe_batch(
     from ..vad import check_vad_method, remove_non_speech
 
     if device_alignment is None:
-        import os
-
         device_alignment = os.environ.get("WTT_DEVICE_ALIGN") == "1"
 
     vad = check_vad_method(vad)
@@ -508,8 +521,10 @@ def transcribe_batch(
             "device_alignment requested but falling back to host alignment: %s",
             "; ".join(reasons),
         )
+    tail_batch = os.environ.get("WTT_TAIL_BATCH")
     bt = BatchTranscriber(
-        engine, batch_size=batch_size, mesh=mesh, fetch_alignment=not full_device
+        engine, batch_size=batch_size, mesh=mesh, fetch_alignment=not full_device,
+        tail_batch=int(tail_batch) if tail_batch else None,
     )
 
     refine_nframes = round(refine_whisper_precision / 0.02)
