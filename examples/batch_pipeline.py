@@ -22,16 +22,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("audio", nargs="+")
     ap.add_argument("--model", required=True)
-    ap.add_argument("--language", required=True)
+    ap.add_argument("--language", default=None,
+                    help="omit for per-stream auto-detection")
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     args = ap.parse_args()
 
     model = wtt.load_model(args.model)
     tok = _resolve_tokenizer(model, args.tokenizer, args.language, "transcribe")
     import jax
 
-    mesh = get_mesh(tp=1) if len(jax.devices()) > 1 else None
+    mesh = get_mesh(tp=args.tp) if len(jax.devices()) > 1 else None
     results = transcribe_batch(
         model,
         {p: p for p in args.audio},

@@ -125,6 +125,18 @@ def test_tp_batched_pipeline_matches_serial(model, tok):
             assert s.start == b.start and s.end == b.end
 
 
+def test_batched_empty_and_short_audio(model, tok):
+    """Zero-length and sub-second streams must flow through the shared mel
+    stack (the reference corpus pins empty audio via empty.wav goldens)."""
+    out = transcribe_batch(
+        model, {"empty": np.zeros(0, np.float32), "short": _audio(0, 1)}, tok,
+        language="en", batch_size=2, temperature=[0.0],
+        no_speech_threshold=None, logprob_threshold=None,
+    )
+    assert out["empty"]["text"] == "" and out["empty"]["segments"] == []
+    assert len(out["short"]["segments"]) >= 1
+
+
 def test_tail_batch_matches_full_batch(model, tok):
     """tail_batch switches late iterations to a smaller static program; the
     decoded tokens must not change."""

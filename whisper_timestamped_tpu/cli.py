@@ -173,7 +173,57 @@ def build_parser() -> argparse.ArgumentParser:
                         help="shortcut for single greedy decoding")
     parser.add_argument("--naive", default=False, action="store_true",
                         help="two-pass approach (decode then re-forward for alignment)")
+    parser.add_argument("--batch_size", default=0, type=int,
+                        help="decode multiple input files through the batched "
+                        "pipeline with this many streams in flight (TPU-native "
+                        "capability beyond the reference; 0 = one file at a "
+                        "time like the reference CLI)")
     return parser
+
+
+def _run_batched(
+    model, audio_files, batch_size, args, temperature, tokenizer,
+    output_dir, output_format,
+):
+    """Multi-file decoding through the batched pipeline (all streams in
+    flight on one chip / a mesh) — a capability the reference lacks (its CLI
+    loops files serially, reference ``transcribe.py:3129``)."""
+    from .api import _resolve_tokenizer
+    from .decoding import DecodingOptions
+    from .parallel.batch import transcribe_batch
+
+    tok = _resolve_tokenizer(model, tokenizer, args.get("language"), args["task"])
+    results = transcribe_batch(
+        model,
+        {p: p for p in audio_files},
+        tok,
+        language=args.get("language"),
+        batch_size=batch_size,
+        compute_word_confidence=args["compute_word_confidence"],
+        detect_disfluencies=args["detect_disfluencies"],
+        remove_punctuation_from_words=args["remove_punctuation_from_words"],
+        vad=args["vad"],
+        task=args["task"],
+        temperature=temperature,
+        compression_ratio_threshold=args["compression_ratio_threshold"],
+        logprob_threshold=args["logprob_threshold"],
+        no_speech_threshold=args["no_speech_threshold"],
+        condition_on_previous_text=args["condition_on_previous_text"],
+        initial_prompt=args["initial_prompt"],
+        decode_options=DecodingOptions(
+            best_of=args["best_of"],
+            patience=args["patience"],
+            length_penalty=args["length_penalty"],
+            suppress_tokens=args["suppress_tokens"],
+        ),
+    )
+    for audio_path in audio_files:
+        result = results[audio_path]
+        if output_dir:
+            outname = os.path.join(output_dir, os.path.basename(audio_path))
+            write_all_formats(result, outname, output_format)
+        else:
+            json.dump(filtered_keys(result), sys.stdout, indent=2, ensure_ascii=False)
 
 
 def main(argv=None):
@@ -244,6 +294,29 @@ def main(argv=None):
         download_root=model_dir,
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(dtype),
     )
+
+    batch_size = args.pop("batch_size")
+    if batch_size and len(audio_files) > 1:
+        blockers = [
+            label for label, flag in (
+                ("beam_size", args.get("beam_size")),
+                ("naive/two-pass", args["naive_approach"]),
+                ("verbose live printing", args["verbose"]),
+                ("plot", plot_word_alignment),
+                ("recompute_all_timestamps", not args["trust_whisper_timestamps"]),
+            ) if flag
+        ]
+        if blockers:
+            logger.warning(
+                "--batch_size ignored (%s unsupported in the batched "
+                "pipeline); processing files serially", ", ".join(blockers)
+            )
+        else:
+            _run_batched(
+                model, audio_files, batch_size, args, temperature, tokenizer,
+                output_dir, output_format,
+            )
+            return
 
     for audio_path in audio_files:
         outname = (

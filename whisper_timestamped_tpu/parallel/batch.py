@@ -111,17 +111,36 @@ class BatchTranscriber:
     # --------------------------------------------------------------
     def _decode_batch(
         self,
-        mels: np.ndarray,  # (B, n_mels, 3000)
+        mels: np.ndarray,
         prompts: List[Sequence[int]],
         options: DecodingOptions,
         temperature: float,
         rng_seed: int,
         languages: Optional[List[Optional[str]]] = None,
     ) -> List[WindowDecodeResult]:
-        """One batched device call. Prompts (and languages) may differ per
-        row — prompts are right-aligned into the shared prompt region with
-        per-row lengths, and each row's sot sequence carries its own language
-        token."""
+        out = self._dispatch_batch(
+            mels, prompts, options, temperature, rng_seed, languages
+        )
+        with stage_timer("decode_fetch_unpack"):
+            return self.engine.unpack_window_outputs(
+                out, temperature, fetch_alignment=self.fetch_alignment
+            )
+
+    def _dispatch_batch(
+        self,
+        mels: np.ndarray,  # (B, n_mels, 3000)
+        prompts: List[Sequence[int]],
+        options: DecodingOptions,
+        temperature: float,
+        rng_seed: int,
+        languages: Optional[List[Optional[str]]] = None,
+    ):
+        """Dispatch one batched window decode; returns the device output dict
+        WITHOUT blocking (jax dispatch is async) — callers overlap host work
+        or other device fetches with the execution, then unpack. Prompts (and
+        languages) may differ per row — prompts are right-aligned into the
+        shared prompt region with per-row lengths, and each row's sot
+        sequence carries its own language token."""
         engine = self.engine
         tok = engine.tokenizer
 
@@ -131,12 +150,13 @@ class BatchTranscriber:
                 return options
             return DecodingOptions(**{**options.__dict__, "language": lang})
 
-        bufs, lens, sot_from_end = [], [], None
-        for i, p in enumerate(prompts):
-            buf, plen, sfe = engine.build_prompt(p, row_opts(i))
-            bufs.append(buf)
-            lens.append(plen)
-            sot_from_end = sfe
+        with stage_timer("decode_prompt_build"):
+            bufs, lens, sot_from_end = [], [], None
+            for i, p in enumerate(prompts):
+                buf, plen, sfe = engine.build_prompt(p, row_opts(i))
+                bufs.append(buf)
+                lens.append(plen)
+                sot_from_end = sfe
         if len({len(b) for b in bufs}) > 1:
             # mixed small/full prompt regions: rebuild uniformly at full size
             from ..decoding import PROMPT_REGION
@@ -165,6 +185,8 @@ class BatchTranscriber:
 
             return place_batch(jnp.asarray(x), self.mesh)
 
+        dispatch_timer = stage_timer("decode_dispatch")
+        dispatch_timer.__enter__()
         out = decode_window_jit(
             engine.model.params,
             # device-resident mels pass straight through (np.asarray would
@@ -192,9 +214,8 @@ class BatchTranscriber:
             layer_unroll=engine.layer_unroll,
             allow_pallas=engine.allow_pallas,
         )
-        return engine.unpack_window_outputs(
-            out, temperature, fetch_alignment=self.fetch_alignment
-        )
+        dispatch_timer.__exit__(None, None, None)
+        return out
 
     # --------------------------------------------------------------
     def _gather_windows(
@@ -293,6 +314,7 @@ class BatchTranscriber:
         logprob_threshold: Optional[float] = -1.0,
         no_speech_threshold: Optional[float] = 0.6,
         condition_on_previous_text: bool = True,
+        initial_prompt: Optional[str] = None,
         decode_options: Optional[DecodingOptions] = None,
         rng_seed: int = 0,
         window_hook=None,
@@ -352,6 +374,13 @@ class BatchTranscriber:
                 )
             )
 
+        if initial_prompt:
+            # seeds every stream's history exactly like the serial loop
+            # (engine.transcribe_windows / reference transcribe.py:201-204)
+            ip_tokens = tok.encode(" " + initial_prompt.strip())
+            for s in streams:
+                s.all_tokens.extend(ip_tokens)
+
         if language is None:
             # per-stream language ID over the first windows, batched
             # (the reference detects per file, transcribe.py:817-867)
@@ -363,6 +392,11 @@ class BatchTranscriber:
 
         B = self.batch_size
         n_iter = 0
+        # window_hook runs one iteration LATE: its device work and host fetch
+        # (e.g. the device aligner's jumps transfer) ride behind the NEXT
+        # window's decode execution instead of adding a blocking round trip
+        # between iterations (tunnel latency is a real per-iteration cost)
+        pending_hook: List[Segment] = []
         while True:
             active = [s for s in streams if not s.done and s.seek < s.content_frames]
             if not active:
@@ -392,10 +426,27 @@ class BatchTranscriber:
             # would correlate the sampling noise of every window)
             it_seed = rng_seed + 104729 * n_iter
             logger.debug("window iteration %d: %d active streams", n_iter, n_real)
+            simple = temperature[0] <= 0 or (opts.best_of or 1) <= 1
             with stage_timer(f"batch_decode_b{B_eff}_a{n_real}"):
-                results = self._decode_batch_best_of(
-                    mels, prompts, opts, temperature[0], it_seed, languages
-                )
+                if simple:
+                    out = self._dispatch_batch(
+                        mels, prompts, opts, temperature[0], it_seed, languages
+                    )
+                    if pending_hook and window_hook is not None:
+                        window_hook(pending_hook)  # overlaps the decode
+                    pending_hook = []
+                    with stage_timer("decode_fetch_unpack"):
+                        results = engine.unpack_window_outputs(
+                            out, temperature[0],
+                            fetch_alignment=self.fetch_alignment,
+                        )
+                else:
+                    if pending_hook and window_hook is not None:
+                        window_hook(pending_hook)
+                    pending_hook = []
+                    results = self._decode_batch_best_of(
+                        mels, prompts, opts, temperature[0], it_seed, languages
+                    )
 
             # temperature fallback on the failing subset (batched re-decode)
             for ti, t in enumerate(temperature[1:], start=1):
@@ -436,9 +487,10 @@ class BatchTranscriber:
                     s.prompt_reset_since = len(s.all_tokens)
                 if s.seek >= s.content_frames:
                     s.done = True
-            if window_hook is not None and new_segments:
-                window_hook(new_segments)
+            pending_hook.extend(new_segments)
 
+        if window_hook is not None and pending_hook:
+            window_hook(pending_hook)
         return {s.name: s.segments for s in streams}
 
 
@@ -452,6 +504,7 @@ def transcribe_batch(
     mesh=None,
     compute_word_confidence: bool = True,
     detect_disfluencies: bool = False,
+    remove_punctuation_from_words: bool = False,
     refine_whisper_precision: float = 0.5,
     min_word_duration: float = 0.02,
     remove_empty_words: bool = False,
@@ -568,7 +621,7 @@ def transcribe_batch(
             ws, seg_dict = align_and_score_segment(
                 seg, engine.tokenizer, use_space=use_space,
                 refine_whisper_precision_nframes=refine_nframes,
-                remove_punctuation_from_words=False,
+                remove_punctuation_from_words=remove_punctuation_from_words,
                 compute_word_confidence=compute_word_confidence,
                 include_punctuation_in_confidence=False,
                 detect_disfluencies=detect_disfluencies,
