@@ -46,6 +46,15 @@ def main():
     mels = [make_mel(i) for i in range(reps + 1)]
     opts = DecodingOptions(language="en", sample_len=n_tokens)
 
+    resident_mb = int(os.environ.get("PROFILE_RESIDENT_MB", "0"))
+    resident = None
+    if resident_mb:
+        # emulate the pipeline's resident device buffers (mel stack + attn)
+        # to probe HBM-pressure effects on the decode program
+        resident = jnp.zeros((resident_mb * 1024 * 1024 // 4,), jnp.float32)
+        resident.block_until_ready()
+        print(f"holding {resident_mb} MB resident", flush=True)
+
     for label, ptoks in (("region8_promptless", []), ("region232_prompted", prompt)):
         def run(mel):
             res = engine.decode_window(

@@ -214,7 +214,14 @@ def speech_probs_to_timestamps(
     window_size_samples: int = WINDOW_SIZE_SAMPLES,
 ) -> List[dict]:
     """Hysteresis state machine over per-window speech probabilities
-    (silero ``get_speech_timestamps`` semantics)."""
+    (silero ``get_speech_timestamps`` semantics).
+
+    Intentionally a host loop: one iteration per 32 ms window means an hour
+    of audio is ~112k trivial iterations (~100 ms) — far below the network
+    forward it post-processes, and the two-threshold + min-silence hysteresis
+    is inherently sequential. The heavy part (the conv+LSTM net) is the
+    jitted JAX program above.
+    """
     if neg_threshold is None:
         neg_threshold = max(threshold - 0.15, 0.01)
     min_speech_samples = sample_rate * min_speech_duration_ms / 1000

@@ -432,6 +432,14 @@ class BatchTranscriber:
                     out = self._dispatch_batch(
                         mels, prompts, opts, temperature[0], it_seed, languages
                     )
+                    # start the device->host copies of the small outputs now:
+                    # the transfers ride behind the align work below instead
+                    # of costing their own round trip at unpack time
+                    for k in ("tokens", "token_logprobs", "sum_logprobs",
+                              "no_speech_prob"):
+                        copy_async = getattr(out[k], "copy_to_host_async", None)
+                        if copy_async is not None:
+                            copy_async()
                     if pending_hook and window_hook is not None:
                         window_hook(pending_hook)  # overlaps the decode
                     pending_hook = []
