@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     parser.add_argument("-v", "--version", action="version", version=f"{__version__}")
+    # reference spells this --versions (transcribe.py:3006); accept both
+    parser.add_argument(
+        "--versions", action="version",
+        version=f"whisper_timestamped_tpu {__version__}",
+        help="show versions and exit",
+    )
     parser.add_argument("audio", help="audio file(s) to transcribe", nargs="+")
     parser.add_argument(
         "--model",
