@@ -1,0 +1,272 @@
+"""Device-flow state oracles: the jitted seek/prompt-history rules must match
+the host path (``extract_window_segments`` / ``DecodeEngine.build_prompt``)
+bit-for-bit — the fast path dispatches window N+1 from this state before the
+host ever sees window N's tokens."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_timestamped_tpu.audio import N_FRAMES
+from whisper_timestamped_tpu.decoding import PROMPT_REGION
+from whisper_timestamped_tpu.engine import WindowDecodeResult, extract_window_segments
+from whisper_timestamped_tpu.parallel.deviceflow import (
+    WindowState,
+    advance_window_state,
+    build_prompt_batch,
+    initial_state,
+)
+
+from model_utils import make_tokenizer
+
+TOK = make_tokenizer(language="en", task="transcribe")
+EOT = TOK.eot
+TSB = TOK.timestamp_begin
+M = 48  # decode budget for these tests
+
+
+def _row(spec):
+    """Token row from a compact spec: 't'=text token, int=timestamp position,
+    'E'=eot terminator; eot-padded to M."""
+    rng = np.random.default_rng(hash(str(spec)) % 2**32)
+    out = []
+    for s in spec:
+        if s == "t":
+            out.append(int(rng.integers(100, 2000)))
+        elif s == "E":
+            break
+        else:
+            out.append(TSB + int(s))
+    out = out[:M]
+    return np.asarray(out + [EOT] * (M - len(out)), np.int32)
+
+
+def _host_result(tokens_row):
+    toks = tokens_row.tolist()
+    n = toks.index(EOT) if EOT in toks else len(toks)
+    return WindowDecodeResult(
+        tokens=toks[:n],
+        text="",
+        avg_logprob=-0.1,
+        no_speech_prob=0.0,
+        temperature=0.0,
+        compression_ratio=1.0,
+        token_logprobs=np.zeros(n),
+        attn=None,
+        sum_logprob=-0.1,
+        ts_logprobs=None,
+        eot_attn=None,
+        hit_limit=n == len(toks),
+        batch_index=0,
+        n_text=n,
+    )
+
+
+CASES = [
+    # plain text, single trailing timestamp -> full advance, all consumed
+    ["t", "t", 0, "t", "t", 30, "E"],
+    # consecutive pair mid-window, trailing incomplete segment -> partial
+    [0, "t", "t", 40, 40, "t", "t", "E"],
+    # consecutive pair AND single-timestamp ending -> full advance
+    [0, "t", 40, 40, "t", "t", 99, "E"],
+    # two consecutive pairs -> seek to the LAST pair's first timestamp
+    [0, "t", 20, 20, "t", "t", 61, 61, "t", "E"],
+    # empty window (immediate eot)
+    ["E"],
+    # no timestamps at all
+    ["t", "t", "t", "E"],
+    # hit the token limit (no eot)
+    ["t"] * M,
+    # timestamp-only pair at position 0 then pair later
+    [0, 0, "t", 12, 12, "t", "E"],
+]
+
+
+def test_advance_matches_host_rule():
+    B = len(CASES)
+    tokens = np.stack([_row(c) for c in CASES])
+    seeks = np.asarray([0, 100, 3000, 0, 0, 0, 500, 0], np.int32)
+    content = np.asarray([9000, 2900, 3100, 9000, 1000, 2000, 3400, 9000], np.int32)
+    H = 64
+    state = WindowState(
+        seek=jnp.asarray(seeks),
+        done=jnp.asarray(np.zeros(B, bool)),
+        hist=jnp.full((B, H), EOT, jnp.int32),
+        count=jnp.zeros((B,), jnp.int32),
+    )
+    new = advance_window_state(
+        jnp.asarray(tokens), state, jnp.asarray(content), eot=EOT, ts_begin=TSB
+    )
+    new_seek = np.asarray(new.seek)
+    new_count = np.asarray(new.count)
+    new_hist = np.asarray(new.hist)
+    for b in range(B):
+        segs, host_seek = extract_window_segments(
+            _host_result(tokens[b]),
+            int(seeks[b]),
+            min(N_FRAMES, int(content[b] - seeks[b])),
+            TOK,
+            no_speech_threshold=None,
+            logprob_threshold=None,
+        )
+        assert new_seek[b] == host_seek, (b, CASES[b])
+        consumed = [t for s in segs for t in s.tokens]
+        assert new_count[b] == min(len(consumed), H), (b, CASES[b])
+        if consumed:
+            assert new_hist[b, H - len(consumed):].tolist() == consumed, (b, CASES[b])
+        assert bool(np.asarray(new.done)[b]) == (host_seek >= int(content[b]))
+
+
+def test_advance_frozen_when_done():
+    tokens = np.stack([_row(["t", 5, "E"])] * 2)
+    state = WindowState(
+        seek=jnp.asarray([50, 80], jnp.int32),
+        done=jnp.asarray([True, False]),
+        hist=jnp.full((2, 16), EOT, jnp.int32),
+        count=jnp.asarray([3, 0], jnp.int32),
+    )
+    new = advance_window_state(
+        jnp.asarray(tokens), state, jnp.asarray([40, 3080], jnp.int32),
+        eot=EOT, ts_begin=TSB,
+    )
+    assert int(new.seek[0]) == 50 and bool(new.done[0])
+    assert int(new.count[0]) == 3  # history untouched on done rows
+
+
+@pytest.mark.parametrize("multilingual", [True, False])
+def test_build_prompt_matches_host(multilingual):
+    from whisper_timestamped_tpu.decoding import DecodingOptions
+    from whisper_timestamped_tpu.engine import DecodeEngine
+
+    tok = make_tokenizer(
+        language="en" if multilingual else None,
+        task="transcribe" if multilingual else None,
+        multilingual=multilingual,
+    )
+
+    class _Eng:  # build_prompt only touches tokenizer + dims
+        tokenizer = tok
+
+        class dims:
+            n_text_ctx = 448
+
+    H = 448 // 2 - 1
+    rng = np.random.default_rng(0)
+    histories = [
+        [],
+        [5, 6, 7],
+        rng.integers(100, 2000, size=H).tolist(),
+        rng.integers(100, 2000, size=H + 90).tolist(),  # overflows the budget
+    ]
+    B = len(histories)
+    hist = np.full((B, H), tok.eot, np.int32)
+    count = np.zeros((B,), np.int32)
+    for i, h in enumerate(histories):
+        tail = h[-H:]
+        if tail:
+            hist[i, H - len(tail):] = tail
+        count[i] = min(len(h), H)
+
+    sot_seq = [tok.sot]
+    if multilingual:
+        sot_seq += [tok.to_language_token("en"), tok.transcribe]
+    sot_arr = np.tile(np.asarray(sot_seq, np.int32)[None], (B, 1))
+
+    buf, plen = build_prompt_batch(
+        jnp.asarray(hist), jnp.asarray(count), jnp.asarray(sot_arr),
+        region=PROMPT_REGION, eot=tok.eot, sot_prev=tok.sot_prev,
+    )
+    buf, plen = np.asarray(buf), np.asarray(plen)
+    opts = DecodingOptions(language="en" if multilingual else None)
+    for i, h in enumerate(histories):
+        ref_buf, ref_len, ref_sfe = DecodeEngine.build_prompt(
+            _Eng(), h, opts, region=PROMPT_REGION
+        )
+        assert plen[i] == ref_len, i
+        # junk slots left of the valid region may differ; the decode program
+        # masks them via prompt_len
+        assert buf[i, PROMPT_REGION - ref_len:].tolist() == \
+            ref_buf[PROMPT_REGION - ref_len:].tolist(), i
+        assert ref_sfe == len(sot_seq)
+
+
+@pytest.fixture(scope="module")
+def model():
+    pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_timestamped_tpu.models.load import WhisperModel
+    from model_utils import make_hf_model, hf_model_to_jax
+
+    m = make_hf_model(seed=0)
+    params, dims = hf_model_to_jax(m)
+    return WhisperModel(
+        params=jax.tree.map(jnp.asarray, params),
+        dims=dims,
+        alignment_heads=[(0, 1), (1, 0), (1, 2)],
+    )
+
+
+def _audio(seed, seconds):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(int(16000 * seconds)) * 0.1).astype(np.float32)
+
+
+def _run_batch(model, flow: bool, *, device_alignment: bool, **kw):
+    import os
+
+    from whisper_timestamped_tpu.parallel.batch import transcribe_batch
+
+    # staggered lengths: streams finish at different iterations, so the flow
+    # keeps decoding done rows while others continue
+    audios = {"a": _audio(0, 15), "b": _audio(1, 35), "c": _audio(2, 65)}
+    os.environ["WTT_DEVICE_FLOW"] = "1" if flow else "0"
+    try:
+        return transcribe_batch(
+            model, audios, TOK, language="en", batch_size=4,
+            temperature=[0.0], no_speech_threshold=None, logprob_threshold=None,
+            device_alignment=device_alignment, **kw,
+        )
+    finally:
+        os.environ.pop("WTT_DEVICE_FLOW", None)
+
+
+@pytest.mark.parametrize("device_alignment", [False, True])
+def test_flow_matches_host_loop(model, device_alignment):
+    """The device-flow fast path must produce byte-identical results to the
+    host window loop (same programs, same greedy tokens, same alignment)."""
+    ref = _run_batch(model, False, device_alignment=device_alignment)
+    got = _run_batch(model, True, device_alignment=device_alignment)
+    assert got == ref
+
+
+def test_flow_matches_host_loop_unconditioned(model):
+    """condition_on_previous_text=False: the flow uses the small constant
+    prompt region every window."""
+    ref = _run_batch(
+        model, False, device_alignment=True,
+        condition_on_previous_text=False, initial_prompt="hello there",
+    )
+    got = _run_batch(
+        model, True, device_alignment=True,
+        condition_on_previous_text=False, initial_prompt="hello there",
+    )
+    assert got == ref
+
+
+def test_initial_state_roundtrip():
+    state, frames = initial_state(
+        [[1, 2, 3], list(range(400))],
+        [100, 3000],
+        [5000, 2900],
+        batch_size=4,
+        hist_len=223,
+        eot=EOT,
+    )
+    assert np.asarray(state.seek).tolist() == [100, 3000, 0, 0]
+    assert np.asarray(state.done).tolist() == [False, True, True, True]
+    assert int(state.count[1]) == 223
+    assert np.asarray(state.hist)[1, -223:].tolist() == list(range(400))[-223:]
+    assert np.asarray(frames).tolist() == [5000, 2900, 0, 0]

@@ -511,16 +511,23 @@ def device_align_segments(
     tok: Tokenizer,
     refine_whisper_precision_nframes: int,
     max_windows_per_chunk: int = 16,
+    fetch: bool = True,
 ):
     """Batched on-device alignment for segments decoded with
     ``fetch_alignment=False``. Returns per-entry jumps arrays (None where the
     entry was not alignable). Chunked so the flattened attention buffer stays
-    bounded for long audio."""
+    bounded for long audio.
+
+    ``fetch=False`` dispatches the align programs and async-starts the
+    device→host copies, returning a zero-arg resolver for the jumps list —
+    the batched pipeline resolves at assembly time so no per-window round
+    trip blocks the decode loop."""
     import jax.numpy as jnp
 
     from .device_align import compute_jumps_batch, make_task
 
     jumps_out: List[Optional[np.ndarray]] = [None] * len(entries)
+    deferred = []
 
     def flush(chunk):
         if not chunk:
@@ -556,8 +563,11 @@ def device_align_segments(
                 continue
             tasks.append(task)
             idxs.append(ei)
-        for ei, j in zip(idxs, compute_jumps_batch(flat, tasks)):
-            jumps_out[ei] = j
+        if fetch:
+            for ei, j in zip(idxs, compute_jumps_batch(flat, tasks)):
+                jumps_out[ei] = j
+        else:
+            deferred.append((idxs, compute_jumps_batch(flat, tasks, fetch=False)))
 
     chunk, windows_seen = [], set()
     for ei, (seg, prep) in enumerate(entries):
@@ -570,7 +580,16 @@ def device_align_segments(
             flush(chunk)
             chunk, windows_seen = [], set()
     flush(chunk)
-    return jumps_out
+    if fetch:
+        return jumps_out
+
+    def resolve():
+        for idxs, sub in deferred:
+            for ei, j in zip(idxs, sub()):
+                jumps_out[ei] = j
+        return jumps_out
+
+    return resolve
 
 
 def prepare_segment_tokens(seg: Segment, tok: Tokenizer):

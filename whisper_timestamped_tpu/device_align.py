@@ -144,11 +144,17 @@ def compute_jumps_batch(
     attn_flat,  # (R_total, K, T) device array (or numpy for tests)
     tasks: List[SegmentAlignTask],
     interpret=None,
-) -> List[np.ndarray]:
+    fetch: bool = True,
+):
     """Run the on-device aligner for a batch of segments. Returns, per task,
-    the (n_tokens+1,) int64 jumps array for ``precomputed_jumps``."""
+    the (n_tokens+1,) int64 jumps array for ``precomputed_jumps``.
+
+    ``fetch=False`` dispatches the aligner and starts an async device→host
+    copy, returning a zero-arg resolver for the same list — the caller
+    collects results later so the (KB-scale) transfer rides behind other
+    device work instead of blocking here."""
     if not tasks:
-        return []
+        return [] if fetch else (lambda: [])
     if not isinstance(attn_flat, jnp.ndarray):
         attn_flat = jnp.asarray(np.asarray(attn_flat))
     S = len(tasks)
@@ -170,18 +176,24 @@ def compute_jumps_batch(
             maxdur = min(t.max_duration, M_PAD)
         dims[s] = (n, span, maxdur, t.plan.start_token)
 
-    starts = np.asarray(
-        _align_jumps_jit(
-            attn_flat,
-            jnp.asarray(rows),
-            jnp.asarray(dims),
-            n_pad=n_pad,
-            interpret=interpret,
-        )
+    starts_dev = _align_jumps_jit(
+        attn_flat,
+        jnp.asarray(rows),
+        jnp.asarray(dims),
+        n_pad=n_pad,
+        interpret=interpret,
     )
-    out = []
-    for s, t in enumerate(tasks):
-        n = len(t.plan.tokens)
-        span = t.plan.end_token - t.plan.start_token
-        out.append(np.concatenate([starts[s, :n], [span - 1]]).astype(np.int64))
-    return out
+    copy_async = getattr(starts_dev, "copy_to_host_async", None)
+    if copy_async is not None:
+        copy_async()
+
+    def resolve() -> List[np.ndarray]:
+        starts = np.asarray(starts_dev)
+        out = []
+        for s, t in enumerate(tasks):
+            n = len(t.plan.tokens)
+            span = t.plan.end_token - t.plan.start_token
+            out.append(np.concatenate([starts[s, :n], [span - 1]]).astype(np.int64))
+        return out
+
+    return resolve() if fetch else resolve

@@ -142,7 +142,6 @@ class BatchTranscriber:
         shared prompt region with per-row lengths, and each row's sot
         sequence carries its own language token."""
         engine = self.engine
-        tok = engine.tokenizer
 
         def row_opts(i: int) -> DecodingOptions:
             lang = languages[i] if languages else None
@@ -167,7 +166,27 @@ class BatchTranscriber:
             ]
         prompt = np.stack(bufs)
         prompt_len = np.asarray(lens, np.int32)
+        return self._dispatch_arrays(
+            mels, prompt, prompt_len, options, temperature, rng_seed,
+            sot_index_from_end=sot_from_end,
+        )
 
+    def _dispatch_arrays(
+        self,
+        mels,  # (B, n_mels, 3000) numpy or device
+        prompt,  # (B, P) numpy or device
+        prompt_len,  # (B,) numpy or device
+        options: DecodingOptions,
+        temperature: float,
+        rng_seed: int,
+        *,
+        sot_index_from_end: int,
+    ):
+        """Dispatch the window-decode program on prebuilt prompt buffers.
+        Device-resident inputs (the device-flow fast path's chained state)
+        pass straight through."""
+        engine = self.engine
+        tok = engine.tokenizer
         sm, bm = engine._masks(options)
         from ..decoding import MAX_NEW_TOKENS, decode_window_jit
         from ..engine import TIME_PER_POSITION
@@ -205,7 +224,7 @@ class BatchTranscriber:
             eot=tok.eot,
             ts_begin=tok.timestamp_begin,
             no_timestamps=tok.no_timestamps,
-            sot_index_from_end=sot_from_end,
+            sot_index_from_end=sot_index_from_end,
             max_initial_timestamp_index=max_init_ts,
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
@@ -303,6 +322,221 @@ class BatchTranscriber:
         return best
 
     # --------------------------------------------------------------
+    def _apply_window_results(
+        self,
+        batch: List[_Stream],
+        results: List[WindowDecodeResult],
+        sizes: List[int],
+        no_speech_threshold: Optional[float],
+        logprob_threshold: Optional[float],
+        condition_on_previous_text: bool,
+    ) -> List[Segment]:
+        """Per-stream segment extraction + seek/prompt bookkeeping for one
+        decoded window batch (shared by the host loop and the device flow)."""
+        tok = self.engine.tokenizer
+        new_segments: List[Segment] = []
+        for s, result, size in zip(batch, results, sizes):
+            segs, new_seek = extract_window_segments(
+                result, s.seek, size, tok, no_speech_threshold, logprob_threshold
+            )
+            s.seek = new_seek
+            for seg in segs:
+                seg.id = len(s.segments)
+                s.segments.append(seg)
+                s.all_tokens.extend(seg.tokens)
+                new_segments.append(seg)
+            if not condition_on_previous_text or result.temperature > 0.5:
+                s.prompt_reset_since = len(s.all_tokens)
+            if s.seek >= s.content_frames:
+                s.done = True
+        return new_segments
+
+    # --------------------------------------------------------------
+    def _device_flow_ok(self, streams, opts, temperature, no_speech_threshold) -> bool:
+        """The device-resident window-advance flow (parallel/deviceflow.py)
+        engages when the host makes no data-dependent decision between
+        windows: greedy single-temperature decoding (no fallback re-decode)
+        and no no-speech window skipping. WTT_DEVICE_FLOW=0 forces the host
+        loop (used by the equivalence tests)."""
+        return (
+            os.environ.get("WTT_DEVICE_FLOW", "1") != "0"
+            and len(temperature) == 1
+            and float(temperature[0]) == 0.0
+            and no_speech_threshold is None
+            and (opts.best_of or 1) <= 1
+            and not opts.beam_size
+            and not opts.without_timestamps
+            and not opts.prefix
+            and len(streams) <= self.batch_size
+            and self.tail_batch is None
+        )
+
+    def _run_device_flow(
+        self,
+        streams: List[_Stream],
+        opts: DecodingOptions,
+        t0: float,
+        *,
+        no_speech_threshold: Optional[float],
+        logprob_threshold: Optional[float],
+        condition_on_previous_text: bool,
+        rng_seed: int,
+        window_hook,
+    ) -> Dict[str, List[Segment]]:
+        """Pipelined window loop with device-resident advance state.
+
+        Iteration 0 runs on the host path (all-promptless rows hit the small
+        prompt-region program). Every later window is dispatched from jitted
+        state — seek, done mask, rolling prompt history — chained straight off
+        the previous decode's device outputs, so the host never sits between
+        two windows waiting for tokens. The host drains outputs one iteration
+        behind (segment bookkeeping and the alignment hook overlap the next
+        window's execution) and blocks only on the tiny per-iteration done
+        mask. Host and device seek states are cross-checked every iteration;
+        divergence raises instead of silently decoding wrong windows."""
+        from ..decoding import PROMPT_REGION, PROMPT_REGION_SMALL
+        from .deviceflow import (
+            advance_window_state,
+            build_prompt_batch,
+            initial_state,
+        )
+
+        engine = self.engine
+        tok = engine.tokenizer
+        B = self.batch_size
+        H = engine.dims.n_text_ctx // 2 - 1
+        eot, ts_begin = tok.eot, tok.timestamp_begin
+        n_streams = len(streams)
+
+        def put(tree):
+            if self.mesh is None:
+                return tree
+            from .mesh import place_batch
+
+            return place_batch(tree, self.mesh)
+
+        def active_snapshot():
+            act = [s for s in streams if not s.done and s.seek < s.content_frames]
+            return act, [min(N_FRAMES, s.content_frames - s.seek) for s in act]
+
+        def process(out, act, sizes, hook: bool = True) -> List[Segment]:
+            with stage_timer("decode_fetch_unpack"):
+                results = engine.unpack_window_outputs(
+                    out, t0, fetch_alignment=self.fetch_alignment
+                )
+            segs = self._apply_window_results(
+                act, [results[s.row] for s in act], sizes,
+                no_speech_threshold, logprob_threshold, condition_on_previous_text,
+            )
+            if hook and window_hook is not None and segs:
+                window_hook(segs)
+            return segs
+
+        def check_seeks(seek_dev):
+            seeks = np.asarray(seek_dev)
+            for s in streams:
+                if int(seeks[s.row]) != s.seek:
+                    raise RuntimeError(
+                        f"device-flow seek divergence for {s.name}: "
+                        f"device {int(seeks[s.row])} vs host {s.seek}"
+                    )
+
+        # ---- iteration 0: host path (uniform promptless rows -> the small
+        # prompt-region program; also covers initial_prompt seeding) ----
+        act0, sizes0 = active_snapshot()
+        if not act0:
+            return {s.name: s.segments for s in streams}
+        prompts0 = [s.all_tokens[s.prompt_reset_since:] for s in streams] + \
+            [[]] * (B - n_streams)
+        langs0 = [s.language for s in streams] + [None] * (B - n_streams)
+        mels0 = self._gather_windows([s.row for s in streams], [s.seek for s in streams])
+        with stage_timer(f"batch_decode_b{B}_a{len(act0)}"):
+            out0 = self._dispatch_batch(
+                mels0, prompts0, opts, t0, rng_seed + 104729, langs0
+            )
+            pending0 = process(out0, act0, sizes0, hook=False)
+
+        act, _ = active_snapshot()
+        if not act:
+            if window_hook is not None and pending0:
+                window_hook(pending0)
+            return {s.name: s.segments for s in streams}
+
+        # ---- device state after iteration 0 ----
+        state, frames_dev = initial_state(
+            # empty after iteration 0's reset when conditioning is off
+            [s.all_tokens[s.prompt_reset_since:] for s in streams],
+            [s.seek for s in streams],
+            [s.content_frames for s in streams],
+            B, H, eot, place=put,
+        )
+        rows_dev = jnp.asarray(
+            np.asarray([s.row for s in streams] + [0] * (B - n_streams), np.int32)
+        )
+        S = 3 if tok.is_multilingual else 1
+        sot_np = np.full((B, S), tok.sot, np.int32)
+        if tok.is_multilingual:
+            task_tok = tok.translate if opts.task == "translate" else tok.transcribe
+            for i in range(B):
+                lang = streams[i].language if i < n_streams else None
+                sot_np[i, 1] = tok.to_language_token(lang or opts.language or "en")
+                sot_np[i, 2] = task_tok
+        sot_dev = put(jnp.asarray(sot_np))
+        if not condition_on_previous_text:
+            cbuf = np.full((B, PROMPT_REGION_SMALL), eot, np.int32)
+            cbuf[:, PROMPT_REGION_SMALL - S:] = sot_np
+            const_prompt = put(jnp.asarray(cbuf))
+            const_plen = put(jnp.asarray(np.full((B,), S, np.int32)))
+
+        prev = None  # (out, act, sizes, post-advance seek array)
+        it = 1
+        while True:
+            mels = _slice_windows_jit(self._mel_stack, rows_dev, state.seek)
+            if condition_on_previous_text:
+                prompt, plen = build_prompt_batch(
+                    state.hist, state.count, sot_dev,
+                    region=PROMPT_REGION, eot=eot, sot_prev=tok.sot_prev,
+                )
+            else:
+                prompt, plen = const_prompt, const_plen
+            with stage_timer("devflow_dispatch"):
+                out = self._dispatch_arrays(
+                    mels, prompt, plen, opts, t0,
+                    rng_seed + 104729 * (it + 1), sot_index_from_end=S,
+                )
+                state = advance_window_state(
+                    out["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin
+                )
+            for arr in (out["tokens"], out["token_logprobs"], out["sum_logprobs"],
+                        out["no_speech_prob"], state.done, state.seek):
+                copy_async = getattr(arr, "copy_to_host_async", None)
+                if copy_async is not None:
+                    copy_async()
+
+            # host work for earlier iterations rides behind this execution
+            if pending0:
+                if window_hook is not None:
+                    window_hook(pending0)
+                pending0 = []
+            if prev is not None:
+                p_out, p_act, p_sizes, p_seek = prev
+                process(p_out, p_act, p_sizes)
+                check_seeks(p_seek)
+            p_act, p_sizes = active_snapshot()  # mirror == dispatch-time state
+            prev = (out, p_act, p_sizes, state.seek)
+            it += 1
+            with stage_timer("devflow_done_fetch"):
+                done = np.asarray(state.done)
+            if bool(done[:n_streams].all()):
+                break
+
+        p_out, p_act, p_sizes, p_seek = prev
+        process(p_out, p_act, p_sizes)
+        check_seeks(p_seek)
+        logger.debug("device flow: %d window iterations", it)
+        return {s.name: s.segments for s in streams}
+
+    # --------------------------------------------------------------
     def transcribe_streams(
         self,
         audios: Dict[str, Any],  # name -> path/array
@@ -390,6 +624,16 @@ class BatchTranscriber:
             for s in streams
         }
 
+        if self._device_flow_ok(streams, opts, temperature, no_speech_threshold):
+            return self._run_device_flow(
+                streams, opts, float(temperature[0]),
+                no_speech_threshold=no_speech_threshold,
+                logprob_threshold=logprob_threshold,
+                condition_on_previous_text=condition_on_previous_text,
+                rng_seed=rng_seed,
+                window_hook=window_hook,
+            )
+
         B = self.batch_size
         n_iter = 0
         # window_hook runs one iteration LATE: its device work and host fetch
@@ -410,7 +654,12 @@ class BatchTranscriber:
             sizes = []
             languages: List[Optional[str]] = []
             for s in batch:
-                prompts.append(s.all_tokens[s.prompt_reset_since:] if condition_on_previous_text else [])
+                # NOT gated on condition_on_previous_text: with conditioning
+                # off, prompt_reset_since advances after every window, so only
+                # window 0 sees a prompt (the initial_prompt seed) — whisper's
+                # semantics (serial loop engine.py:644, reference
+                # transcribe.py:201-204)
+                prompts.append(s.all_tokens[s.prompt_reset_since:])
                 sizes.append(min(N_FRAMES, s.content_frames - s.seek))
                 languages.append(s.language)
             # pad the batch to the fixed size (row 0 repeated; results ignored)
@@ -480,21 +729,10 @@ class BatchTranscriber:
                 for k, i in enumerate(failing):
                     results[i] = retry[k]
 
-            new_segments: List[Segment] = []
-            for s, result, size in zip(batch, results[:n_real], sizes):
-                segs, new_seek = extract_window_segments(
-                    result, s.seek, size, tok, no_speech_threshold, logprob_threshold
-                )
-                s.seek = new_seek
-                for seg in segs:
-                    seg.id = len(s.segments)
-                    s.segments.append(seg)
-                    s.all_tokens.extend(seg.tokens)
-                    new_segments.append(seg)
-                if not condition_on_previous_text or result.temperature > 0.5:
-                    s.prompt_reset_since = len(s.all_tokens)
-                if s.seek >= s.content_frames:
-                    s.done = True
+            new_segments = self._apply_window_results(
+                batch, results[:n_real], sizes,
+                no_speech_threshold, logprob_threshold, condition_on_previous_text,
+            )
             pending_hook.extend(new_segments)
 
         if window_hook is not None and pending_hook:
@@ -596,6 +834,7 @@ def transcribe_batch(
     # grow HBM linearly with audio length
     jumps_map: Dict[int, Any] = {}
     preps_map: Dict[int, Any] = {}
+    pending_aligns: List[Tuple[list, Any]] = []
 
     def _align_step(new_segments: List[Segment]) -> None:
         with stage_timer("batch_align"):
@@ -603,16 +842,25 @@ def transcribe_batch(
                 (seg, prepare_segment_tokens(seg, engine.tokenizer))
                 for seg in new_segments
             ]
-            all_jumps = device_align_segments(entries, engine.tokenizer, refine_nframes)
-            for (seg, p), j in zip(entries, all_jumps):
+            # dispatch the align programs + async jump copies only: the
+            # resolver runs at assembly time, so the fetch never blocks the
+            # window loop (the align compute itself queues behind the next
+            # decode on the device)
+            resolver = device_align_segments(
+                entries, engine.tokenizer, refine_nframes, fetch=False
+            )
+            for seg, p in entries:
                 preps_map[id(seg)] = p
-                jumps_map[id(seg)] = j
                 seg.window.attn_dev = None  # release the device attention buffer
+            pending_aligns.append((entries, resolver))
 
     all_segments = bt.transcribe_streams(
         audios, language=language,
         window_hook=_align_step if full_device else None, **window_options,
     )
+    for entries, resolver in pending_aligns:
+        for (seg, _p), j in zip(entries, resolver()):
+            jumps_map[id(seg)] = j
 
     results = {}
     assemble_timer = stage_timer("batch_assemble")

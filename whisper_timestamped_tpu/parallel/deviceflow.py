@@ -1,0 +1,186 @@
+"""Device-resident window-advance state for the batched pipeline fast path.
+
+The batched loop's per-iteration serial chain is: decode window N → fetch
+tokens → host computes the seek advance + next prompt → dispatch window N+1.
+On a remote-tunnel TPU the fetch + host turnaround costs ~1-2 s per iteration
+with the device idle (measured: region-232 iterations ~4.95 s in-pipeline vs
+~2.95 s execution in isolation).
+
+This module keeps everything the NEXT dispatch depends on — per-stream seek,
+done mask, and the rolling token history that feeds
+``condition_on_previous_text`` prompts — in jitted device state:
+
+    decode(N)  ──▶  advance_window_state (seek', hist', done')   [device]
+                        │
+    build_prompt_batch(hist') + mel gather  ──▶  decode(N+1)     [device]
+
+so iteration N+1 is dispatched before iteration N's outputs ever reach the
+host. The host drains token/logprob outputs one iteration behind (their
+transfers and the segment bookkeeping overlap the next window's execution)
+and only blocks on the tiny per-iteration done mask.
+
+The state-update rules replicate the host path bit-for-bit (asserted by
+tests/test_deviceflow.py against ``extract_window_segments`` and
+``DecodeEngine.build_prompt``):
+
+* seek advance = whisper's transcribe-loop rule (consecutive-timestamp
+  slicing; reference behavior at ``openai-whisper`` via
+  ``/root/reference/whisper_timestamped/transcribe.py:568-707``'s segment
+  flushing): full ``segment_size`` advance unless the window ends with an
+  incomplete segment after a consecutive-timestamp pair, in which case seek
+  moves to the last paired timestamp.
+* history = the concatenation of the tokens of every COMPLETED segment
+  (``engine.extract_window_segments``), kept to the last
+  ``n_text_ctx // 2 - 1`` tokens — exactly the truncation
+  ``DecodeEngine.build_prompt`` applies (reference ``transcribe.py:201-204``).
+* prompt buffer = right-aligned ``[sot_prev, history..., sot, lang, task]``
+  with per-row valid lengths, matching ``build_prompt(region=PROMPT_REGION)``.
+
+The fast path only engages for configurations where the host makes no
+data-dependent decisions between windows (see
+``BatchTranscriber._device_flow_ok``): greedy decoding at temperature 0 with
+a single-element temperature schedule (no fallback re-decodes) and
+``no_speech_threshold=None`` (no window skipping, which would alter the seek).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..audio import N_FRAMES
+from ..engine import INPUT_STRIDE
+
+
+class WindowState(NamedTuple):
+    """Per-stream device state between window iterations (all (B,) / (B, H))."""
+
+    seek: jnp.ndarray  # int32 mel-frame cursor per stream
+    done: jnp.ndarray  # bool: seek >= content_frames
+    hist: jnp.ndarray  # int32 (B, H) rolling prompt history, right-aligned
+    count: jnp.ndarray  # int32 valid entries in hist (<= H)
+
+
+@partial(jax.jit, static_argnames=("eot", "ts_begin"))
+def advance_window_state(
+    tokens: jnp.ndarray,  # (B, M) int32 decode output (eot-padded)
+    state: WindowState,
+    content_frames: jnp.ndarray,  # (B,) int32
+    *,
+    eot: int,
+    ts_begin: int,
+) -> WindowState:
+    """One window's seek/history update, all rows at once (device).
+
+    Mirrors ``engine.extract_window_segments``'s seek rule and its
+    ``all_tokens.extend(seg.tokens)`` history accumulation: completed
+    segments' tokens enter the history; the unconsumed tail after the last
+    consecutive-timestamp pair does not.
+    """
+    B, M = tokens.shape
+    idx = jnp.arange(M, dtype=jnp.int32)
+
+    is_eot = tokens == eot
+    has_eot = jnp.any(is_eot, axis=1)
+    n_text = jnp.where(has_eot, jnp.argmax(is_eot, axis=1).astype(jnp.int32), M)
+
+    valid = idx[None, :] < n_text[:, None]
+    is_ts = (tokens >= ts_begin) & valid
+    # consec[i] == True at the SECOND token of a consecutive-timestamp pair
+    consec = is_ts & jnp.pad(is_ts[:, :-1], ((0, 0), (1, 0)))
+    has_consec = jnp.any(consec, axis=1)
+    last_consec = jnp.max(jnp.where(consec, idx[None, :], -1), axis=1)
+
+    def at(mask_or_vals, pos):
+        return jnp.take_along_axis(
+            mask_or_vals, jnp.maximum(pos, 0)[:, None], axis=1
+        )[:, 0]
+
+    single_ending = (n_text >= 2) & at(is_ts, n_text - 1) & ~at(is_ts, n_text - 2)
+
+    segment_size = jnp.minimum(N_FRAMES, content_frames - state.seek)
+    partial_adv = has_consec & ~single_ending
+    # tokens consumed into the prompt history (completed segments only)
+    consumed = jnp.where(partial_adv, last_consec, n_text)
+    last_ts_pos = at(tokens, last_consec - 1) - ts_begin
+    advance = jnp.where(partial_adv, last_ts_pos * INPUT_STRIDE, segment_size)
+
+    new_seek = jnp.where(state.done, state.seek, state.seek + advance)
+    consumed = jnp.where(state.done, 0, consumed)
+    done = new_seek >= content_frames
+
+    # slide the right-aligned history window left by `consumed`
+    H = state.hist.shape[1]
+    combined = jnp.concatenate([state.hist, tokens], axis=1)
+    new_hist = jax.vmap(
+        lambda row, e: lax.dynamic_slice(row, (e,), (H,))
+    )(combined, consumed)
+    new_count = jnp.minimum(state.count + consumed, H)
+    return WindowState(seek=new_seek, done=done, hist=new_hist, count=new_count)
+
+
+@partial(jax.jit, static_argnames=("region", "eot", "sot_prev"))
+def build_prompt_batch(
+    hist: jnp.ndarray,  # (B, H) right-aligned history
+    count: jnp.ndarray,  # (B,)
+    sot_seq: jnp.ndarray,  # (B, S) int32: [sot, lang, task] (or [sot])
+    *,
+    region: int,
+    eot: int,
+    sot_prev: int,
+):
+    """Device counterpart of ``DecodeEngine.build_prompt`` for the uniform
+    full-region batched case: right-aligned
+    ``[pad..., sot_prev?, history, sot_seq]`` plus per-row valid lengths.
+    Junk slots are eot (always a valid embedding id; the decode program masks
+    them via ``prompt_len``)."""
+    B, H = hist.shape
+    S = sot_seq.shape[1]
+    c = jnp.minimum(count, H)
+    # one extra slot on the left for sot_prev, placed at index H - c
+    ext = jnp.concatenate([jnp.full((B, 1), eot, jnp.int32), hist], axis=1)
+    pos = jnp.arange(H + 1, dtype=jnp.int32)[None, :]
+    ext = jnp.where((pos == (H - c)[:, None]) & (c > 0)[:, None], sot_prev, ext)
+    pad_cols = region - (H + 1) - S
+    assert pad_cols >= 0, (region, H, S)
+    buf = jnp.concatenate(
+        [jnp.full((B, pad_cols), eot, jnp.int32), ext, sot_seq], axis=1
+    )
+    plen = jnp.where(c > 0, c + 1 + S, S).astype(jnp.int32)
+    return buf, plen
+
+
+def initial_state(
+    streams_tokens,  # per-stream host token history (list of list[int])
+    seeks,  # per-stream host seek (list[int])
+    content_frames,  # list[int]
+    batch_size: int,
+    hist_len: int,
+    eot: int,
+    place=None,
+) -> WindowState:
+    """Upload host-side per-stream state into a WindowState (used to enter
+    the device flow after the host-path first iteration)."""
+    B = batch_size
+    hist = np.full((B, hist_len), eot, np.int32)
+    count = np.zeros((B,), np.int32)
+    seek = np.zeros((B,), np.int32)
+    frames = np.zeros((B,), np.int32)
+    for i, toks in enumerate(streams_tokens):
+        tail = list(toks)[-hist_len:]
+        if tail:
+            hist[i, hist_len - len(tail):] = tail
+        count[i] = min(len(toks), hist_len)
+        seek[i] = seeks[i]
+        frames[i] = content_frames[i]
+    done = seek >= frames
+    arrs = (jnp.asarray(seek), jnp.asarray(done), jnp.asarray(hist), jnp.asarray(count))
+    if place is not None:
+        arrs = place(arrs)
+    return WindowState(*arrs), (jnp.asarray(frames) if place is None else place(jnp.asarray(frames)))
