@@ -294,3 +294,35 @@ def test_transcribe_batch_device_alignment_matches_host(model, tok):
             assert a["text"] == b["text"]
             assert a["start"] == pytest.approx(b["start"], abs=0.021)
             assert a["end"] == pytest.approx(b["end"], abs=0.021)
+
+
+def test_transcribe_batch_beam_matches_serial(model, tok):
+    """Batched beam pipeline (batched beam decode + batched teacher-forced
+    alignment) must reproduce the serial naive-engine beam path word by word."""
+    from whisper_timestamped_tpu.api import transcribe_timestamped
+    from whisper_timestamped_tpu.decoding import DecodingOptions
+
+    audios = {"a": _audio(6, 6), "b": _audio(7, 9)}
+    batched = transcribe_batch(
+        model, audios, tok, language="en", batch_size=2,
+        temperature=[0.0], no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+        decode_options=DecodingOptions(beam_size=2),
+    )
+    for name, audio in audios.items():
+        serial = transcribe_timestamped(
+            model, audio, language="en", tokenizer=tok, beam_size=2,
+            temperature=0.0, no_speech_threshold=None, logprob_threshold=None,
+            compression_ratio_threshold=None,
+        )
+        b = batched[name]
+        assert b["text"] == serial["text"], name
+        ws_b = [w for s in b["segments"] for w in s.get("words", [])]
+        ws_s = [w for s in serial["segments"] for w in s.get("words", [])]
+        assert len(ws_b) == len(ws_s), name
+        for wb, ws in zip(ws_b, ws_s):
+            assert wb["text"] == ws["text"]
+            assert wb["start"] == pytest.approx(ws["start"], abs=0.021)
+            assert wb["end"] == pytest.approx(ws["end"], abs=0.021)
+            if "confidence" in ws:
+                assert wb["confidence"] == pytest.approx(ws["confidence"], abs=0.02)

@@ -252,6 +252,29 @@ def test_beam_size_one_equals_greedy(engine, mel):
     np.testing.assert_allclose(beam.sum_logprob, greedy.sum_logprob, atol=2e-2)
 
 
+def test_beam_batch_matches_single(engine, mel):
+    """The batched beam program (vmapped core, batched encoder) must produce
+    the same ranked tokens/scores as the per-window program for every row —
+    including rows with a prompt and rows with shorter decode budgets."""
+    rng = np.random.default_rng(7)
+    mels = np.stack([
+        mel,
+        (rng.standard_normal(mel.shape) * 0.4).astype(np.float32),
+        (rng.standard_normal(mel.shape) * 0.2).astype(np.float32),
+    ])
+    prompts = [[], [301, 302, 303, 304], [411, 412]]
+    opts = DecodingOptions(language="en", beam_size=3, sample_len=32)
+    batch = engine.decode_window_beam_batch(mels, opts, prompts)
+    assert len(batch) == 3
+    for b in range(3):
+        single = engine.decode_window_beam(mels[b], opts, prompt_tokens=prompts[b])
+        assert batch[b].tokens == single.tokens, b
+        np.testing.assert_allclose(batch[b].sum_logprob, single.sum_logprob,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(batch[b].no_speech_prob, single.no_speech_prob,
+                                   atol=1e-5)
+
+
 def test_beam_search_basic_properties(engine, mel):
     opts = DecodingOptions(language="en", beam_size=3)
     res = engine.decode_window_beam(mel, opts)

@@ -27,15 +27,15 @@ from .decoding import apply_timestamp_rules
 from .models.whisper_jax import KVCache, WhisperDims, decode_step, encode, init_cache
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "dims", "beam_size", "max_candidates", "max_new", "sample_begin", "eot",
-        "ts_begin", "no_timestamps", "sot_index_from_end",
-        "max_initial_timestamp_index", "suppress_blank", "without_timestamps",
-        "allow_pallas",
-    ),
+_BEAM_STATICS = (
+    "dims", "beam_size", "max_candidates", "max_new", "sample_begin", "eot",
+    "ts_begin", "no_timestamps", "sot_index_from_end",
+    "max_initial_timestamp_index", "suppress_blank", "without_timestamps",
+    "allow_pallas",
 )
+
+
+@functools.partial(jax.jit, static_argnames=_BEAM_STATICS)
 def decode_window_beam_jit(
     params,
     mel: jnp.ndarray,  # (1, n_mels, 3000)
@@ -58,7 +58,95 @@ def decode_window_beam_jit(
     without_timestamps: bool = False,
     allow_pallas: bool = True,
 ):
-    """Returns dict with finished sequences/scores and no_speech_prob."""
+    """Single-window beam decode. Returns dict with finished
+    sequences/scores and no_speech_prob."""
+    xa = encode(params, mel, dims, allow_pallas=allow_pallas)
+    return _beam_core(
+        params, xa, prompt, prompt_len, suppress_mask, blank_mask,
+        dims=dims, beam_size=beam_size, max_candidates=max_candidates,
+        max_new=max_new, sample_begin=sample_begin, eot=eot,
+        ts_begin=ts_begin, no_timestamps=no_timestamps,
+        sot_index_from_end=sot_index_from_end,
+        max_initial_timestamp_index=max_initial_timestamp_index,
+        suppress_blank=suppress_blank, without_timestamps=without_timestamps,
+        allow_pallas=allow_pallas,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=_BEAM_STATICS)
+def decode_window_beam_batch_jit(
+    params,
+    mels: jnp.ndarray,  # (B, n_mels, 3000)
+    prompts: jnp.ndarray,  # (B, P) int32 right-aligned
+    prompt_lens: jnp.ndarray,  # (B,) int32
+    suppress_mask: jnp.ndarray,
+    blank_mask: jnp.ndarray,
+    *,
+    dims: WhisperDims,
+    beam_size: int,
+    max_candidates: int,
+    max_new: int,
+    sample_begin: int,
+    eot: int,
+    ts_begin: int,
+    no_timestamps: int,
+    sot_index_from_end: int,
+    max_initial_timestamp_index: Optional[int],
+    suppress_blank: bool = True,
+    without_timestamps: bool = False,
+    allow_pallas: bool = True,
+):
+    """Batched beam decode: B independent windows in one program (the
+    batched pipeline's pass-1 for ``beam_size``; no reference counterpart —
+    the reference is strictly batch-1, reference ``transcribe.py:806``).
+
+    The encoder runs batched over all windows (one big MXU-friendly
+    program, Pallas allowed); the per-window beam loop is ``vmap``-ped —
+    beams become a (B, K) grid and the ``lax.while_loop`` runs until every
+    window finishes. Pallas is disabled inside the vmapped region (the
+    stacked-attention kernels carry no batching rule); the XLA decode path
+    batches cleanly."""
+    xa = encode(params, mels, dims, allow_pallas=allow_pallas)
+
+    def one(xa1, prompt, plen):
+        return _beam_core(
+            params, xa1[None], prompt, plen, suppress_mask, blank_mask,
+            dims=dims, beam_size=beam_size, max_candidates=max_candidates,
+            max_new=max_new, sample_begin=sample_begin, eot=eot,
+            ts_begin=ts_begin, no_timestamps=no_timestamps,
+            sot_index_from_end=sot_index_from_end,
+            max_initial_timestamp_index=max_initial_timestamp_index,
+            suppress_blank=suppress_blank,
+            without_timestamps=without_timestamps,
+            allow_pallas=False,
+        )
+
+    return jax.vmap(one)(xa, prompts, prompt_lens)
+
+
+def _beam_core(
+    params,
+    xa: jnp.ndarray,  # (1, T, D) encoded audio
+    prompt: jnp.ndarray,  # (P,) int32 right-aligned
+    prompt_len: jnp.ndarray,  # scalar int32
+    suppress_mask: jnp.ndarray,
+    blank_mask: jnp.ndarray,
+    *,
+    dims: WhisperDims,
+    beam_size: int,
+    max_candidates: int,
+    max_new: int,
+    sample_begin: int,
+    eot: int,
+    ts_begin: int,
+    no_timestamps: int,
+    sot_index_from_end: int,
+    max_initial_timestamp_index: Optional[int],
+    suppress_blank: bool = True,
+    without_timestamps: bool = False,
+    allow_pallas: bool = True,
+):
+    """One window's beam search over pre-encoded audio (vmap-safe)."""
     from .models.whisper_jax import (  # internal reuse
         _attention, _linear, _ln, _logits, cross_attention,
     )
@@ -69,7 +157,6 @@ def decode_window_beam_jit(
     no_speech = no_timestamps - 1
     NEG = jnp.float32(-1e30)
 
-    xa = encode(params, mel, dims, allow_pallas=allow_pallas)  # (1, T, D)
     ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
     # prefill at batch 1 — all beams are identical until the first sampled
     # token (enforced by the -1e30 sum_logprobs init), so running the P-slot

@@ -434,6 +434,94 @@ class DecodeEngine:
             and int(np.asarray(out["n_finished"])) == 0,
         )
 
+    def decode_window_beam_batch(
+        self,
+        mels,  # (B, n_mels, 3000) numpy or device
+        options: DecodingOptions,
+        prompts: Sequence[Sequence[int]],  # per-row prompt tokens
+        languages: Optional[Sequence[Optional[str]]] = None,
+    ) -> List[WindowDecodeResult]:
+        """Beam-search decode of B independent windows in ONE program
+        (pass-1 of the batched naive pipeline). Row prompts/languages may
+        differ; all rows share the full prompt region so shapes stay
+        uniform. No attention capture — alignment comes from the
+        teacher-forced pass, as in the serial naive engine."""
+        from .decoding_beam import decode_window_beam_batch_jit, rank_beam_results
+
+        tok = self.tokenizer
+        mels = jnp.asarray(mels, jnp.float32)
+        B = mels.shape[0]
+
+        def row_opts(i: int) -> DecodingOptions:
+            lang = languages[i] if languages else None
+            if lang is None or lang == options.language:
+                return options
+            return DecodingOptions(**{**options.__dict__, "language": lang})
+
+        bufs, lens, sot_from_end = [], [], None
+        for i in range(B):
+            buf, plen, sot_from_end = self.build_prompt(
+                list(prompts[i]) if i < len(prompts) else [],
+                row_opts(i), region=PROMPT_REGION,
+            )
+            bufs.append(buf)
+            lens.append(plen)
+        sm, bm = self._masks(options)
+        K = options.beam_size
+        patience = options.patience if options.patience is not None else 1.0
+        max_candidates = max(1, round(K * patience))
+        max_init_ts = (
+            round(options.max_initial_timestamp / TIME_PER_POSITION)
+            if options.max_initial_timestamp is not None
+            else None
+        )
+        max_new = options.sample_len or MAX_NEW_TOKENS
+        out = decode_window_beam_batch_jit(
+            self.model.params,
+            self._place(mels),
+            self._place(jnp.asarray(np.stack(bufs))),
+            self._place(jnp.asarray(np.asarray(lens, np.int32))),
+            sm,
+            bm,
+            dims=self.dims,
+            beam_size=K,
+            max_candidates=max_candidates,
+            max_new=max_new,
+            sample_begin=PROMPT_REGION,
+            eot=tok.eot,
+            ts_begin=tok.timestamp_begin,
+            no_timestamps=tok.no_timestamps,
+            sot_index_from_end=sot_from_end,
+            max_initial_timestamp_index=max_init_ts,
+            suppress_blank=options.suppress_blank,
+            without_timestamps=options.without_timestamps,
+            allow_pallas=self.allow_pallas,
+        )
+        host = {k: np.asarray(v) for k, v in out.items()}
+        results = []
+        for b in range(B):
+            row = {k: v[b] for k, v in host.items()}
+            tokens, sum_lp = rank_beam_results(row, tok.eot, options.length_penalty)
+            text = tok.decode(tokens)
+            results.append(
+                WindowDecodeResult(
+                    tokens=tokens,
+                    text=text,
+                    avg_logprob=float(sum_lp) / (len(tokens) + 1),
+                    no_speech_prob=float(row["no_speech_prob"]),
+                    temperature=0.0,
+                    compression_ratio=compression_ratio(text),
+                    token_logprobs=np.zeros(len(tokens), np.float32),
+                    attn=np.zeros((0,)),
+                    sum_logprob=float(sum_lp),
+                    hit_limit=int(row["n_steps"]) >= max_new
+                    and int(row["n_finished"]) == 0,
+                    batch_index=b,
+                    n_text=len(tokens),
+                )
+            )
+        return results
+
     def decode_window_best_of(
         self,
         mel: np.ndarray,

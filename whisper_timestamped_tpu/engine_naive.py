@@ -18,6 +18,7 @@ Faithfully-kept reference quirks (goldens pin them):
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import List, Optional, Sequence
 
@@ -188,6 +189,147 @@ def transcribe_naive(
         transcription = _make_transcription(whisper_segments, result)
         return transcription, words
 
+    gen = naive_word_requests(
+        engine, audio, result, whisper_segments,
+        language=language, use_space=use_space, task=task,
+        trust_whisper_timestamps=trust_whisper_timestamps,
+        refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+        remove_punctuation_from_words=remove_punctuation_from_words,
+        compute_word_confidence=compute_word_confidence,
+        include_punctuation_in_confidence=include_punctuation_in_confidence,
+        detect_disfluencies=detect_disfluencies,
+        verbose=verbose,
+        min_word_duration=min_word_duration,
+    )
+    words = drive_teacher_forced_serial(gen, engine)
+
+    transcription = _make_transcription(whisper_segments, result)
+    return transcription, words
+
+
+def drive_teacher_forced_serial(gen, engine: DecodeEngine) -> List[dict]:
+    """Serial driver for ``naive_word_requests``: one teacher-forced forward
+    per request. The batched pipeline drives many streams' generators in
+    lock-step instead (``drive_teacher_forced_batch``)."""
+    try:
+        req = next(gen)
+        while True:
+            req = gen.send(_teacher_forced(engine, *req))
+    except StopIteration as e:
+        return e.value if e.value is not None else []
+
+
+def drive_teacher_forced_batch(
+    engine: DecodeEngine, gens: dict, batch_size: int = 8
+) -> dict:
+    """Drive many streams' ``naive_word_requests`` generators in lock-step.
+
+    Each stream's request sequence is serial (segment windows depend on the
+    previous segment's aligned end), but STREAMS are independent: every round
+    batches the current request of up to ``batch_size`` live streams into one
+    teacher-forced program (token lengths bucketed so a handful of compiled
+    shapes covers the run). Returns name -> words. New capability of the
+    batched pipeline — the reference is strictly serial (its engine loops
+    file-by-file, segment-by-segment, reference ``transcribe.py:1131``)."""
+    live = {}
+    words: dict = {}
+    for name, gen in gens.items():
+        try:
+            live[name] = (gen, gen.send(None))
+        except StopIteration as e:
+            words[name] = e.value if e.value is not None else []
+    while live:
+        names = list(live)[:batch_size]
+        reqs = [live[n][1] for n in names]
+        outs = _teacher_forced_batch(engine, reqs)
+        for n, out in zip(names, outs):
+            gen = live[n][0]
+            try:
+                live[n] = (gen, gen.send(out))
+            except StopIteration as e:
+                del live[n]
+                words[n] = e.value if e.value is not None else []
+    return words
+
+
+def _bucket_len(n: int) -> int:
+    """Pad token counts to a small set of static shapes (one compile each)."""
+    for b in (32, 64, 128, 256):
+        if n <= b:
+            return b
+    return 448 + 2  # sot_seq(<=4) + ts + tokens never exceeds n_text_ctx
+
+
+def _teacher_forced_batch(engine: DecodeEngine, reqs):
+    """Batched counterpart of ``_teacher_forced``: one encoder+decoder
+    program over S segments (right-padded tokens; causal self-attention makes
+    the pad tail invisible to valid prefix rows). Returns per-request
+    (logprobs (S_i, V) f32, attention rows (S_i, K, T))."""
+    params = engine.model.params
+    dims = engine.dims
+    S = len(reqs)
+    lens = [len(t) for _, t in reqs]
+    L = _bucket_len(max(lens))
+    mels = np.stack([np.asarray(m, np.float32) for m, _ in reqs])
+    toks = np.full((S, L), engine.tokenizer.eot, np.int32)
+    for i, (_, t) in enumerate(reqs):
+        toks[i, : len(t)] = t
+    layer_idx = jnp.asarray([l for l, _ in engine.align_heads])
+    head_idx = jnp.asarray([h for _, h in engine.align_heads])
+    logprobs, rows = _teacher_forced_batch_jit(
+        params, jnp.asarray(mels), jnp.asarray(toks), layer_idx, head_idx,
+        dims=dims,
+    )
+    logprobs = np.asarray(logprobs)
+    rows = np.asarray(rows)
+    return [
+        (logprobs[i, : lens[i]], rows[i, : lens[i]])
+        for i in range(S)
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _teacher_forced_batch_jit(params, mels, tokens, layer_idx, head_idx, *, dims):
+    xa = encode(params, mels, dims)
+    logits, ws = decode_full(params, tokens, xa, dims, return_cross_attn=True)
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # ws: (L, S, H, T_tok, T_aud) pre-softmax scores; alignment-head rows
+    # selected ON DEVICE (the full stack would be GBs at large-v3)
+    rows = ws[layer_idx, :, head_idx]  # (K, S, T_tok, T_aud)
+    return logprobs, jnp.transpose(rows, (1, 2, 0, 3))
+
+
+def naive_word_requests(
+    engine: DecodeEngine,
+    audio: np.ndarray,
+    result,
+    whisper_segments: List[dict],
+    *,
+    language: Optional[str],
+    use_space: bool,
+    trust_whisper_timestamps: bool,
+    refine_whisper_precision_nframes: int,
+    remove_punctuation_from_words: bool,
+    compute_word_confidence: bool,
+    include_punctuation_in_confidence: bool,
+    detect_disfluencies: bool,
+    verbose,
+    min_word_duration: float = 0.0,
+    task: str = "transcribe",
+):
+    """Per-stream word-extraction generator (pass 2 of the naive engine).
+
+    Yields ``(mel, tokens_tf)`` teacher-forced requests and receives
+    ``(logprobs, attn_all)`` via ``send``; returns the stream's word list.
+    The request points are the ONLY device work in the loop, so a driver can
+    batch requests across independent streams (the per-stream sequence is
+    inherently serial: each segment's refined window depends on the previous
+    segment's aligned end, reference ``transcribe.py:1137-1174``)."""
+    tok = engine.tokenizer
+    refine_sec = refine_whisper_precision_nframes * AUDIO_TIME_PER_TOKEN
+    audio = np.asarray(audio, np.float32)
+    audio_duration = audio.shape[-1] / SAMPLE_RATE
+
     words: List[dict] = []
     previous_end = 0.0
     current_tokens: List[int] = []
@@ -292,7 +434,7 @@ def transcribe_naive(
         tokens_tf = [*sot_sequence, tok.timestamp_begin] + tokens
         i_start = len(sot_sequence)
 
-        logprobs, attn_all = _teacher_forced(engine, mel, tokens_tf)
+        logprobs, attn_all = yield (mel, tokens_tf)
 
         end_token = tok.timestamp_begin + round(
             min(N_FRAMES * HOP_LENGTH, end_sample - start_sample) // N_SAMPLES_PER_TOKEN
@@ -387,8 +529,7 @@ def transcribe_naive(
             current_tokens = []
             token_to_idx_segment = []
 
-    transcription = _make_transcription(whisper_segments, result)
-    return transcription, words
+    return words
 
 
 def _make_transcription(whisper_segments, result):

@@ -385,15 +385,20 @@ class BatchTranscriber:
     ) -> Dict[str, List[Segment]]:
         """Pipelined window loop with device-resident advance state.
 
-        Iteration 0 runs on the host path (all-promptless rows hit the small
-        prompt-region program). Every later window is dispatched from jitted
-        state — seek, done mask, rolling prompt history — chained straight off
-        the previous decode's device outputs, so the host never sits between
-        two windows waiting for tokens. The host drains outputs one iteration
-        behind (segment bookkeeping and the alignment hook overlap the next
-        window's execution) and blocks only on the tiny per-iteration done
-        mask. Host and device seek states are cross-checked every iteration;
-        divergence raises instead of silently decoding wrong windows."""
+        Window 0 is dispatched from host-built prompts (uniform promptless
+        rows hit the small prompt-region program; this also covers
+        initial_prompt seeding), but its outputs are NOT processed before the
+        loop: the device advance state is chained off its device token buffer,
+        so window 1 dispatches as soon as window 0's done mask lands. Every
+        window is dispatched from jitted state — seek, done mask, rolling
+        prompt history — chained straight off the previous decode's device
+        outputs, so the host never sits between two windows waiting for
+        tokens. The host drains outputs one iteration behind (segment
+        bookkeeping, the fetch/unpack, and the alignment hook all overlap the
+        next window's execution) and blocks only on the tiny per-iteration
+        done mask. Host and device seek states are cross-checked every
+        iteration; divergence raises instead of silently decoding wrong
+        windows."""
         from ..decoding import PROMPT_REGION, PROMPT_REGION_SMALL
         from .deviceflow import (
             advance_window_state,
@@ -419,11 +424,16 @@ class BatchTranscriber:
             act = [s for s in streams if not s.done and s.seek < s.content_frames]
             return act, [min(N_FRAMES, s.content_frames - s.seek) for s in act]
 
-        def process(out, act, sizes, hook: bool = True) -> List[Segment]:
+        def fetch(out):
+            # MUST run while no decode is in flight: tunnel reads issued
+            # after a dispatch block until that execution completes
+            # (measured: ~decode-time per read otherwise)
             with stage_timer("decode_fetch_unpack"):
-                results = engine.unpack_window_outputs(
+                return engine.unpack_window_outputs(
                     out, t0, fetch_alignment=self.fetch_alignment
                 )
+
+        def apply(results, act, sizes, hook: bool = True) -> List[Segment]:
             segs = self._apply_window_results(
                 act, [results[s.row] for s in act], sizes,
                 no_speech_threshold, logprob_threshold, condition_on_previous_text,
@@ -441,30 +451,13 @@ class BatchTranscriber:
                         f"device {int(seeks[s.row])} vs host {s.seek}"
                     )
 
-        # ---- iteration 0: host path (uniform promptless rows -> the small
-        # prompt-region program; also covers initial_prompt seeding) ----
         act0, sizes0 = active_snapshot()
         if not act0:
             return {s.name: s.segments for s in streams}
-        prompts0 = [s.all_tokens[s.prompt_reset_since:] for s in streams] + \
-            [[]] * (B - n_streams)
-        langs0 = [s.language for s in streams] + [None] * (B - n_streams)
-        mels0 = self._gather_windows([s.row for s in streams], [s.seek for s in streams])
-        with stage_timer(f"batch_decode_b{B}_a{len(act0)}"):
-            out0 = self._dispatch_batch(
-                mels0, prompts0, opts, t0, rng_seed + 104729, langs0
-            )
-            pending0 = process(out0, act0, sizes0, hook=False)
 
-        act, _ = active_snapshot()
-        if not act:
-            if window_hook is not None and pending0:
-                window_hook(pending0)
-            return {s.name: s.segments for s in streams}
-
-        # ---- device state after iteration 0 ----
+        # ---- device state BEFORE window 0 (hist carries any initial_prompt
+        # seed; it only feeds prompts when conditioning is on) ----
         state, frames_dev = initial_state(
-            # empty after iteration 0's reset when conditioning is off
             [s.all_tokens[s.prompt_reset_since:] for s in streams],
             [s.seek for s in streams],
             [s.content_frames for s in streams],
@@ -488,9 +481,45 @@ class BatchTranscriber:
             const_prompt = put(jnp.asarray(cbuf))
             const_plen = put(jnp.asarray(np.full((B,), S, np.int32)))
 
-        prev = None  # (out, act, sizes, post-advance seek array)
+        def start_async_copies(*arrays):
+            for arr in arrays:
+                copy_async = getattr(arr, "copy_to_host_async", None)
+                if copy_async is not None:
+                    copy_async()
+
+        # ---- window 0: host-built prompts, device-chained state ----
+        prompts0 = [s.all_tokens[s.prompt_reset_since:] for s in streams] + \
+            [[]] * (B - n_streams)
+        langs0 = [s.language for s in streams] + [None] * (B - n_streams)
+        mels0 = self._gather_windows([s.row for s in streams], [s.seek for s in streams])
+        with stage_timer("devflow_dispatch"):
+            out0 = self._dispatch_batch(
+                mels0, prompts0, opts, t0, rng_seed + 104729, langs0
+            )
+            state = advance_window_state(
+                out0["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin
+            )
+        # only the tiny done/seek masks are requested ahead of the done fetch:
+        # every extra outstanding copy queues tunnel round trips in front of
+        # it (measured ~+1.4 s/window); the bulk outputs are copied once the
+        # decode is known complete, riding behind the NEXT window's execution
+        start_async_copies(state.done, state.seek)
+
+        prev = (out0, act0, sizes0, state.seek)
         it = 1
         while True:
+            # blocks until the previous window's decode lands
+            with stage_timer("devflow_done_fetch"):
+                done = np.asarray(state.done)
+            # previous window's buffers, fetched in the idle gap before the
+            # next dispatch (reads are near-free with nothing in flight)
+            p_out, p_act, p_sizes, p_seek = prev
+            p_results = fetch(p_out)
+            p_seeks = np.asarray(p_seek)
+            if bool(done[:n_streams].all()):
+                apply(p_results, p_act, p_sizes)
+                check_seeks(p_seeks)
+                break
             mels = _slice_windows_jit(self._mel_stack, rows_dev, state.seek)
             if condition_on_previous_text:
                 prompt, plen = build_prompt_batch(
@@ -507,32 +536,16 @@ class BatchTranscriber:
                 state = advance_window_state(
                     out["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin
                 )
-            for arr in (out["tokens"], out["token_logprobs"], out["sum_logprobs"],
-                        out["no_speech_prob"], state.done, state.seek):
-                copy_async = getattr(arr, "copy_to_host_async", None)
-                if copy_async is not None:
-                    copy_async()
 
-            # host work for earlier iterations rides behind this execution
-            if pending0:
-                if window_hook is not None:
-                    window_hook(pending0)
-                pending0 = []
-            if prev is not None:
-                p_out, p_act, p_sizes, p_seek = prev
-                process(p_out, p_act, p_sizes)
-                check_seeks(p_seek)
+            # host-only work rides behind this window's execution (the align
+            # hook only DISPATCHES device programs; their results resolve at
+            # assembly time)
+            apply(p_results, p_act, p_sizes)
+            check_seeks(p_seeks)
             p_act, p_sizes = active_snapshot()  # mirror == dispatch-time state
             prev = (out, p_act, p_sizes, state.seek)
             it += 1
-            with stage_timer("devflow_done_fetch"):
-                done = np.asarray(state.done)
-            if bool(done[:n_streams].all()):
-                break
 
-        p_out, p_act, p_sizes, p_seek = prev
-        process(p_out, p_act, p_sizes)
-        check_seeks(p_seek)
         logger.debug("device flow: %d window iterations", it)
         return {s.name: s.segments for s in streams}
 
@@ -572,11 +585,6 @@ class BatchTranscriber:
             **{**(decode_options.__dict__ if decode_options else DecodingOptions().__dict__),
                "task": task, "language": language}
         )
-        if opts.beam_size:
-            raise NotImplementedError(
-                "beam_size is not supported by the batched pipeline; use the "
-                "serial transcribe_timestamped API for beam search"
-            )
 
         # One batched on-device mel for ALL streams (shorter audio is
         # zero-padded to the longest, which IS whisper's window padding —
@@ -675,9 +683,20 @@ class BatchTranscriber:
             # would correlate the sampling noise of every window)
             it_seed = rng_seed + 104729 * n_iter
             logger.debug("window iteration %d: %d active streams", n_iter, n_real)
+            beam_first = bool(opts.beam_size) and temperature[0] <= 0
             simple = temperature[0] <= 0 or (opts.best_of or 1) <= 1
             with stage_timer(f"batch_decode_b{B_eff}_a{n_real}"):
-                if simple:
+                if beam_first:
+                    # whisper decodes with beam search at t==0 only; fallback
+                    # temperatures sample (decode_with_fallback semantics,
+                    # engine.py decode_with_fallback)
+                    if pending_hook and window_hook is not None:
+                        window_hook(pending_hook)
+                    pending_hook = []
+                    results = engine.decode_window_beam_batch(
+                        mels, opts, prompts, languages,
+                    )
+                elif simple:
                     out = self._dispatch_batch(
                         mels, prompts, opts, temperature[0], it_seed, languages
                     )
@@ -799,12 +818,27 @@ def transcribe_batch(
         engine = DecodeEngine(model, tokenizer, mesh=mesh)
     elif mesh is not None and engine.mesh is None:
         engine.attach_mesh(mesh)
+    decode_opts = window_options.get("decode_options")
+    beam_mode = bool(decode_opts is not None and decode_opts.beam_size)
+    if beam_mode:
+        # beam windows carry no on-the-fly attention; alignment comes from a
+        # batched teacher-forced pass with the naive engine's word semantics
+        # (the reference forces its naive engine for beam too,
+        # transcribe.py:233-245)
+        if device_alignment:
+            logger.warning(
+                "beam_size uses teacher-forced (naive-engine) alignment; "
+                "device_alignment does not apply to the beam pipeline"
+            )
+        # the naive pass needs per-stream host audio for segment re-windowing
+        audios = {name: load_audio(a) for name, a in audios.items()}
     full_device = (
         device_alignment
+        and not beam_mode
         and not detect_disfluencies
         and len(engine.align_heads) <= MAX_K
     )
-    if device_alignment and not full_device:
+    if device_alignment and not full_device and not beam_mode:
         # never downgrade silently (the reference warns on every such repair
         # or fallback, e.g. transcribe.py:496-538)
         reasons = []
@@ -862,6 +896,23 @@ def transcribe_batch(
         for (seg, _p), j in zip(entries, resolver()):
             jumps_map[id(seg)] = j
 
+    if beam_mode:
+        return _assemble_naive_batch(
+            engine, bt, audios, all_segments,
+            language=language,
+            task=window_options.get("task", "transcribe"),
+            batch_size=batch_size,
+            refine_nframes=refine_nframes,
+            refine_whisper_precision=refine_whisper_precision,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            compute_word_confidence=compute_word_confidence,
+            detect_disfluencies=detect_disfluencies,
+            remove_empty_words=remove_empty_words,
+            min_word_duration=min_word_duration,
+            converts=converts,
+            speech_activity=speech_activity,
+        )
+
     results = {}
     assemble_timer = stage_timer("batch_assemble")
     assemble_timer.__enter__()
@@ -911,4 +962,93 @@ def transcribe_batch(
             transcription["speech_activity"] = speech_activity[name]
         results[name] = transcription
     assemble_timer.__exit__(None, None, None)
+    return results
+
+
+def _assemble_naive_batch(
+    engine: DecodeEngine,
+    bt: BatchTranscriber,
+    audios: Dict[str, np.ndarray],
+    all_segments: Dict[str, List[Segment]],
+    *,
+    language: Optional[str],
+    task: str,
+    batch_size: int,
+    refine_nframes: int,
+    refine_whisper_precision: float,
+    remove_punctuation_from_words: bool,
+    compute_word_confidence: bool,
+    detect_disfluencies: bool,
+    remove_empty_words: bool,
+    min_word_duration: float,
+    converts: Dict[str, Any],
+    speech_activity: Dict[str, Any],
+) -> Dict[str, dict]:
+    """Batched pass-2 assembly for beam-decoded streams.
+
+    Beam windows carry no on-the-fly attention, so word timestamps come from
+    the naive engine's teacher-forced alignment — but batched: every stream
+    gets a ``naive_word_requests`` generator and ``drive_teacher_forced_batch``
+    runs their segment forwards as shared batched programs (the reference
+    realigns file-by-file, segment-by-segment, ``transcribe.py:1131``)."""
+    from ..api import finalize_transcription, should_use_space
+    from ..engine import TranscribeResult
+    from ..engine_naive import drive_teacher_forced_batch, naive_word_requests
+
+    gens = {}
+    seg_dicts_map: Dict[str, List[dict]] = {}
+    for name, segments in all_segments.items():
+        meta = bt.stream_meta.get(name, {})
+        stream_language = meta.get("language") or language or "en"
+        whisper_segments = [seg.to_dict() for seg in segments]
+        for i, s in enumerate(whisper_segments):
+            s["id"] = i
+        seg_dicts_map[name] = whisper_segments
+        result = TranscribeResult(
+            text="".join(s["text"] for s in whisper_segments),
+            segments=segments,
+            language=stream_language,
+            language_probs=meta.get("language_probs"),
+        )
+        gens[name] = naive_word_requests(
+            engine, audios[name], result, whisper_segments,
+            language=stream_language,
+            use_space=should_use_space(stream_language),
+            task=task,
+            trust_whisper_timestamps=True,
+            refine_whisper_precision_nframes=refine_nframes,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            compute_word_confidence=compute_word_confidence,
+            include_punctuation_in_confidence=False,
+            detect_disfluencies=detect_disfluencies,
+            verbose=False,
+            min_word_duration=min_word_duration,
+        )
+
+    with stage_timer("batch_naive_align"):
+        words_map = drive_teacher_forced_batch(engine, gens, batch_size=batch_size)
+
+    results = {}
+    with stage_timer("batch_assemble"):
+        for name, whisper_segments in seg_dicts_map.items():
+            meta = bt.stream_meta.get(name, {})
+            stream_language = meta.get("language") or language or "en"
+            transcription = {
+                "text": "".join(s["text"] for s in whisper_segments),
+                "segments": whisper_segments,
+                "language": stream_language,
+            }
+            if meta.get("language_probs") is not None:
+                transcription["language_probs"] = meta["language_probs"]
+            transcription = finalize_transcription(
+                transcription, words_map.get(name, []),
+                remove_empty_words=remove_empty_words,
+                min_word_duration=min_word_duration,
+                trust_whisper_timestamps=True,
+                refine_whisper_precision=refine_whisper_precision,
+                vad_convert=converts.get(name),
+            )
+            if name in speech_activity:
+                transcription["speech_activity"] = speech_activity[name]
+            results[name] = transcription
     return results
