@@ -440,3 +440,72 @@ def test_cli_batch_size_matches_serial(tmp_path):
         for seg in b["segments"]:
             for w in seg.get("words", []):
                 assert w["start"] <= w["end"]
+
+
+def test_cli_batch_size_beam(tmp_path):
+    """--batch_size with --beam_size routes through the batched beam pipeline
+    (beam decode + batched teacher-forced alignment) and matches the serial
+    per-file beam run."""
+    import base64
+    import wave
+
+    from model_utils import make_hf_model, save_openai_pt
+    from whisper_timestamped_tpu.tokenizer import synthetic_ranks
+
+    model = make_hf_model(seed=0)
+    ckpt = str(tmp_path / "model.pt")
+    save_openai_pt(model, ckpt)
+    with open(tmp_path / "multilingual.tiktoken", "wb") as f:
+        for k, v in synthetic_ranks().items():
+            f.write(base64.b64encode(k) + b" " + str(v).encode() + b"\n")
+
+    wavs = []
+    rng = np.random.default_rng(9)
+    for i, seconds in enumerate((3, 4)):
+        wav = str(tmp_path / f"in{i}.wav")
+        sig = (rng.standard_normal(16000 * seconds) * 0.1 * 32767).astype("<i2")
+        with wave.open(wav, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(sig.tobytes())
+        wavs.append(wav)
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    common = ["--model", ckpt, "--language", "en", "--output_format", "json",
+              "--beam_size", "2", "--temperature", "0",
+              "--no_speech_threshold", "None", "--logprob_threshold", "None",
+              "--compression_ratio_threshold", "None"]
+
+    def run(outdir, extra):
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu');"
+             "from whisper_timestamped_tpu.cli import main; main()",
+             *wavs, "--output_dir", outdir, *common, *extra],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return proc
+
+    run(str(tmp_path / "serial"), [])
+    proc = run(str(tmp_path / "batched"), ["--batch_size", "2"])
+    assert "--batch_size ignored" not in proc.stderr
+    for i in range(2):
+        a = json.load(open(tmp_path / "serial" / f"in{i}.wav.words.json"))
+        b = json.load(open(tmp_path / "batched" / f"in{i}.wav.words.json"))
+        assert a["text"] == b["text"], i
+        wa = [w for s in a["segments"] for w in s.get("words", [])]
+        wb = [w for s in b["segments"] for w in s.get("words", [])]
+        assert [w["text"] for w in wa] == [w["text"] for w in wb]
+        # word TIMES are attention-DTW products of the teacher-forced pass;
+        # the batched (padded, S>1) program is not bit-stable vs the B=1
+        # program on this NOISE model (same caveat as the greedy CLI test
+        # above; tight equivalence on a single decode is pinned by
+        # tests/test_batch.py::test_transcribe_batch_beam_matches_serial)
+        assert [s["tokens"] for s in a["segments"]] == [
+            s["tokens"] for s in b["segments"]
+        ]
+        for seg in b["segments"]:
+            for w in seg.get("words", []):
+                assert w["start"] <= w["end"]

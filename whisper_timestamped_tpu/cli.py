@@ -217,6 +217,7 @@ def _run_batched(
         condition_on_previous_text=args["condition_on_previous_text"],
         initial_prompt=args["initial_prompt"],
         decode_options=DecodingOptions(
+            beam_size=args.get("beam_size"),
             best_of=args["best_of"],
             patience=args["patience"],
             length_penalty=args["length_penalty"],
@@ -305,7 +306,6 @@ def main(argv=None):
     if batch_size and len(audio_files) > 1:
         blockers = [
             label for label, flag in (
-                ("beam_size", args.get("beam_size")),
                 ("naive/two-pass", args["naive_approach"]),
                 ("verbose live printing", args["verbose"]),
                 ("plot", plot_word_alignment),
