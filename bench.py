@@ -87,7 +87,10 @@ def build_engine(model_name, kv_int8):
 
     heads = ALIGNMENT_HEADS.get(model_name) or [(dims.n_text_layer - 1, h) for h in range(6)]
     wm = WhisperModel(params=params, dims=dims, alignment_heads=heads)
-    engine = DecodeEngine(wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8)
+    engine = DecodeEngine(
+        wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8,
+        self_kv_int8=os.environ.get("BENCH_SELF_INT8") == "1",
+    )
     return wm, tok, engine, dims
 
 

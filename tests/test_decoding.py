@@ -360,6 +360,20 @@ def test_kv_int8_close_to_full_precision(engine, mel):
     assert b.tokens[0] == a.tokens[0]
 
 
+def test_self_kv_int8_decode(engine, mel):
+    """int8 self-KV cache (quantize-on-write, XLA dequant fallback on CPU):
+    valid transcript, near-identical to the bf16-cache decode."""
+    eng8 = DecodeEngine(engine.model, engine.tokenizer, self_kv_int8=True)
+    a = engine.decode_window(mel, DecodingOptions(language="en"))[0]
+    b = eng8.decode_window(mel, DecodingOptions(language="en"))[0]
+    assert len(b.tokens) > 0
+    assert b.tokens[0] == a.tokens[0]
+    # with a prompt (232-slot region): prefill writes quantized rows too
+    prompt = list(range(400, 520))
+    c = eng8.decode_window(mel, DecodingOptions(language="en"), prompt_tokens=prompt)[0]
+    assert len(c.tokens) > 0
+
+
 def test_public_decode_api(engine, mel):
     import whisper_timestamped_tpu as wtt
 

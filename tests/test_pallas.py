@@ -216,6 +216,36 @@ def test_self_attention_stacked_matches_xla():
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
 
 
+def test_self_attention_stacked_int8_matches_xla():
+    """Stacked int8 self-attention decode kernel vs the XLA dequantized math
+    path with the decode step's [pad_len, pos] key mask."""
+    from whisper_timestamped_tpu.models.whisper_jax import _attention, _quantize_rows
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        self_attention_stacked_int8_pallas,
+    )
+
+    L, B, CTX, D, H = 3, 2, 40, 256, 4
+    r = np.random.default_rng(7)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    kf = jnp.asarray(r.standard_normal((L, B, CTX, D)).astype(np.float32))
+    vf = jnp.asarray(r.standard_normal((L, B, CTX, D)).astype(np.float32))
+    k8, ks = _quantize_rows(kf)
+    v8, vs = _quantize_rows(vf)
+    pos, pad_len = 17, np.array([0, 5], np.int32)
+    col = np.arange(CTX)
+    for l in range(L):
+        o1 = self_attention_stacked_int8_pallas(
+            l, q, k8, ks, v8, vs, pos, pad_len, H, interpret=True
+        )
+        k_deq = k8[l].astype(jnp.float32) * ks[l][..., None]
+        v_deq = v8[l].astype(jnp.float32) * vs[l][..., None]
+        mask = np.where(
+            (col[None] >= pad_len[:, None]) & (col[None] <= pos), 0.0, -np.inf
+        )[:, None, None, :].astype(np.float32)  # (B,1,1,CTX)
+        o2, _ = _attention(q, k_deq, v_deq, H, mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
+
+
 def test_cross_attention_stacked_int8_matches_xla_int8():
     """Stacked int8 decode cross-attention kernel vs the XLA int8 math path."""
     from whisper_timestamped_tpu.models.whisper_jax import (

@@ -210,7 +210,7 @@ def apply_timestamp_rules(
         "dims", "align_heads", "max_new", "sample_begin", "eot", "ts_begin",
         "no_timestamps", "sot_index_from_end", "max_initial_timestamp_index",
         "suppress_blank", "without_timestamps", "attn_dtype", "kv_int8",
-        "capture_attention", "layer_unroll", "allow_pallas",
+        "self_kv_int8", "capture_attention", "layer_unroll", "allow_pallas",
     ),
 )
 def decode_window_jit(
@@ -236,6 +236,7 @@ def decode_window_jit(
     without_timestamps: bool = False,
     attn_dtype=jnp.float32,
     kv_int8: bool = False,
+    self_kv_int8: bool = False,
     capture_attention: bool = True,
     layer_unroll: int = 1,
     allow_pallas: bool = True,
@@ -255,7 +256,8 @@ def decode_window_jit(
     # size the cache to the decode extent (8-aligned): the dead tail of a full
     # 448-slot cache is pure HBM-bandwidth waste at every step
     ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
-    cache = init_cache(params, xa, dims, ctx_len=ctx_len, quantize_cross=kv_int8)
+    cache = init_cache(params, xa, dims, ctx_len=ctx_len, quantize_cross=kv_int8,
+                       quantize_self=self_kv_int8)
 
     pad_len = P - prompt_len  # (B,) left padding per batch element
 
@@ -281,7 +283,7 @@ def decode_window_jit(
     prefill_mask = jnp.where(valid, 0.0, -jnp.inf).astype(x.dtype)[:, None]  # (B,1,P,ctx)
 
     from .models.whisper_jax import (  # noqa: internal reuse
-        _attention, _linear, _ln, _logits, cross_attention,
+        _attention, _linear, _ln, _logits, _quantize_rows, cross_attention,
     )
 
     K = len(align_heads) if capture_attention else 0
@@ -292,16 +294,34 @@ def decode_window_jit(
 
     def prefill_block(carry, layer_in):
         x, acc = carry
-        l_idx, bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
+        if self_kv_int8:
+            l_idx, bp, k_cache, v_cache, ks_row, vs_row, xk, xv, xk_s, xv_s = layer_in
+        else:
+            l_idx, bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
-        k_cache = lax.dynamic_update_slice_in_dim(k_cache, k_new, 0, axis=1)
-        v_cache = lax.dynamic_update_slice_in_dim(v_cache, v_new, 0, axis=1)
-        a, _ = _attention(
-            _linear(xn, bp["attn"]["q"]), k_cache, v_cache, dims.n_text_head,
-            mask=prefill_mask,
-        )
+        if self_kv_int8:
+            # rows enter the cache quantized (the loop reads them int8); the
+            # prefill's own attention uses the exact local K/V — only
+            # subsequent steps see quantization, matching the cross-KV design
+            kq, ks = _quantize_rows(k_new)
+            vq, vs = _quantize_rows(v_new)
+            k_cache = lax.dynamic_update_slice_in_dim(k_cache, kq, 0, axis=1)
+            v_cache = lax.dynamic_update_slice_in_dim(v_cache, vq, 0, axis=1)
+            ks_row = lax.dynamic_update_slice_in_dim(ks_row, ks, 0, axis=1)
+            vs_row = lax.dynamic_update_slice_in_dim(vs_row, vs, 0, axis=1)
+            a, _ = _attention(
+                _linear(xn, bp["attn"]["q"]), k_new, v_new, dims.n_text_head,
+                mask=prefill_mask[:, :, :, :P],
+            )
+        else:
+            k_cache = lax.dynamic_update_slice_in_dim(k_cache, k_new, 0, axis=1)
+            v_cache = lax.dynamic_update_slice_in_dim(v_cache, v_new, 0, axis=1)
+            a, _ = _attention(
+                _linear(xn, bp["attn"]["q"]), k_cache, v_cache, dims.n_text_head,
+                mask=prefill_mask,
+            )
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
         q_cross = _linear(xc, bp["cross"]["q"])
@@ -334,15 +354,27 @@ def decode_window_jit(
         x = x + _linear(c, bp["cross"]["o"])
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
         x = x + _linear(h, bp["mlp"]["fc2"])
+        if self_kv_int8:
+            return (x, acc), (k_cache, v_cache, ks_row, vs_row)
         return (x, acc), (k_cache, v_cache)
 
-    (x, prefill_rows), (k_c, v_c) = lax.scan(
-        prefill_block, (x, acc0),
-        (jnp.arange(dims.n_text_layer), dec["blocks"], cache.k, cache.v,
-         cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
-        unroll=layer_unroll if layer_unroll > 1 else 1,
-    )
-    cache = cache._replace(k=k_c, v=v_c)
+    if self_kv_int8:
+        (x, prefill_rows), (k_c, v_c, ks_c, vs_c) = lax.scan(
+            prefill_block, (x, acc0),
+            (jnp.arange(dims.n_text_layer), dec["blocks"], cache.k, cache.v,
+             cache.k_scale, cache.v_scale,
+             cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
+            unroll=layer_unroll if layer_unroll > 1 else 1,
+        )
+        cache = cache._replace(k=k_c, v=v_c, k_scale=ks_c, v_scale=vs_c)
+    else:
+        (x, prefill_rows), (k_c, v_c) = lax.scan(
+            prefill_block, (x, acc0),
+            (jnp.arange(dims.n_text_layer), dec["blocks"], cache.k, cache.v,
+             cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
+            unroll=layer_unroll if layer_unroll > 1 else 1,
+        )
+        cache = cache._replace(k=k_c, v=v_c)
     # logits only where needed: the sot position (no-speech prob) and the last
     # position (first sampled token) — not all P prompt positions
     sot_slot = P - sot_index_from_end

@@ -12,6 +12,7 @@ aligner consumes — the data the reference collects via hooks.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -132,13 +133,25 @@ class DecodeEngine:
     """
 
     def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32,
-                 kv_int8: bool = False, layer_unroll: Optional[int] = None,
-                 mesh=None):
+                 kv_int8: Optional[bool] = None, layer_unroll: Optional[int] = None,
+                 mesh=None, self_kv_int8: Optional[bool] = None):
         self.model = model
         self.tokenizer = tokenizer
         self.dims = model.dims
         self.attn_dtype = attn_dtype
-        self.kv_int8 = kv_int8  # int8 cross-KV (2x KV capacity; memory lever)
+        # int8 cross-KV (2x KV capacity; memory lever); env default WTT_KV_INT8
+        self.kv_int8 = (
+            os.environ.get("WTT_KV_INT8") == "1" if kv_int8 is None else kv_int8
+        )
+        # int8 self-KV: halves the second HBM stream of the decode step (the
+        # (L, B, ctx, D) cache read, ~2 GB/step at large-v3 B=40 with the
+        # 232-slot prompt region); rows are quantized as they are written.
+        # Env default WTT_SELF_KV_INT8.
+        self.self_kv_int8 = (
+            os.environ.get("WTT_SELF_KV_INT8") == "1"
+            if self_kv_int8 is None
+            else self_kv_int8
+        )
         self.mesh = None
         self.tp = 1
         self.allow_pallas = True
@@ -298,6 +311,7 @@ class DecodeEngine:
             without_timestamps=options.without_timestamps,
             attn_dtype=self.attn_dtype,
             kv_int8=self.kv_int8,
+            self_kv_int8=self.self_kv_int8,
             layer_unroll=self.layer_unroll,
             allow_pallas=self.allow_pallas,
             capture_attention=capture_attention,
@@ -316,7 +330,6 @@ class DecodeEngine:
         buffers on device (device-alignment mode): only the token ids,
         logprobs and scalars — a few KB — cross the host boundary. The big
         buffers dominate the transfer cost on remote-tunnel TPUs."""
-        tok = self.tokenizer
         # ONE host transfer for all the small outputs — on remote-tunnel TPUs
         # every np.asarray is a separate round trip (~0.1 s each)
         small = jax.device_get(
@@ -324,6 +337,25 @@ class DecodeEngine:
              out["no_speech_prob"])
         )
         tokens_all, logprobs_all, sum_lp, nsp = (np.asarray(x) for x in small)
+        return self.build_window_results(
+            tokens_all, logprobs_all, sum_lp, nsp, out, temperature,
+            fetch_alignment=fetch_alignment,
+        )
+
+    def build_window_results(
+        self,
+        tokens_all: np.ndarray,  # (B, M) int32, already on host
+        logprobs_all: np.ndarray,  # (B, M) float32
+        sum_lp: np.ndarray,  # (B,)
+        nsp: np.ndarray,  # (B,)
+        out,  # the device output dict (attn/ts_logprob buffer handles)
+        temperature,
+        fetch_alignment: bool = True,
+    ) -> List[WindowDecodeResult]:
+        """Host-array half of ``unpack_window_outputs``: the device-flow loop
+        lands the small outputs via one packed read
+        (``deviceflow.pack_host_outputs``) and feeds them here directly."""
+        tok = self.tokenizer
         if fetch_alignment:
             ts_lp_all, attn_all = jax.device_get((out["ts_logprobs"], out["attn"]))
             attn_all = np.asarray(attn_all, np.float32)

@@ -374,7 +374,12 @@ class KVCache(NamedTuple):
     With ``quantize_cross``, xk/xv are int8 with per-position scales
     (L, B, T_audio) — the cross-KV read is the decode step's dominant HBM
     traffic at large models, and the scales fold into the attention math so
-    dequantized arrays are never materialized."""
+    dequantized arrays are never materialized.
+
+    With ``quantize_self``, k/v are likewise int8 with per-slot scales
+    (L, B, ctx_len) in k_scale/v_scale — the self-KV read is the second
+    stream (~2 GB/step at large-v3 B=40 with the 232-slot prompt region);
+    rows are quantized as they are written (prefill and every step)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -382,6 +387,8 @@ class KVCache(NamedTuple):
     xv: jnp.ndarray
     xk_scale: jnp.ndarray
     xv_scale: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def _quantize_rows(x: jnp.ndarray):
@@ -394,6 +401,7 @@ def _quantize_rows(x: jnp.ndarray):
 def init_cache(
     params: Params, xa: jnp.ndarray, dims: WhisperDims, dtype=None,
     ctx_len: Optional[int] = None, quantize_cross: bool = False,
+    quantize_self: bool = False,
 ) -> KVCache:
     """``ctx_len`` sizes the self-attention cache (default n_text_ctx); callers
     that know prompt+max_new shrink it — every decode step reads the whole
@@ -408,15 +416,22 @@ def init_cache(
         return _linear(xa, bp["cross"]["k"]), _linear(xa, bp["cross"]["v"])
 
     xk, xv = jax.vmap(cross_kv, in_axes=(0,))(dec["blocks"])  # maps over layer axis
-    zeros = jnp.zeros((L, B, ctx_len, D), dtype)
+    if quantize_self:
+        zeros = jnp.zeros((L, B, ctx_len, D), jnp.int8)
+        szeros = jnp.zeros((L, B, ctx_len), jnp.float32)
+        self_kw = dict(k=zeros, v=zeros, k_scale=szeros, v_scale=szeros)
+    else:
+        zeros = jnp.zeros((L, B, ctx_len, D), dtype)
+        self_kw = dict(k=zeros, v=zeros)
     if quantize_cross:
         xk_q, xk_s = _quantize_rows(xk)
         xv_q, xv_s = _quantize_rows(xv)
-        return KVCache(k=zeros, v=zeros, xk=xk_q, xv=xv_q,
-                       xk_scale=xk_s.astype(jnp.float32), xv_scale=xv_s.astype(jnp.float32))
+        return KVCache(xk=xk_q, xv=xv_q,
+                       xk_scale=xk_s.astype(jnp.float32),
+                       xv_scale=xv_s.astype(jnp.float32), **self_kw)
     ones = jnp.ones((L, B, 1), jnp.float32)
-    return KVCache(k=zeros, v=zeros, xk=xk.astype(dtype), xv=xv.astype(dtype),
-                   xk_scale=ones, xv_scale=ones)
+    return KVCache(xk=xk.astype(dtype), xv=xv.astype(dtype),
+                   xk_scale=ones, xv_scale=ones, **self_kw)
 
 
 def cross_attention(q, xk, xv, xk_scale, xv_scale, n_head, allow_pallas: bool = True):
@@ -494,7 +509,8 @@ def decode_step(
             dims.n_text_ctx - 1,
         )
         x = dec["tok_emb"][tokens] + dec["pos_emb"][pos_ids]
-    x = x.astype(cache.k.dtype)
+    self_int8 = cache.k.dtype == jnp.int8
+    x = x.astype(dec["tok_emb"].dtype if self_int8 else cache.k.dtype)
 
     # mask over cache positions: new token i may attend to cache slots < pos+i+1
     ctx = cache.k.shape[2]
@@ -537,7 +553,10 @@ def decode_step(
         # round-trip each layer's full cache slice through copies every step
         # (profiled at ~3 ms/step at large-v3 B=12); the carry form writes
         # only the new (B, S, D) row
-        x, acc, k_all, v_all = carry
+        if self_int8:
+            x, acc, k_all, v_all, ks_all, vs_all = carry
+        else:
+            x, acc, k_all, v_all = carry
         if use_stacked_xattn:
             l_idx, bp = layer_in
         else:
@@ -545,26 +564,49 @@ def decode_step(
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
-        k_all = lax.dynamic_update_slice(k_all, k_new[None], (l_idx, 0, pos, 0))
-        v_all = lax.dynamic_update_slice(v_all, v_new[None], (l_idx, 0, pos, 0))
+        if self_int8:
+            kq, ks = _quantize_rows(k_new)  # (B, S, D) int8, (B, S) f32
+            vq, vs = _quantize_rows(v_new)
+            k_all = lax.dynamic_update_slice(k_all, kq[None], (l_idx, 0, pos, 0))
+            v_all = lax.dynamic_update_slice(v_all, vq[None], (l_idx, 0, pos, 0))
+            ks_all = lax.dynamic_update_slice(ks_all, ks[None], (l_idx, 0, pos))
+            vs_all = lax.dynamic_update_slice(vs_all, vs[None], (l_idx, 0, pos))
+        else:
+            k_all = lax.dynamic_update_slice(k_all, k_new[None], (l_idx, 0, pos, 0))
+            v_all = lax.dynamic_update_slice(v_all, v_new[None], (l_idx, 0, pos, 0))
         if use_stacked_xattn:
             # read layer l of the stacked cache directly inside the kernel —
             # the dynamic_slice form materializes a (B, ctx, D) copy of K and
             # V per layer per step (~2.4 GB/step of copy traffic at large-v3)
-            from ..ops.pallas_kernels import self_attention_stacked_pallas
-
             pad = (
                 kv_valid_from
                 if kv_valid_from is not None
                 else jnp.zeros((B_,), jnp.int32)
             )
-            a = self_attention_stacked_pallas(
-                l_idx, _linear(xn, bp["attn"]["q"]), k_all, v_all, pos, pad,
-                dims.n_text_head,
-            )
+            if self_int8:
+                from ..ops.pallas_kernels import self_attention_stacked_int8_pallas
+
+                a = self_attention_stacked_int8_pallas(
+                    l_idx, _linear(xn, bp["attn"]["q"]), k_all, ks_all,
+                    v_all, vs_all, pos, pad, dims.n_text_head,
+                )
+            else:
+                from ..ops.pallas_kernels import self_attention_stacked_pallas
+
+                a = self_attention_stacked_pallas(
+                    l_idx, _linear(xn, bp["attn"]["q"]), k_all, v_all, pos, pad,
+                    dims.n_text_head,
+                )
         else:
             k_cache = lax.dynamic_slice(k_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
             v_cache = lax.dynamic_slice(v_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
+            if self_int8:
+                # XLA fallback (CPU tests / TP meshes): dequantized views are
+                # materialized — correctness path, not the bandwidth path
+                ksl = lax.dynamic_slice(ks_all, (l_idx, 0, 0), (1, B_, ctx_))[0]
+                vsl = lax.dynamic_slice(vs_all, (l_idx, 0, 0), (1, B_, ctx_))[0]
+                k_cache = k_cache.astype(x.dtype) * ksl[..., None].astype(x.dtype)
+                v_cache = v_cache.astype(x.dtype) * vsl[..., None].astype(x.dtype)
             a, _ = _attention(
                 _linear(xn, bp["attn"]["q"]), k_cache, v_cache, dims.n_text_head,
                 mask=mask,
@@ -607,6 +649,8 @@ def decode_step(
             w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)
         elif not capture_attention:
             w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)  # tiny placeholder
+        if self_int8:
+            return (x, acc, k_all, v_all, ks_all, vs_all), w
         return (x, acc, k_all, v_all), w
 
     L = dims.n_text_layer
@@ -620,13 +664,22 @@ def decode_step(
         else (jnp.arange(L), dec["blocks"], cache.xk, cache.xv,
               cache.xk_scale, cache.xv_scale)
     )
-    (x, acc, k_c, v_c), ws = lax.scan(
-        block, (x, acc0, cache.k, cache.v), xs,
-        unroll=unroll_layers if unroll_layers > 1 else 1,
-    )
+    if self_int8:
+        init_carry = (x, acc0, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        (x, acc, k_c, v_c, ks_c, vs_c), ws = lax.scan(
+            block, init_carry, xs,
+            unroll=unroll_layers if unroll_layers > 1 else 1,
+        )
+        new_cache = cache._replace(k=k_c, v=v_c, k_scale=ks_c, v_scale=vs_c)
+    else:
+        (x, acc, k_c, v_c), ws = lax.scan(
+            block, (x, acc0, cache.k, cache.v), xs,
+            unroll=unroll_layers if unroll_layers > 1 else 1,
+        )
+        new_cache = cache._replace(k=k_c, v=v_c)
     logits = _logits(_ln(x, dec["ln"]), dec)
     out_attn = acc if align_heads is not None else ws
-    return logits, cache._replace(k=k_c, v=v_c), out_attn
+    return logits, new_cache, out_attn
 
 
 def cast_params(params: Params, dtype) -> Params:

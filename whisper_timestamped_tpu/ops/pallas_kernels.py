@@ -1145,6 +1145,123 @@ def self_attention_stacked_pallas(
     )
 
 
+def _self_attn_stacked_int8_kernel(
+    H, inv,  # static
+    sp_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, smat_ref, emat_ref, out_ref,
+):
+    """int8 variant of ``_self_attn_stacked_kernel``: the stacked self-KV
+    cache arrives int8 with per-slot scales (written by the quantizing cache
+    updates), halving the second-largest per-step HBM stream. The scales fold
+    into the scores / weights, so dequantized K/V never exist in memory
+    (int8 -> bf16 casts are exact)."""
+    b = pl.program_id(0)
+    # prefetch layout: [l_idx, pos, pad_len[0..B-1]]
+    pos = sp_ref[1]
+    pad_b = sp_ref[2 + b]
+
+    q = q_ref[0, 0, :].astype(jnp.bfloat16)
+    k = k_ref[0, 0].astype(jnp.bfloat16)  # (CTX, D) int8 -> exact bf16
+    v = v_ref[0, 0].astype(jnp.bfloat16)
+    ks = ks_ref[0, 0, 0].astype(jnp.float32)  # (CTX,)
+    vs = vs_ref[0, 0, 0].astype(jnp.float32)
+    smat = smat_ref[...]
+    emat = emat_ref[...]
+
+    prod = k * q[None, :]
+    scores = (
+        jax.lax.dot_general(
+            prod, smat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * ks[:, None]
+        * inv
+    )  # (CTX, HP)
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    # the query's own slot stays attendable even when pos < pad_b (mirrors
+    # decode_step's "col == pos" escape hatch: a fully masked row would turn
+    # this softmax into NaNs that poison later cache slots)
+    valid = ((row >= pad_b) & (row <= pos)) | (row == pos)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    m = jnp.max(scores, axis=0, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    w = (p / l) * vs[:, None]  # fold the V scale into the weights
+    w_full = jax.lax.dot_general(
+        w.astype(jnp.bfloat16), emat.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # (CTX, D); zeros outside [pad_b, pos]
+    out_ref[0, 0, :] = jnp.sum(v * w_full, axis=0, dtype=jnp.float32).astype(
+        out_ref.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def self_attention_stacked_int8_pallas(
+    l_idx: jnp.ndarray,  # scalar int32
+    q: jnp.ndarray,  # (B, 1, D)
+    k_all: jnp.ndarray,  # (L, B, ctx, D) int8
+    k_scale: jnp.ndarray,  # (L, B, ctx) f32
+    v_all: jnp.ndarray,  # (L, B, ctx, D) int8
+    v_scale: jnp.ndarray,  # (L, B, ctx) f32
+    pos: jnp.ndarray,  # scalar int32: the query's cache slot
+    pad_len: jnp.ndarray,  # (B,) int32: first valid cache slot per batch row
+    n_head: int,
+    interpret=None,
+):
+    """Single-query masked self-attention over the stacked int8 KV cache
+    (same contract as ``self_attention_stacked_pallas``)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and D % n_head == 0
+    L, _, CTX, _ = k_all.shape
+    dh = D // n_head
+    HP = max(128, int(np.ceil(n_head / 128) * 128))
+
+    smat = np.zeros((D, HP), np.float32)
+    emat = np.zeros((HP, D), np.float32)
+    for h in range(n_head):
+        smat[h * dh : (h + 1) * dh, h] = 1.0
+        emat[h, h * dh : (h + 1) * dh] = 1.0
+
+    # prefetch layout: [l_idx, pos, pad_len[0..B-1]]
+    sp = jnp.concatenate(
+        [
+            jnp.asarray(l_idx, jnp.int32).reshape(1),
+            jnp.asarray(pos, jnp.int32).reshape(1),
+            jnp.asarray(pad_len, jnp.int32).reshape(B),
+        ]
+    )
+    kernel = functools.partial(
+        _self_attn_stacked_int8_kernel, n_head, np.float32(dh**-0.5)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, sp: (b, 0, 0)),
+            pl.BlockSpec((1, 1, CTX, D), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, CTX), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, CTX, D), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, CTX), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((D, HP), lambda b, sp: (0, 0)),
+            pl.BlockSpec((HP, D), lambda b, sp: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D), lambda b, sp: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+        interpret=interpret,
+    )(
+        sp, q, k_all, k_scale.astype(jnp.float32)[:, :, None, :],
+        v_all, v_scale.astype(jnp.float32)[:, :, None, :],
+        jnp.asarray(smat, jnp.bfloat16),
+        jnp.asarray(emat, jnp.float32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stacked-layer matmul (decode-step weight streaming)
 # ---------------------------------------------------------------------------
