@@ -230,6 +230,7 @@ class BatchTranscriber:
             without_timestamps=options.without_timestamps,
             attn_dtype=engine.attn_dtype,
             kv_int8=engine.kv_int8,
+            self_kv_int8=engine.self_kv_int8,
             layer_unroll=engine.layer_unroll,
             allow_pallas=engine.allow_pallas,
         )
@@ -404,6 +405,8 @@ class BatchTranscriber:
             advance_window_state,
             build_prompt_batch,
             initial_state,
+            pack_host_outputs,
+            split_host_outputs,
         )
 
         engine = self.engine
@@ -424,13 +427,16 @@ class BatchTranscriber:
             act = [s for s in streams if not s.done and s.seek < s.content_frames]
             return act, [min(N_FRAMES, s.content_frames - s.seek) for s in act]
 
-        def fetch(out):
+        def fetch(tok_np, lp_np, sum_np, nsp_np, out):
+            # Host-side build from the packed read; in host-alignment mode the
+            # big attention/ts buffers are additionally fetched here — which
             # MUST run while no decode is in flight: tunnel reads issued
             # after a dispatch block until that execution completes
             # (measured: ~decode-time per read otherwise)
             with stage_timer("decode_fetch_unpack"):
-                return engine.unpack_window_outputs(
-                    out, t0, fetch_alignment=self.fetch_alignment
+                return engine.build_window_results(
+                    tok_np, lp_np, sum_np, nsp_np, out, t0,
+                    fetch_alignment=self.fetch_alignment,
                 )
 
         def apply(results, act, sizes, hook: bool = True) -> List[Segment]:
@@ -442,8 +448,7 @@ class BatchTranscriber:
                 window_hook(segs)
             return segs
 
-        def check_seeks(seek_dev):
-            seeks = np.asarray(seek_dev)
+        def check_seeks(seeks):
             for s in streams:
                 if int(seeks[s.row]) != s.seek:
                     raise RuntimeError(
@@ -499,26 +504,29 @@ class BatchTranscriber:
             state = advance_window_state(
                 out0["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin
             )
-        # only the tiny done/seek masks are requested ahead of the done fetch:
-        # every extra outstanding copy queues tunnel round trips in front of
-        # it (measured ~+1.4 s/window); the bulk outputs are copied once the
-        # decode is known complete, riding behind the NEXT window's execution
-        start_async_copies(state.done, state.seek)
+            packed = pack_host_outputs(
+                out0["tokens"], out0["token_logprobs"], out0["sum_logprobs"],
+                out0["no_speech_prob"], state,
+            )
+        M = int(out0["tokens"].shape[1])
+        # exactly ONE outstanding copy ahead of the blocking read: extra
+        # outstanding copies queue tunnel round trips in front of it
+        # (measured ~+1.4 s/window with several in flight)
+        start_async_copies(packed)
 
-        prev = (out0, act0, sizes0, state.seek)
+        pending = (out0, act0, sizes0)
         it = 1
         while True:
-            # blocks until the previous window's decode lands
+            # ONE blocking read per window: lands this window's done mask,
+            # seek state AND its small outputs together (pack_host_outputs)
             with stage_timer("devflow_done_fetch"):
-                done = np.asarray(state.done)
-            # previous window's buffers, fetched in the idle gap before the
-            # next dispatch (reads are near-free with nothing in flight)
-            p_out, p_act, p_sizes, p_seek = prev
-            p_results = fetch(p_out)
-            p_seeks = np.asarray(p_seek)
+                p = np.asarray(packed)
+            tok_np, lp_np, sum_np, nsp_np, done, seeks = split_host_outputs(p, M)
+            p_out, p_act, p_sizes = pending
+            p_results = fetch(tok_np, lp_np, sum_np, nsp_np, p_out)
             if bool(done[:n_streams].all()):
                 apply(p_results, p_act, p_sizes)
-                check_seeks(p_seeks)
+                check_seeks(seeks)
                 break
             mels = _slice_windows_jit(self._mel_stack, rows_dev, state.seek)
             if condition_on_previous_text:
@@ -536,14 +544,19 @@ class BatchTranscriber:
                 state = advance_window_state(
                     out["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin
                 )
+                packed = pack_host_outputs(
+                    out["tokens"], out["token_logprobs"], out["sum_logprobs"],
+                    out["no_speech_prob"], state,
+                )
+            start_async_copies(packed)
 
             # host-only work rides behind this window's execution (the align
             # hook only DISPATCHES device programs; their results resolve at
             # assembly time)
             apply(p_results, p_act, p_sizes)
-            check_seeks(p_seeks)
+            check_seeks(seeks)
             p_act, p_sizes = active_snapshot()  # mirror == dispatch-time state
-            prev = (out, p_act, p_sizes, state.seek)
+            pending = (out, p_act, p_sizes)
             it += 1
 
         logger.debug("device flow: %d window iterations", it)

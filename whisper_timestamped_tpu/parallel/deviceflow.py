@@ -156,6 +156,53 @@ def build_prompt_batch(
     return buf, plen
 
 
+@jax.jit
+def pack_host_outputs(
+    tokens: jnp.ndarray,  # (B, M) int32 decode output
+    token_logprobs: jnp.ndarray,  # (B, M) float32
+    sum_logprobs: jnp.ndarray,  # (B,) float32
+    no_speech_prob: jnp.ndarray,  # (B,) float32
+    state: WindowState,
+) -> jnp.ndarray:
+    """Concatenate every per-window host-bound output into ONE (B, 2M+4)
+    float32 buffer: ``[tokens(bitcast) | logprobs | sum | nsp | done | seek]``.
+
+    On a remote-tunnel TPU each host read is a round trip, and reads issued
+    while a decode is in flight block until it completes — so the whole
+    per-iteration host drain must fit in the idle gap between window N
+    landing and window N+1 dispatching. Packing makes that gap exactly one
+    blocking read (int32 lanes ride along bitcast; the host views them back).
+    """
+    tok_f = jax.lax.bitcast_convert_type(tokens, jnp.float32)
+    seek_f = jax.lax.bitcast_convert_type(state.seek, jnp.float32)[:, None]
+    return jnp.concatenate(
+        [
+            tok_f,
+            token_logprobs.astype(jnp.float32),
+            sum_logprobs.astype(jnp.float32)[:, None],
+            no_speech_prob.astype(jnp.float32)[:, None],
+            state.done.astype(jnp.float32)[:, None],
+            seek_f,
+        ],
+        axis=1,
+    )
+
+
+def split_host_outputs(packed: np.ndarray, M: int):
+    """Host-side inverse of ``pack_host_outputs`` (on the fetched np array).
+
+    Returns (tokens, token_logprobs, sum_logprobs, no_speech_prob, done, seek).
+    """
+    p = np.asarray(packed, np.float32)
+    tokens = p[:, :M].view(np.int32)
+    logprobs = p[:, M : 2 * M]
+    sums = p[:, 2 * M]
+    nsp = p[:, 2 * M + 1]
+    done = p[:, 2 * M + 2] != 0.0
+    seek = p[:, 2 * M + 3 : 2 * M + 4].view(np.int32)[:, 0]
+    return tokens, logprobs, sums, nsp, done, seek
+
+
 def initial_state(
     streams_tokens,  # per-stream host token history (list of list[int])
     seeks,  # per-stream host seek (list[int])
