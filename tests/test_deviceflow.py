@@ -270,3 +270,42 @@ def test_initial_state_roundtrip():
     assert int(state.count[1]) == 223
     assert np.asarray(state.hist)[1, -223:].tolist() == list(range(400))[-223:]
     assert np.asarray(frames).tolist() == [5000, 2900, 0, 0]
+
+
+def test_pack_split_host_outputs_roundtrip():
+    """The packed single-read drain must reproduce every lane exactly —
+    including int32 token ids that bitcast to NaN/denormal float patterns."""
+    from whisper_timestamped_tpu.parallel.deviceflow import (
+        pack_host_outputs,
+        split_host_outputs,
+    )
+
+    B, M, H = 5, 12, 8
+    rng = np.random.default_rng(0)
+    # adversarial ids: NaN-pattern (0x7fc00000), negative, zero, max int32
+    tokens = rng.integers(0, 2**31 - 1, (B, M), dtype=np.int32)
+    tokens[0, 0] = 0x7FC00000
+    tokens[1, 1] = -1
+    tokens[2, 2] = 0
+    tokens[3, 3] = np.int32(2**31 - 1)
+    lp = rng.standard_normal((B, M)).astype(np.float32)
+    sums = rng.standard_normal(B).astype(np.float32)
+    nsp = rng.random(B).astype(np.float32)
+    state = WindowState(
+        seek=jnp.asarray([0, 1, 2**30, -7, 2999], jnp.int32),
+        done=jnp.asarray([True, False, True, False, False]),
+        hist=jnp.zeros((B, H), jnp.int32),
+        count=jnp.zeros((B,), jnp.int32),
+    )
+    packed = pack_host_outputs(
+        jnp.asarray(tokens), jnp.asarray(lp), jnp.asarray(sums),
+        jnp.asarray(nsp), state,
+    )
+    assert packed.shape == (B, 2 * M + 4)
+    t2, lp2, s2, n2, d2, k2 = split_host_outputs(np.asarray(packed), M)
+    np.testing.assert_array_equal(t2, tokens)
+    np.testing.assert_array_equal(lp2, lp)
+    np.testing.assert_array_equal(s2, sums)
+    np.testing.assert_array_equal(n2, nsp)
+    np.testing.assert_array_equal(d2, np.asarray(state.done))
+    np.testing.assert_array_equal(k2, np.asarray(state.seek))
