@@ -288,3 +288,96 @@ def test_stacked_matmul_matches_xla():
     for l in range(L):
         y = stacked_matmul_pallas(l, x, w, interpret=True)
         np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w[l]), atol=1e-4)
+
+
+def test_cross_attention_stacked_v2_score_gating():
+    """score_flag=0 skips the score emission without touching the attention
+    output; emit_scores=False drops the scores output entirely."""
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas_v2,
+        cross_attention_stacked_pallas_v2,
+    )
+    from whisper_timestamped_tpu.models.whisper_jax import _quantize_rows
+
+    L, B, T, D, H = 2, 2, 300, 256, 4
+    r = np.random.default_rng(5)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+
+    o_on, s_on = cross_attention_stacked_pallas_v2(
+        0, q, xk, xv, H, block_t=128, interpret=True
+    )
+    o_off, _ = cross_attention_stacked_pallas_v2(
+        0, q, xk, xv, H, block_t=128, score_flag=jnp.int32(0), interpret=True
+    )
+    o_none, s_none = cross_attention_stacked_pallas_v2(
+        0, q, xk, xv, H, block_t=128, emit_scores=False, interpret=True
+    )
+    assert s_none is None
+    np.testing.assert_allclose(np.asarray(o_off), np.asarray(o_on), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_none), np.asarray(o_on), atol=1e-5)
+    assert s_on.shape == (B, H, 1, T)
+
+    k8, ks = _quantize_rows(xk)
+    v8, vs = _quantize_rows(xv)
+    o8_on, s8_on = cross_attention_stacked_int8_pallas_v2(
+        1, q, k8, ks, v8, vs, H, block_t=128, interpret=True
+    )
+    o8_off, _ = cross_attention_stacked_int8_pallas_v2(
+        1, q, k8, ks, v8, vs, H, block_t=128, score_flag=jnp.int32(0),
+        interpret=True,
+    )
+    o8_none, s8_none = cross_attention_stacked_int8_pallas_v2(
+        1, q, k8, ks, v8, vs, H, block_t=128, emit_scores=False, interpret=True
+    )
+    assert s8_none is None
+    np.testing.assert_allclose(np.asarray(o8_off), np.asarray(o8_on), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o8_none), np.asarray(o8_on), atol=1e-5)
+    assert s8_on.shape == (B, H, 1, T)
+
+
+def test_prefill_flash_attention_matches_unfused():
+    """The flash prefill helper (TPU kernel, run here in interpret mode) must
+    match the unfused masked attention on both the self (left-pad + causal)
+    and cross (no mask) patterns used by decode_window_jit's prefill."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _attention,
+        _prefill_flash_attention,
+    )
+
+    B, P, D, H = 2, 24, 64, 4
+    S_cross = 130  # non-multiple of 128 exercises the tail padding
+    r = np.random.default_rng(11)
+    q = jnp.asarray(r.standard_normal((B, P, D)).astype(np.float32))
+    k = jnp.asarray(r.standard_normal((B, P, D)).astype(np.float32))
+    v = jnp.asarray(r.standard_normal((B, P, D)).astype(np.float32))
+    kc = jnp.asarray(r.standard_normal((B, S_cross, D)).astype(np.float32))
+    vc = jnp.asarray(r.standard_normal((B, S_cross, D)).astype(np.float32))
+    pad_len = jnp.asarray([0, 7], jnp.int32)
+
+    # unfused reference: query slot i attends keys pad_len <= j <= i (plus the
+    # own-slot escape for padding rows, whose outputs are not compared)
+    slots = np.arange(P)
+    valid = (slots[None, None, :] >= np.asarray(pad_len)[:, None, None]) & (
+        slots[None, None, :] <= slots[None, :, None]
+    )
+    valid |= (slots[None, :, None] == slots[None, None, :])
+    mask = jnp.asarray(np.where(valid, 0.0, -np.inf).astype(np.float32))[:, None]
+
+    with pltpu.force_tpu_interpret_mode():
+        f_self = _prefill_flash_attention(q, k, v, H, pad_len=pad_len, causal=True)
+        f_cross = _prefill_flash_attention(q, kc, vc, H)
+    u_self, _ = _attention(q, k, v, H, mask=mask)
+    u_cross, _ = _attention(q, kc, vc, H)
+
+    f_self, u_self = np.asarray(f_self), np.asarray(u_self)
+    # compare live rows only (slot >= pad_len); pad rows are garbage-by-design
+    for b in range(B):
+        lo = int(pad_len[b])
+        np.testing.assert_allclose(f_self[b, lo:], u_self[b, lo:], atol=2e-3)
+        assert np.all(np.isfinite(f_self[b]))
+    np.testing.assert_allclose(np.asarray(f_cross), np.asarray(u_cross), atol=2e-3)

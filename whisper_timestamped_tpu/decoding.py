@@ -283,7 +283,8 @@ def decode_window_jit(
     prefill_mask = jnp.where(valid, 0.0, -jnp.inf).astype(x.dtype)[:, None]  # (B,1,P,ctx)
 
     from .models.whisper_jax import (  # noqa: internal reuse
-        _attention, _linear, _ln, _logits, _quantize_rows, cross_attention,
+        _attention, _linear, _ln, _logits, _prefill_flash_attention,
+        _quantize_rows, cross_attention,
     )
 
     K = len(align_heads) if capture_attention else 0
@@ -291,6 +292,18 @@ def decode_window_jit(
     head_idx_arr = np.array([h for _, h in align_heads])
     T_audio = xa.shape[1]
     acc0 = jnp.zeros((B, max(K, 1), 1, T_audio), jnp.float32)
+
+    # flash prefill: the unfused path materializes (B, H, P, T) score tensors
+    # through HBM per layer (~1.1 GB/layer cross at large-v3 B=40 P=232 —
+    # profiled at ~290 ms of a 2.8 s window); tiny prompt regions keep the
+    # exact path (their full scores are reused for the last-row capture)
+    dh_text = dims.n_text_state // dims.n_text_head
+    use_flash_prefill = (
+        allow_pallas
+        and jax.default_backend() == "tpu"
+        and P > 16
+        and dh_text % 8 == 0
+    )
 
     def prefill_block(carry, layer_in):
         x, acc = carry
@@ -301,6 +314,7 @@ def decode_window_jit(
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
+        q_self = _linear(xn, bp["attn"]["q"])
         if self_kv_int8:
             # rows enter the cache quantized (the loop reads them int8); the
             # prefill's own attention uses the exact local K/V — only
@@ -311,17 +325,31 @@ def decode_window_jit(
             v_cache = lax.dynamic_update_slice_in_dim(v_cache, vq, 0, axis=1)
             ks_row = lax.dynamic_update_slice_in_dim(ks_row, ks, 0, axis=1)
             vs_row = lax.dynamic_update_slice_in_dim(vs_row, vs, 0, axis=1)
-            a, _ = _attention(
-                _linear(xn, bp["attn"]["q"]), k_new, v_new, dims.n_text_head,
-                mask=prefill_mask[:, :, :, :P],
-            )
+            if use_flash_prefill:
+                a = _prefill_flash_attention(
+                    q_self, k_new, v_new, dims.n_text_head,
+                    pad_len=pad_len, causal=True,
+                )
+            else:
+                a, _ = _attention(
+                    q_self, k_new, v_new, dims.n_text_head,
+                    mask=prefill_mask[:, :, :, :P],
+                )
         else:
             k_cache = lax.dynamic_update_slice_in_dim(k_cache, k_new, 0, axis=1)
             v_cache = lax.dynamic_update_slice_in_dim(v_cache, v_new, 0, axis=1)
-            a, _ = _attention(
-                _linear(xn, bp["attn"]["q"]), k_cache, v_cache, dims.n_text_head,
-                mask=prefill_mask,
-            )
+            if use_flash_prefill:
+                # attend over the just-computed P rows (the cache's empty tail
+                # beyond P is masked out on the unfused path anyway)
+                a = _prefill_flash_attention(
+                    q_self, k_new, v_new, dims.n_text_head,
+                    pad_len=pad_len, causal=True,
+                )
+            else:
+                a, _ = _attention(
+                    q_self, k_cache, v_cache, dims.n_text_head,
+                    mask=prefill_mask,
+                )
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
         q_cross = _linear(xc, bp["cross"]["q"])
@@ -334,6 +362,14 @@ def decode_window_jit(
                 allow_pallas=allow_pallas,
             )
             w_last = w_full[:, :, -1:]
+        elif use_flash_prefill:
+            if kv_int8:
+                xk_b = xk.astype(x.dtype) * xk_s[..., None].astype(x.dtype)
+                xv_b = xv.astype(x.dtype) * xv_s[..., None].astype(x.dtype)
+            else:
+                xk_b, xv_b = xk, xv
+            c = _prefill_flash_attention(q_cross, xk_b, xv_b, dims.n_text_head)
+            w_last = None
         else:
             c, _ = cross_attention(
                 q_cross, xk, xv, xk_s, xv_s, dims.n_text_head,
@@ -342,11 +378,26 @@ def decode_window_jit(
             w_last = None
         if capture_attention:
             # the LAST prompt position's scores predict the first sampled token
-            # (reference convention: token k <-> the row that predicted it)
+            # (reference convention: token k <-> the row that predicted it).
+            # Only alignment-head layers are consumed (hit-gated below), so
+            # the (B, T, D) cross-KV re-read is skipped everywhere else
             if w_last is None:
-                _, w_last = cross_attention(
-                    q_cross[:, -1:], xk, xv, xk_s, xv_s, dims.n_text_head,
-                    allow_pallas=allow_pallas,
+                hit_any = jnp.any(jnp.asarray(head_layer_arr) == l_idx)
+
+                def _last_scores(q1):
+                    _, wl = cross_attention(
+                        q1, xk, xv, xk_s, xv_s, dims.n_text_head,
+                        allow_pallas=allow_pallas,
+                    )
+                    return wl
+
+                w_last = lax.cond(
+                    hit_any,
+                    _last_scores,
+                    lambda q1: jnp.zeros(
+                        (B, dims.n_text_head, 1, T_audio), jnp.float32
+                    ),
+                    q_cross[:, -1:],
                 )  # (B, H, 1, T)
             sel = w_last[:, head_idx_arr]  # (B, K, 1, T)
             hit = (jnp.asarray(head_layer_arr) == l_idx).astype(jnp.float32)

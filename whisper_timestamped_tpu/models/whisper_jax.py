@@ -235,6 +235,65 @@ def _encoder_attention(q, k, v, n_head, allow_pallas: bool = True):
     return out
 
 
+def _prefill_flash_attention(q, k, v, n_head, pad_len=None, causal=False):
+    """Flash attention for the prompt prefill (TPU only; no scores emitted).
+
+    q (B, P, D) attends k/v (B, S, D). The unfused prefill path materializes
+    the (B, H, P, S) score tensor through HBM per layer — at large-v3 B=40
+    with the 232-slot prompt region the CROSS scores alone are ~1.1 GB/layer,
+    making the prefill score-bandwidth-bound (profiled at ~290 ms of a
+    2.8 s window). Flash keeps the softmax in VMEM tiles.
+
+    ``pad_len`` (B,) marks left-padded prompt slots (self-attention): slot s
+    is live when s >= pad_len[b]; ``causal`` adds key<=query. Cross-attention
+    passes pad_len=None (every key live). Sequence dims are padded to 128
+    multiples with segment-id masking; left-pad and tail-pad rows produce
+    finite garbage that downstream code never reads (left-pad cache slots are
+    masked by kv_valid_from; only live rows' activations are selected).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, P, D = q.shape
+    S = k.shape[1]
+    dh = D // n_head
+    qh = _split_heads(q, n_head)
+    kh = _split_heads(k, n_head)
+    vh = _split_heads(v, n_head)
+    Pp = ((P + 127) // 128) * 128
+    Sp = ((S + 127) // 128) * 128
+    if Pp != P:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, Pp - P), (0, 0)))
+    if Sp != S:
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    q_slot = jnp.arange(Pp, dtype=jnp.int32)[None]
+    k_slot = jnp.arange(Sp, dtype=jnp.int32)[None]
+    if pad_len is not None:
+        seg_q = ((q_slot >= pad_len[:, None]) & (q_slot < P)).astype(jnp.int32)
+        seg_kv = ((k_slot >= pad_len[:, None]) & (k_slot < S)).astype(jnp.int32)
+    else:
+        seg_q = jnp.broadcast_to((q_slot < P).astype(jnp.int32), (B, Pp))
+        seg_kv = jnp.broadcast_to((k_slot < S).astype(jnp.int32), (B, Sp))
+    blk_q = min(Pp, 256)
+    blk_k = Sp if Sp <= 1536 else 1536
+    bs = BlockSizes(
+        block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+        block_q_major_dkv=blk_q, block_k_major_dkv=blk_k, block_k_dkv=blk_k,
+        block_q_dkv=blk_q, block_k_major_dq=blk_k, block_k_dq=blk_k,
+        block_q_dq=blk_q,
+    )
+    out = flash_attention(
+        qh, kh, vh, causal=causal,
+        segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
+        sm_scale=dh**-0.5, block_sizes=bs,
+    )
+    return _merge_heads(out[:, :, :P])
+
+
 def _attention(q, k, v, n_head, mask=None, return_scores=False):
     """Multi-head attention. q,k,v: (B, S, D) post-projection.
 
@@ -614,6 +673,18 @@ def decode_step(
         x = x + _linear(a, bp["attn"]["o"])
         xc = _ln(x, bp["cross_ln"])
         q_cross = _linear(xc, bp["cross"]["q"])
+        if use_stacked_xattn:
+            # which layers' scores the consumer will keep: only the alignment
+            # heads' layers (the aligner's signal) — the kernel skips the
+            # score dot + write everywhere else (profiled at 900 ms of a
+            # 1367 ms B=40 decode loop with scores emitted for all 32 layers)
+            if align_heads is not None:
+                need_sc = jnp.any(
+                    jnp.asarray(head_layer, jnp.int32) == l_idx
+                ).astype(jnp.int32)
+            else:
+                need_sc = jnp.int32(1)
+            emit_sc = capture_attention or align_heads is not None
         if use_stacked_xattn and stacked_int8:
             # v2: lane-parallel (same rewrite as the bf16 kernel) — the v1
             # int8 kernel's per-head M=1 dots made it compute-bound, slower
@@ -623,6 +694,7 @@ def decode_step(
             c, w = cross_attention_stacked_int8_pallas_v2(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,
+                score_flag=need_sc, emit_scores=emit_sc,
             )
         elif use_stacked_xattn:
             # v2: lane-parallel heads (block-diagonal sum matrices on the MXU)
@@ -631,7 +703,8 @@ def decode_step(
             from ..ops.pallas_kernels import cross_attention_stacked_pallas_v2
 
             c, w = cross_attention_stacked_pallas_v2(
-                l_idx, q_cross, cache.xk, cache.xv, dims.n_text_head
+                l_idx, q_cross, cache.xk, cache.xv, dims.n_text_head,
+                score_flag=need_sc, emit_scores=emit_sc,
             )
         else:
             c, w = cross_attention(
@@ -642,12 +715,17 @@ def decode_step(
         h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
         x = x + _linear(h, bp["mlp"]["fc2"])
         if align_heads is not None:
-            # accumulate only the alignment-head rows (in-carry, never to HBM)
+            # accumulate only the alignment-head rows (in-carry, never to HBM).
+            # SELECT on the layer hit — never multiply by zero: layers whose
+            # score emission the kernel skipped return garbage (possibly NaN
+            # under the XLA fallback's uninitialized buffers), and NaN*0=NaN
             sel = w[:, head_idx]  # (B, K, S, T) static-index gather
-            hit = (jnp.asarray(head_layer) == l_idx).astype(jnp.float32)
-            acc = acc + sel * hit[None, :, None, None]
+            hit = jnp.asarray(head_layer) == l_idx  # (K,) bool
+            acc = acc + jnp.where(
+                hit[None, :, None, None], sel, jnp.zeros_like(sel)
+            )
             w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)
-        elif not capture_attention:
+        elif not capture_attention or w is None:
             w = jnp.zeros((x.shape[0], 1, 1, 1), jnp.float32)  # tiny placeholder
         if self_int8:
             return (x, acc, k_all, v_all, ks_all, vs_all), w

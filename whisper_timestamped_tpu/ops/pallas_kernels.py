@@ -23,6 +23,7 @@ optimal path is unaffected.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import numpy as np
 
@@ -707,9 +708,9 @@ def cross_attention_stacked_int8_pallas(
 
 
 def _xattn_stacked_v2_kernel(
-    H, T_real, inv,  # static (bound via functools.partial)
-    l_ref, q_ref, k_ref, v_ref, smat_ref, emat_ref,
-    out_ref, sc_ref, m_ref, l_acc_ref, num_ref,
+    H, T_real, inv, emit_sc,  # static (bound via functools.partial)
+    sp_ref, q_ref, k_ref, v_ref, smat_ref, emat_ref,
+    out_ref, *rest,
 ):
     """One (batch, T-tile) program of single-query cross-attention.
 
@@ -718,18 +719,28 @@ def _xattn_stacked_v2_kernel(
     effective on a pure streaming problem). Here all heads are computed
     lane-parallel with two real matmuls per tile:
 
-      scores(TT,HP) = (K ⊙ q) @ S        S (D,HP): S[h*dh+d, h] = 1
+      scores(TT,HP) = K @ (S ⊙ q)        S (D,HP): S[h*dh+d, h] = 1
       w_full(TT,D)  = p @ E              E (HP,D): E[h, h*dh+d] = 1
 
-    so the per-head reduction/broadcast runs on the MXU at M=TT. T is tiled
-    (VMEM is ~16 MB; the full 1500x1280 K/V pair would not fit double-
-    buffered) with the standard online-softmax carry in scratch across the
-    T-tile grid steps. The pre-softmax scores output tile is produced already
-    transposed — dot_general(S, prod) -> (HP,TT) — to match the (B,H,1,T)
-    contract without an in-kernel transpose."""
-    del l_ref  # consumed by the BlockSpec index maps
+    q is folded INTO the head-sum matrix (S ⊙ q is a (D,HP) pass) rather
+    than multiplied into K (a (TT,D) pass per tile — 4x more VPU work), so
+    K streams from HBM straight into the MXU. T is tiled (VMEM is ~16 MB;
+    the full 1500x1280 K/V pair would not fit double-buffered) with the
+    standard online-softmax carry in scratch across the T-tile grid steps.
+
+    Scores for the aligner are emitted transposed — dot(S⊙q, Kᵀ) -> (HP,TT),
+    matching the (B,H,1,T) contract without an in-kernel transpose — and
+    ONLY when the prefetched per-layer flag sp[1] is set: in the decode step
+    the consumer keeps alignment-head layers alone, so the other layers'
+    score dot + write are skipped (the unwritten tile is garbage; the
+    consumer must select, not multiply-by-zero). ``emit_sc=False`` compiles
+    the kernel with no scores output at all (capture_attention=False)."""
     t = pl.program_id(1)
     nt = pl.num_programs(1)
+    if emit_sc:
+        sc_ref, m_ref, l_acc_ref, num_ref = rest
+    else:
+        m_ref, l_acc_ref, num_ref = rest
     _, _, TT, D = k_ref.shape
 
     @pl.when(t == 0)
@@ -744,23 +755,28 @@ def _xattn_stacked_v2_kernel(
     smat = smat_ref[...]  # (D, HP) bf16 block-diagonal indicator
     emat = emat_ref[...]  # (HP, D) f32 expansion indicator
 
-    prod = k * q[None, :]  # (TT, D) bf16
+    smat_q = smat * q[:, None]  # (D, HP) bf16: head-sum matrix with q folded
     scores = (
         jax.lax.dot_general(
-            prod, smat, dimension_numbers=(((1,), (0,)), ((), ())),
+            k, smat_q, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         * inv
     )  # (TT, HP) f32
-    # raw scores for the aligner, transposed orientation (HP, TT)
-    sc_t = (
-        jax.lax.dot_general(
-            smat, prod, dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * inv
-    )
-    sc_ref[0, :, 0, :] = sc_t[:H, :]
+
+    if emit_sc:
+
+        @pl.when(sp_ref[1] != 0)
+        def _scores():
+            # raw scores for the aligner, transposed orientation (HP, TT)
+            sc_t = (
+                jax.lax.dot_general(
+                    smat_q, k, dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * inv
+            )
+            sc_ref[0, :, 0, :] = sc_t[:H, :]
 
     # mask the padded T tail (the last tile reads out of bounds)
     row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + t * TT
@@ -800,7 +816,9 @@ def _xattn_stacked_v2_kernel(
         out_ref[0, 0, :] = (num_new / l_d)[0].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_t", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "block_t", "emit_scores", "interpret")
+)
 def cross_attention_stacked_pallas_v2(
     l_idx: jnp.ndarray,  # scalar int32: layer index into the stacked buffers
     q: jnp.ndarray,  # (B, 1, D)
@@ -808,12 +826,19 @@ def cross_attention_stacked_pallas_v2(
     xv_all: jnp.ndarray,  # (L, B, T, D) bf16
     n_head: int,
     block_t: int = 512,
+    score_flag: Optional[jnp.ndarray] = None,  # scalar int32: emit this layer?
+    emit_scores: bool = True,
     interpret=None,
 ):
     """Lane-parallel stacked-layer single-query cross-attention.
 
     Same contract as ``cross_attention_stacked_pallas``: returns
-    (out (B,1,D) in q.dtype, pre-softmax scores (B,H,1,T) f32)."""
+    (out (B,1,D) in q.dtype, pre-softmax scores (B,H,1,T) f32).
+
+    ``score_flag`` (traced, default 1) gates the per-layer score emission:
+    when 0 the scores output is NOT written (garbage) — callers that pass a
+    flag must select on it, never multiply by zero. ``emit_scores=False``
+    removes the scores output entirely and returns (out, None)."""
     interpret = _default_interpret() if interpret is None else interpret
     B, S, D = q.shape
     assert S == 1 and D % n_head == 0
@@ -830,8 +855,17 @@ def cross_attention_stacked_pallas_v2(
         emat[h, h * dh : (h + 1) * dh] = 1.0
 
     kernel = functools.partial(
-        _xattn_stacked_v2_kernel, n_head, T, np.float32(dh**-0.5)
+        _xattn_stacked_v2_kernel, n_head, T, np.float32(dh**-0.5), emit_scores
     )
+    out_specs = [pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, D), q.dtype)]
+    if emit_scores:
+        out_specs.append(
+            pl.BlockSpec((1, n_head, 1, block_t), lambda b, t, l: (b, 0, 0, t))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, n_head, 1, nt * block_t), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nt),
@@ -842,48 +876,55 @@ def cross_attention_stacked_pallas_v2(
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, n_head, 1, block_t), lambda b, t, l: (b, 0, 0, t)),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((1, HP), jnp.float32),
             pltpu.VMEM((1, HP), jnp.float32),
             pltpu.VMEM((1, D), jnp.float32),
         ],
     )
-    out, scores = pl.pallas_call(
+    if score_flag is None:
+        score_flag = jnp.int32(1)
+    sp = jnp.stack(
+        [jnp.asarray(l_idx, jnp.int32), jnp.asarray(score_flag, jnp.int32)]
+    )
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
-            jax.ShapeDtypeStruct((B, n_head, 1, nt * block_t), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(
-        jnp.asarray(l_idx, jnp.int32).reshape(1),
+        sp,
         q,
         xk_all,
         xv_all,
         jnp.asarray(smat, jnp.bfloat16),
         jnp.asarray(emat, jnp.float32),
     )
+    if not emit_scores:
+        return res[0], None
+    out, scores = res
     return out, scores[:, :, :, :T]
 
 
 def _xattn_stacked_int8_v2_kernel(
-    H, T_real, inv,  # static
-    l_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, smat_ref, emat_ref,
-    out_ref, sc_ref, m_ref, l_acc_ref, num_ref,
+    H, T_real, inv, emit_sc,  # static
+    sp_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, smat_ref, emat_ref,
+    out_ref, *rest,
 ):
     """int8 variant of ``_xattn_stacked_v2_kernel``: K/V rows arrive int8 with
     per-position scales; the scales fold into the scores and the online
     numerator, so dequantized K/V never exist (int8 -> bf16 casts are exact).
     The v1 int8 kernel's 40 M=1 dots per program made the int8 path COMPUTE-
-    bound — slower per byte than bf16 despite moving half the data."""
-    del l_ref
+    bound — slower per byte than bf16 despite moving half the data. As in the
+    bf16 kernel, q folds into the head-sum matrix and scores are emitted only
+    under the prefetched sp[1] flag (``emit_sc=False`` drops the output)."""
     t = pl.program_id(1)
     nt = pl.num_programs(1)
+    if emit_sc:
+        sc_ref, m_ref, l_acc_ref, num_ref = rest
+    else:
+        m_ref, l_acc_ref, num_ref = rest
     _, _, TT, D = k_ref.shape
 
     @pl.when(t == 0)
@@ -900,24 +941,29 @@ def _xattn_stacked_int8_v2_kernel(
     smat = smat_ref[...]
     emat = emat_ref[...]
 
-    prod = k * q[None, :].astype(jnp.bfloat16)
+    smat_q = smat * q[:, None].astype(jnp.bfloat16)  # (D, HP): q folded in
     scores = (
         jax.lax.dot_general(
-            prod, smat, dimension_numbers=(((1,), (0,)), ((), ())),
+            k, smat_q, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         * ks[:, None]
         * inv
     )  # (TT, HP) f32
-    sc_t = (
-        jax.lax.dot_general(
-            smat, prod, dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * ks[None, :]
-        * inv
-    )
-    sc_ref[0, :, 0, :] = sc_t[:H, :]
+
+    if emit_sc:
+
+        @pl.when(sp_ref[1] != 0)
+        def _scores():
+            sc_t = (
+                jax.lax.dot_general(
+                    smat_q, k, dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * ks[None, :]
+                * inv
+            )
+            sc_ref[0, :, 0, :] = sc_t[:H, :]
 
     row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + t * TT
     scores = jnp.where(row < T_real, scores, -jnp.inf)
@@ -927,16 +973,18 @@ def _xattn_stacked_int8_v2_kernel(
     alpha = jnp.exp(m_old - m_new)
     p = jnp.exp(scores - m_new)  # (TT, HP)
     l_new = l_acc_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
-    # fold the V scale into the weights before the head expansion
-    p2 = p * vs[:, None]
+    # fold the V scale into the weights before the head expansion; the pad
+    # tail of the FLOAT vs block is garbage (possibly NaN) and 0*NaN = NaN,
+    # so select on the (TT, HP) weights — 10x cheaper than masking the
+    # (TT, D) vw product as the bf16 kernel must (here the int8 K/V pad
+    # garbage casts to finite bf16 and is annihilated by the zero weights)
+    p2 = jnp.where(row < T_real, p * vs[:, None], 0.0)
     w_full = jax.lax.dot_general(
         p2.astype(jnp.bfloat16), emat.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16)
     vw = v * w_full
-    row_d = jax.lax.broadcasted_iota(jnp.int32, vw.shape, 0) + t * TT
-    vw = jnp.where(row_d < T_real, vw, jnp.zeros_like(vw))
     contrib = jnp.sum(vw, axis=0, keepdims=True, dtype=jnp.float32)
     alpha_d = jax.lax.dot_general(
         alpha, emat, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -956,7 +1004,9 @@ def _xattn_stacked_int8_v2_kernel(
         out_ref[0, 0, :] = (num_new / l_d)[0].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "block_t", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "block_t", "emit_scores", "interpret")
+)
 def cross_attention_stacked_int8_pallas_v2(
     l_idx: jnp.ndarray,  # scalar int32
     q: jnp.ndarray,  # (B, 1, D)
@@ -966,10 +1016,12 @@ def cross_attention_stacked_int8_pallas_v2(
     xv_scale: jnp.ndarray,  # (L, B, T) f32
     n_head: int,
     block_t: int = 512,
+    score_flag: Optional[jnp.ndarray] = None,  # scalar int32: emit this layer?
+    emit_scores: bool = True,
     interpret=None,
 ):
     """Lane-parallel stacked int8 single-query cross-attention (same contract
-    as ``cross_attention``'s int8 path)."""
+    and score gating as ``cross_attention_stacked_pallas_v2``)."""
     interpret = _default_interpret() if interpret is None else interpret
     B, S, D = q.shape
     assert S == 1 and D % n_head == 0
@@ -985,8 +1037,18 @@ def cross_attention_stacked_int8_pallas_v2(
         emat[h, h * dh : (h + 1) * dh] = 1.0
 
     kernel = functools.partial(
-        _xattn_stacked_int8_v2_kernel, n_head, T, np.float32(dh**-0.5)
+        _xattn_stacked_int8_v2_kernel, n_head, T, np.float32(dh**-0.5),
+        emit_scores,
     )
+    out_specs = [pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, D), q.dtype)]
+    if emit_scores:
+        out_specs.append(
+            pl.BlockSpec((1, n_head, 1, block_t), lambda b, t, l: (b, 0, 0, t))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, n_head, 1, nt * block_t), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nt),
@@ -999,31 +1061,33 @@ def cross_attention_stacked_int8_pallas_v2(
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, n_head, 1, block_t), lambda b, t, l: (b, 0, 0, t)),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((1, HP), jnp.float32),
             pltpu.VMEM((1, HP), jnp.float32),
             pltpu.VMEM((1, D), jnp.float32),
         ],
     )
-    out, scores = pl.pallas_call(
+    if score_flag is None:
+        score_flag = jnp.int32(1)
+    sp = jnp.stack(
+        [jnp.asarray(l_idx, jnp.int32), jnp.asarray(score_flag, jnp.int32)]
+    )
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1, D), q.dtype),
-            jax.ShapeDtypeStruct((B, n_head, 1, nt * block_t), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(
-        jnp.asarray(l_idx, jnp.int32).reshape(1),
+        sp,
         q, xk_all, xk_scale.astype(jnp.float32)[:, :, None, :], xv_all,
         xv_scale.astype(jnp.float32)[:, :, None, :],
         jnp.asarray(smat, jnp.bfloat16),
         jnp.asarray(emat, jnp.float32),
     )
+    if not emit_scores:
+        return res[0], None
+    out, scores = res
     return out, scores[:, :, :, :T]
 
 
@@ -1167,10 +1231,12 @@ def _self_attn_stacked_int8_kernel(
     smat = smat_ref[...]
     emat = emat_ref[...]
 
-    prod = k * q[None, :]
+    # q folded into the head-sum matrix: a (D, HP) pass instead of the
+    # (CTX, D) K⊙q product, so K streams straight into the MXU
+    smat_q = smat * q[:, None]
     scores = (
         jax.lax.dot_general(
-            prod, smat, dimension_numbers=(((1,), (0,)), ((), ())),
+            k, smat_q, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         * ks[:, None]
