@@ -326,3 +326,24 @@ def test_transcribe_batch_beam_matches_serial(model, tok):
             assert wb["end"] == pytest.approx(ws["end"], abs=0.021)
             if "confidence" in ws:
                 assert wb["confidence"] == pytest.approx(ws["confidence"], abs=0.02)
+
+
+def test_transcribe_batch_device_alignment_disfluencies(model, tok):
+    """detect_disfluencies=True stays on the batched device path (cost rows
+    fetched alongside jumps) and reproduces the host-aligned results."""
+    audios = {"a": _audio(1, 5), "b": _audio(2, 8)}
+    kw = dict(
+        language="en", batch_size=2, detect_disfluencies=True,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    host = transcribe_batch(model, audios, tok, device_alignment=False, **kw)
+    dev = transcribe_batch(model, audios, tok, device_alignment=True, **kw)
+    for name in audios:
+        assert host[name]["text"] == dev[name]["text"]
+        ws_h = [w for s in host[name]["segments"] for w in s.get("words", [])]
+        ws_d = [w for s in dev[name]["segments"] for w in s.get("words", [])]
+        assert [w["text"] for w in ws_h] == [w["text"] for w in ws_d]
+        for a, b in zip(ws_h, ws_d):
+            assert a["start"] == pytest.approx(b["start"], abs=0.021)
+            assert a["end"] == pytest.approx(b["end"], abs=0.021)

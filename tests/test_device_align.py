@@ -202,3 +202,66 @@ def test_api_full_device_matches_host():
         assert a["start"] == pytest.approx(b["start"], abs=0.021)
         assert a["end"] == pytest.approx(b["end"], abs=0.021)
         assert a["confidence"] == pytest.approx(b["confidence"], abs=1e-3)
+
+
+def test_disfluency_matches_host():
+    """detect_disfluencies on the device path (jumps + fetched cost rows) must
+    reproduce the host path's words INCLUDING any inserted [*] marks.
+
+    Seeds chosen so random attention actually triggers host-side peak
+    detection (a verified-in-advance property, asserted below)."""
+    ts = TOK.timestamp_begin
+    triggered = 0
+    for seed in (11, 23, 24, 26):
+        rng = np.random.default_rng(seed)
+        text = [int(t) for t in rng.integers(ord("a"), ord("z"), 12)]
+        tokens = [ts] + text + [ts + 150]
+        attn = rng.standard_normal((len(tokens), K, T_AUDIO)).astype(np.float32)
+
+        ws_host = perform_word_alignment(tokens, attn, TOK, detect_disfluencies=True)
+        task = make_task(tokens, 0, np.arange(len(tokens)), TOK)
+        ((jumps, cost),) = compute_jumps_batch(
+            jnp.asarray(attn), [task], interpret=True, fetch_cost=True
+        )
+        assert cost.shape[0] == len(task.plan.tokens)
+        ws_dev = perform_word_alignment(
+            tokens, None, TOK, detect_disfluencies=True,
+            precomputed_jumps=jumps, precomputed_cost=cost,
+        )
+        triggered += "[*]" in [w["text"] for w in ws_host]
+        _assert_words_equal(ws_host, ws_dev)
+    assert triggered >= 3  # the fixture seeds must keep exercising insertion
+
+
+def test_api_device_disfluencies_matches_host():
+    """transcribe_timestamped(detect_disfluencies=True, device_alignment=True)
+    stays on the device path (no host fallback) and matches the host path."""
+    pytest.importorskip("torch")
+    import jax
+    from model_utils import make_hf_model, hf_model_to_jax
+    from whisper_timestamped_tpu.api import transcribe_timestamped
+    from whisper_timestamped_tpu.models.load import WhisperModel
+
+    m = make_hf_model(seed=0)
+    params, dims = hf_model_to_jax(m)
+    model = WhisperModel(
+        params=jax.tree.map(jnp.asarray, params),
+        dims=dims,
+        alignment_heads=[(0, 1), (1, 0), (1, 2)],
+    )
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32)
+    kw = dict(
+        language="en", tokenizer=make_tokenizer(), no_speech_threshold=None,
+        logprob_threshold=None, compression_ratio_threshold=None,
+        detect_disfluencies=True,
+    )
+    host = transcribe_timestamped(model, audio, device_alignment=False, **kw)
+    dev = transcribe_timestamped(model, audio, device_alignment=True, **kw)
+    assert host["text"] == dev["text"]
+    ws_h = [w for s in host["segments"] for w in s["words"]]
+    ws_d = [w for s in dev["segments"] for w in s["words"]]
+    assert [w["text"] for w in ws_h] == [w["text"] for w in ws_d]
+    for a, b in zip(ws_h, ws_d):
+        assert a["start"] == pytest.approx(b["start"], abs=0.021)
+        assert a["end"] == pytest.approx(b["end"], abs=0.021)

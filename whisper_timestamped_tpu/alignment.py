@@ -285,11 +285,15 @@ def perform_word_alignment(
     plot=False,
     use_device_kernels: bool = False,
     precomputed_jumps: Optional[np.ndarray] = None,
+    precomputed_cost: Optional[np.ndarray] = None,
 ) -> List[dict]:
     """``precomputed_jumps``: per-token start frames in sliced coordinates,
     length len(plan.tokens)+1, from the batched on-device aligner
     (device_align.py) — skips the cost/DTW computation here. Callers supply
-    jumps for the PLANNED token sequence (plan_alignment output)."""
+    jumps for the PLANNED token sequence (plan_alignment output).
+    ``precomputed_cost``: the aligner's (n_tokens, span) cost matrix (weight
+    edits applied), required alongside jumps when ``detect_disfluencies`` —
+    peak detection reads per-token cost rows."""
     plan = plan_alignment(
         tokens, tokenizer, refine_whisper_precision_nframes, unfinished_decoding
     )
@@ -316,13 +320,18 @@ def perform_word_alignment(
 
     if precomputed_jumps is not None:
         # the batched on-device aligner already ran cost+DTW for the planned
-        # token sequence; weights never exist on host (no disfluency/plot)
-        assert not detect_disfluencies and not plot
+        # token sequence; disfluency peak detection needs its cost rows too
+        assert not plot
+        assert not detect_disfluencies or precomputed_cost is not None
         jumps = np.asarray(precomputed_jumps, np.int64)
         assert len(jumps) == len(tokens) + 1, (
             f"Jumps have wrong length: {len(jumps)} != {len(tokens) + 1}"
         )
-        weights = None
+        weights = None if precomputed_cost is None else np.asarray(precomputed_cost)
+        if weights is not None:
+            assert weights.shape[0] == len(tokens), (
+                f"Cost has wrong row count: {weights.shape[0]} != {len(tokens)}"
+            )
     else:
         attention_scores = np.asarray(attention_scores)
         assert attention_scores.shape[0] > int(plan.row_indices.max()), (

@@ -404,7 +404,6 @@ def _transcribe_efficient(
     # reference-default alignment options; anything else uses the host path.
     full_device = (
         device_alignment
-        and not detect_disfluencies
         and not plot_word_alignment
         and len(engine.align_heads) <= MAX_K
     )
@@ -413,7 +412,6 @@ def _transcribe_efficient(
         # warns, e.g. transcribe.py:496-538)
         reasons = [
             r for cond, r in (
-                (detect_disfluencies, "detect_disfluencies=True needs host-side peak detection"),
                 (plot_word_alignment, "plot_word_alignment needs the host cost matrix"),
                 (len(engine.align_heads) > MAX_K,
                  f"{len(engine.align_heads)} alignment heads exceed the device aligner's capacity ({MAX_K})"),
@@ -452,7 +450,8 @@ def _transcribe_efficient(
         entries = [(seg, prepare_segment_tokens(seg, tok)) for seg in result.segments]
         with stage_timer("align"):
             all_jumps = device_align_segments(
-                entries, tok, refine_whisper_precision_nframes
+                entries, tok, refine_whisper_precision_nframes,
+                fetch_cost=detect_disfluencies,
             )
     else:
         entries = [(seg, None) for seg in result.segments]
@@ -463,6 +462,9 @@ def _transcribe_efficient(
     for (seg, prep), jumps in zip(entries, all_jumps):
         if full_device and prep is None:
             continue
+        cost = None
+        if jumps is not None and detect_disfluencies:
+            jumps, cost = jumps
         with stage_timer("align"):
             ws, seg_dict = align_and_score_segment(
                 seg,
@@ -476,6 +478,7 @@ def _transcribe_efficient(
                 plot=plot_word_alignment,
                 device_alignment=device_alignment,
                 precomputed_jumps=jumps,
+                precomputed_cost=cost,
                 prepared=prep,
             )
         if ws is None:
@@ -512,11 +515,13 @@ def device_align_segments(
     refine_whisper_precision_nframes: int,
     max_windows_per_chunk: int = 16,
     fetch: bool = True,
+    fetch_cost: bool = False,
 ):
     """Batched on-device alignment for segments decoded with
     ``fetch_alignment=False``. Returns per-entry jumps arrays (None where the
-    entry was not alignable). Chunked so the flattened attention buffer stays
-    bounded for long audio.
+    entry was not alignable) — (jumps, cost) pairs with ``fetch_cost=True``
+    (disfluency detection needs the cost rows on host). Chunked so the
+    flattened attention buffer stays bounded for long audio.
 
     ``fetch=False`` dispatches the align programs and async-starts the
     device→host copies, returning a zero-arg resolver for the jumps list —
@@ -559,15 +564,21 @@ def device_align_segments(
             if task is None:
                 # empty plan: route through the precomputed branch anyway —
                 # perform_word_alignment returns [] before touching jumps
-                jumps_out[ei] = np.zeros((0,), np.int64)
+                empty = np.zeros((0,), np.int64)
+                jumps_out[ei] = (empty, None) if fetch_cost else empty
                 continue
             tasks.append(task)
             idxs.append(ei)
         if fetch:
-            for ei, j in zip(idxs, compute_jumps_batch(flat, tasks)):
+            for ei, j in zip(
+                idxs, compute_jumps_batch(flat, tasks, fetch_cost=fetch_cost)
+            ):
                 jumps_out[ei] = j
         else:
-            deferred.append((idxs, compute_jumps_batch(flat, tasks, fetch=False)))
+            deferred.append(
+                (idxs,
+                 compute_jumps_batch(flat, tasks, fetch=False, fetch_cost=fetch_cost))
+            )
 
     chunk, windows_seen = [], set()
     for ei, (seg, prep) in enumerate(entries):
@@ -657,6 +668,7 @@ def align_and_score_segment(
     plot=False,
     device_alignment: bool = False,
     precomputed_jumps: Optional[np.ndarray] = None,
+    precomputed_cost: Optional[np.ndarray] = None,
     prepared=None,
 ):
     """Align one segment's tokens and compute confidences.
@@ -691,6 +703,7 @@ def align_and_score_segment(
             detect_disfluencies=detect_disfluencies,
             unfinished_decoding=unfinished,
             precomputed_jumps=precomputed_jumps,
+            precomputed_cost=precomputed_cost,
         )
     else:
         full_attn = window.attn

@@ -21,10 +21,13 @@ start frames are exactly the ``jumps`` array ``perform_word_alignment``
 derives from the DTW path (reference ``transcribe.py:1648-1654``), so the
 host-side word assembly consumes them via ``precomputed_jumps``.
 
-Gating: device alignment requires detect_disfluencies=False (peak detection
-needs the cost rows on host), subwords_can_be_empty=True (symmetric1 step
+Gating: device alignment requires subwords_can_be_empty=True (symmetric1 step
 pattern), medfilt_width=9, qk_scale=1, and no plotting — the reference's
 defaults. Anything else falls back to the host path per segment.
+``detect_disfluencies=True`` stays on the device path: the cost matrix the
+kernel already computes is fetched alongside the jumps (``fetch_cost=True``)
+and host-side peak detection (reference ``transcribe.py:1656-1736``) runs on
+those rows — still K× less transfer than fetching the per-head attention.
 """
 
 from __future__ import annotations
@@ -94,15 +97,16 @@ def _backtrace_batch(codes: jnp.ndarray, n: jnp.ndarray, m: jnp.ndarray) -> jnp.
     return starts
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_pad", "return_cost", "interpret"))
 def _align_jumps_jit(
     attn_flat: jnp.ndarray,  # (R_total, K, T) attention rows (any float dtype)
     rows: jnp.ndarray,  # (S, n_pad) int32 row gather indices
     dims: jnp.ndarray,  # (S, 4) int32: (n_tokens, span, maxdur_col, start_token)
     *,
     n_pad: int,
+    return_cost: bool = False,
     interpret=None,
-) -> jnp.ndarray:
+):
     S = rows.shape[0]
     start = dims[:, 3]
     g = attn_flat[rows]  # (S, n_pad, K, T)
@@ -114,7 +118,8 @@ def _align_jumps_jit(
     )(gp, start)
     cost = attention_to_cost_batched(sliced, dims, interpret=interpret)
     codes = dtw_codes_batched(cost, dims, interpret=interpret)
-    return _backtrace_batch(codes, dims[:, 0], dims[:, 1])
+    starts = _backtrace_batch(codes, dims[:, 0], dims[:, 1])
+    return (starts, cost) if return_cost else starts
 
 
 def make_task(
@@ -145,9 +150,14 @@ def compute_jumps_batch(
     tasks: List[SegmentAlignTask],
     interpret=None,
     fetch: bool = True,
+    fetch_cost: bool = False,
 ):
     """Run the on-device aligner for a batch of segments. Returns, per task,
-    the (n_tokens+1,) int64 jumps array for ``precomputed_jumps``.
+    the (n_tokens+1,) int64 jumps array for ``precomputed_jumps`` — or, with
+    ``fetch_cost=True``, a (jumps, cost) pair where cost is the segment's
+    (n_tokens, span) f32 DTW cost matrix (median→softmax→mean→L2→negate with
+    the weight edits applied), the rows host-side disfluency peak detection
+    consumes as ``precomputed_cost``.
 
     ``fetch=False`` dispatches the aligner and starts an async device→host
     copy, returning a zero-arg resolver for the same list — the caller
@@ -176,24 +186,29 @@ def compute_jumps_batch(
             maxdur = min(t.max_duration, M_PAD)
         dims[s] = (n, span, maxdur, t.plan.start_token)
 
-    starts_dev = _align_jumps_jit(
+    res = _align_jumps_jit(
         attn_flat,
         jnp.asarray(rows),
         jnp.asarray(dims),
         n_pad=n_pad,
+        return_cost=fetch_cost,
         interpret=interpret,
     )
-    copy_async = getattr(starts_dev, "copy_to_host_async", None)
-    if copy_async is not None:
-        copy_async()
+    starts_dev, cost_dev = res if fetch_cost else (res, None)
+    for arr in (starts_dev, cost_dev):
+        copy_async = getattr(arr, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
 
-    def resolve() -> List[np.ndarray]:
+    def resolve() -> List:
         starts = np.asarray(starts_dev)
+        cost = np.asarray(cost_dev) if fetch_cost else None
         out = []
         for s, t in enumerate(tasks):
             n = len(t.plan.tokens)
             span = t.plan.end_token - t.plan.start_token
-            out.append(np.concatenate([starts[s, :n], [span - 1]]).astype(np.int64))
+            jumps = np.concatenate([starts[s, :n], [span - 1]]).astype(np.int64)
+            out.append((jumps, cost[s, :n, :span]) if fetch_cost else jumps)
         return out
 
     return resolve() if fetch else resolve

@@ -848,16 +848,12 @@ def transcribe_batch(
     full_device = (
         device_alignment
         and not beam_mode
-        and not detect_disfluencies
         and len(engine.align_heads) <= MAX_K
     )
     if device_alignment and not full_device and not beam_mode:
         # never downgrade silently (the reference warns on every such repair
         # or fallback, e.g. transcribe.py:496-538)
         reasons = []
-        if detect_disfluencies:
-            reasons.append("detect_disfluencies=True needs per-token peak "
-                           "detection on the host cost matrix")
         if len(engine.align_heads) > MAX_K:
             reasons.append(
                 f"{len(engine.align_heads)} alignment heads exceed the device "
@@ -894,7 +890,8 @@ def transcribe_batch(
             # window loop (the align compute itself queues behind the next
             # decode on the device)
             resolver = device_align_segments(
-                entries, engine.tokenizer, refine_nframes, fetch=False
+                entries, engine.tokenizer, refine_nframes, fetch=False,
+                fetch_cost=detect_disfluencies,
             )
             for seg, p in entries:
                 preps_map[id(seg)] = p
@@ -938,6 +935,10 @@ def transcribe_batch(
         for seg in segments:
             if full_device and preps_map.get(id(seg)) is None:
                 continue
+            jumps = jumps_map.get(id(seg))
+            cost = None
+            if jumps is not None and detect_disfluencies:
+                jumps, cost = jumps
             ws, seg_dict = align_and_score_segment(
                 seg, engine.tokenizer, use_space=use_space,
                 refine_whisper_precision_nframes=refine_nframes,
@@ -945,7 +946,8 @@ def transcribe_batch(
                 compute_word_confidence=compute_word_confidence,
                 include_punctuation_in_confidence=False,
                 detect_disfluencies=detect_disfluencies,
-                precomputed_jumps=jumps_map.get(id(seg)),
+                precomputed_jumps=jumps,
+                precomputed_cost=cost,
                 prepared=preps_map.get(id(seg)) if full_device else None,
             )
             if ws is None:
