@@ -210,7 +210,40 @@ def bench_decode(wm, tok, engine, dims, B, n_tokens, reps):
     return B * 30.0 / min(times)
 
 
+def wait_for_backend():
+    """Block until the JAX backend initializes (tunnel-degradation guard).
+
+    The axon TPU tunnel intermittently drops: ``jax.devices()`` then hangs
+    for ~30 min inside backend setup before raising UNAVAILABLE, and a failed
+    in-process init is cached for the life of the process. Probe in a
+    SUBPROCESS with a hard timeout and only import-and-go in this process
+    once a probe has succeeded. Bounded by BENCH_BACKEND_WAIT_SECS (default
+    30 min); on deadline we proceed anyway and let the real init raise.
+    """
+    import subprocess
+
+    deadline = time.time() + float(os.environ.get("BENCH_BACKEND_WAIT_SECS", "1800"))
+    probe = [sys.executable, "-c", "import jax; jax.devices()"]
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(probe, timeout=120, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# backend up after {attempt} probes", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("# backend probe deadline reached; proceeding", file=sys.stderr)
+            return
+        print(f"# backend unavailable (probe {attempt}); retrying", file=sys.stderr)
+        time.sleep(min(180.0, max(30.0, deadline - time.time())))
+
+
 def main():
+    wait_for_backend()
     mode = os.environ.get("BENCH_MODE", "pipeline")
     model_name = os.environ.get("BENCH_MODEL", "large-v3")
     # measured knees with the stacked-attention kernels: bf16 B=32 (409.6x)
