@@ -89,6 +89,7 @@ def build_engine(model_name, kv_int8):
     wm = WhisperModel(params=params, dims=dims, alignment_heads=heads)
     engine = DecodeEngine(
         wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8,
+        kv_int4=os.environ.get("BENCH_KV_INT4") == "1",
         self_kv_int8=os.environ.get("BENCH_SELF_INT8") == "1",
     )
     return wm, tok, engine, dims
@@ -270,7 +271,9 @@ def main():
         reps = int(os.environ.get("BENCH_REPS", "5"))
         rtf = bench_decode(wm, tok, engine, dims, B, n_tokens, reps)
         metric = f"audio_sec_per_sec_per_chip_{model_name}_b{B}"
-    if kv_int8:
+    if os.environ.get("BENCH_KV_INT4") == "1":
+        metric += "_kvint4"
+    elif kv_int8:
         metric += "_kvint8"
 
     print(

@@ -448,3 +448,28 @@ def test_layer_unroll_matches_scan(engine, mel):
     assert a.tokens == b.tokens
     np.testing.assert_allclose(a.token_logprobs, b.token_logprobs, atol=1e-5)
     np.testing.assert_allclose(a.attn, b.attn, atol=1e-4)
+
+
+def test_kv_int4_decode(engine, mel):
+    """int4 cross-KV (nibble-packed along T): the CPU fallback unpacks to
+    int8 in the prefill and the step scan; valid transcript, same forced
+    first timestamp as the bf16 decode, attention buffer full-size."""
+    from whisper_timestamped_tpu.models.whisper_jax import init_cache, encode
+
+    params, dims = engine.model.params, engine.dims
+    xa = encode(params, jnp.asarray(mel[None]), dims)
+    c4 = init_cache(params, xa, dims, quantize_cross="int4")
+    T = xa.shape[1]
+    assert c4.xk.shape[2] == T // 2 and c4.xk.dtype == jnp.int8
+    assert c4.xk_scale.shape[2] == T
+
+    eng4 = DecodeEngine(engine.model, engine.tokenizer, kv_int4=True)
+    a = engine.decode_window(mel, DecodingOptions(language="en"))[0]
+    b = eng4.decode_window(mel, DecodingOptions(language="en"))[0]
+    assert len(b.tokens) > 0
+    assert b.tokens[0] == a.tokens[0]
+    assert b.attn.shape[-1] == T and np.isfinite(np.asarray(b.attn)).all()
+    # with a prompt: the prefill's per-layer unpack path
+    prompt = list(range(400, 520))
+    c = eng4.decode_window(mel, DecodingOptions(language="en"), prompt_tokens=prompt)[0]
+    assert len(c.tokens) > 0

@@ -381,3 +381,94 @@ def test_prefill_flash_attention_matches_unfused():
         np.testing.assert_allclose(f_self[b, lo:], u_self[b, lo:], atol=2e-3)
         assert np.all(np.isfinite(f_self[b]))
     np.testing.assert_allclose(np.asarray(f_cross), np.asarray(u_cross), atol=2e-3)
+
+
+def test_quantize_int4_pack_unpack_roundtrip():
+    """Nibble packing is lossless: unpack(pack(q)) reproduces the quantized
+    values in frame order, for adversarial values including the ±7 extremes."""
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _quantize_rows_int4,
+        _unpack_int4_rows,
+    )
+
+    r = np.random.default_rng(3)
+    x = r.standard_normal((2, 2, 10, 16)).astype(np.float32) * 10
+    x[0, 0, 0, 0] = 1e4  # force scale extremes
+    x[0, 0, 1, 0] = -1e4
+    packed, s = _quantize_rows_int4(jnp.asarray(x))
+    assert packed.shape == (2, 2, 5, 16) and packed.dtype == jnp.int8
+    assert s.shape == (2, 2, 10)
+    got = np.asarray(_unpack_int4_rows(packed))
+    want = np.clip(
+        np.round(x / np.maximum(np.asarray(s), 1e-8)[..., None]), -7, 7
+    ).astype(np.int8)
+    np.testing.assert_array_equal(got, want)
+    # dequantized reconstruction is within one quantization step
+    deq = got.astype(np.float32) * np.asarray(s)[..., None]
+    np.testing.assert_allclose(deq, x, atol=float(np.abs(x).max()) / 7 / 2 + 1e-6)
+
+
+def test_cross_attention_stacked_int4_matches_xla_int8():
+    """Stacked int4 kernel vs the XLA int8 path fed the UNPACKED values with
+    the same per-frame scales — exact same quantized math, so the comparison
+    is tight. Non-tile-aligned T exercises the parity masking."""
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _quantize_rows_int4,
+        _unpack_int4_rows,
+        cross_attention,
+    )
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int4_pallas,
+    )
+
+    L, B, T, D, H = 3, 2, 300, 256, 4
+    r = np.random.default_rng(17)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    k4, ks = _quantize_rows_int4(xk)
+    v4, vs = _quantize_rows_int4(xv)
+    k8, v8 = _unpack_int4_rows(k4), _unpack_int4_rows(v4)
+    for l in range(L):
+        o1, s1 = cross_attention_stacked_int4_pallas(
+            l, q, k4, ks, v4, vs, H, block_t=128, interpret=True
+        )
+        assert s1.shape == (B, H, 1, T)
+        o2, s2 = cross_attention(
+            q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H
+        )
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-2)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
+
+
+def test_cross_attention_stacked_int4_score_gating():
+    """score_flag=0 / emit_scores=False leave the int4 attention output
+    untouched, as for the bf16/int8 kernels."""
+    from whisper_timestamped_tpu.models.whisper_jax import _quantize_rows_int4
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int4_pallas,
+    )
+
+    L, B, T, D, H = 2, 2, 300, 256, 4
+    r = np.random.default_rng(7)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    k4, ks = _quantize_rows_int4(
+        jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    )
+    v4, vs = _quantize_rows_int4(
+        jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    )
+    o_on, s_on = cross_attention_stacked_int4_pallas(
+        1, q, k4, ks, v4, vs, H, block_t=128, interpret=True
+    )
+    o_off, _ = cross_attention_stacked_int4_pallas(
+        1, q, k4, ks, v4, vs, H, block_t=128, score_flag=jnp.int32(0),
+        interpret=True,
+    )
+    o_none, s_none = cross_attention_stacked_int4_pallas(
+        1, q, k4, ks, v4, vs, H, block_t=128, emit_scores=False, interpret=True
+    )
+    assert s_none is None
+    np.testing.assert_allclose(np.asarray(o_off), np.asarray(o_on), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_none), np.asarray(o_on), atol=1e-5)
+    assert s_on.shape == (B, H, 1, T)

@@ -210,7 +210,8 @@ def apply_timestamp_rules(
         "dims", "align_heads", "max_new", "sample_begin", "eot", "ts_begin",
         "no_timestamps", "sot_index_from_end", "max_initial_timestamp_index",
         "suppress_blank", "without_timestamps", "attn_dtype", "kv_int8",
-        "self_kv_int8", "capture_attention", "layer_unroll", "allow_pallas",
+        "kv_int4", "self_kv_int8", "capture_attention", "layer_unroll",
+        "allow_pallas",
     ),
 )
 def decode_window_jit(
@@ -236,6 +237,7 @@ def decode_window_jit(
     without_timestamps: bool = False,
     attn_dtype=jnp.float32,
     kv_int8: bool = False,
+    kv_int4: bool = False,
     self_kv_int8: bool = False,
     capture_attention: bool = True,
     layer_unroll: int = 1,
@@ -256,8 +258,11 @@ def decode_window_jit(
     # size the cache to the decode extent (8-aligned): the dead tail of a full
     # 448-slot cache is pure HBM-bandwidth waste at every step
     ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
-    cache = init_cache(params, xa, dims, ctx_len=ctx_len, quantize_cross=kv_int8,
-                       quantize_self=self_kv_int8)
+    cache = init_cache(
+        params, xa, dims, ctx_len=ctx_len,
+        quantize_cross="int4" if kv_int4 else kv_int8,
+        quantize_self=self_kv_int8,
+    )
 
     pad_len = P - prompt_len  # (B,) left padding per batch element
 
@@ -284,7 +289,7 @@ def decode_window_jit(
 
     from .models.whisper_jax import (  # noqa: internal reuse
         _attention, _linear, _ln, _logits, _prefill_flash_attention,
-        _quantize_rows, cross_attention,
+        _quantize_rows, _unpack_int4_rows, cross_attention,
     )
 
     K = len(align_heads) if capture_attention else 0
@@ -311,6 +316,12 @@ def decode_window_jit(
             l_idx, bp, k_cache, v_cache, ks_row, vs_row, xk, xv, xk_s, xv_s = layer_in
         else:
             l_idx, bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
+        if kv_int4:
+            # unpack this layer's nibble-packed cross-KV once; the rest of
+            # the prefill then follows the int8 path unchanged (the loop's
+            # decode steps read the packed form via the int4 kernel)
+            xk = _unpack_int4_rows(xk)
+            xv = _unpack_int4_rows(xv)
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])
@@ -363,7 +374,7 @@ def decode_window_jit(
             )
             w_last = w_full[:, :, -1:]
         elif use_flash_prefill:
-            if kv_int8:
+            if kv_int8 or kv_int4:  # int4 xk/xv were unpacked to int8 above
                 xk_b = xk.astype(x.dtype) * xk_s[..., None].astype(x.dtype)
                 xv_b = xv.astype(x.dtype) * xv_s[..., None].astype(x.dtype)
             else:

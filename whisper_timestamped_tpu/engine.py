@@ -134,7 +134,8 @@ class DecodeEngine:
 
     def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32,
                  kv_int8: Optional[bool] = None, layer_unroll: Optional[int] = None,
-                 mesh=None, self_kv_int8: Optional[bool] = None):
+                 mesh=None, self_kv_int8: Optional[bool] = None,
+                 kv_int4: Optional[bool] = None):
         self.model = model
         self.tokenizer = tokenizer
         self.dims = model.dims
@@ -142,6 +143,13 @@ class DecodeEngine:
         # int8 cross-KV (2x KV capacity; memory lever); env default WTT_KV_INT8
         self.kv_int8 = (
             os.environ.get("WTT_KV_INT8") == "1" if kv_int8 is None else kv_int8
+        )
+        # int4 cross-KV (nibble-packed along T): halves the decode loop's
+        # dominant HBM stream again vs int8, at ~4-bit quantization error on
+        # the attention scores the aligner consumes. Env default WTT_KV_INT4;
+        # wins over kv_int8 when both are set.
+        self.kv_int4 = (
+            os.environ.get("WTT_KV_INT4") == "1" if kv_int4 is None else kv_int4
         )
         # int8 self-KV: halves the second HBM stream of the decode step (the
         # (L, B, ctx, D) cache read, ~2 GB/step at large-v3 B=40 with the
@@ -310,7 +318,8 @@ class DecodeEngine:
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
             attn_dtype=self.attn_dtype,
-            kv_int8=self.kv_int8,
+            kv_int8=self.kv_int8 and not self.kv_int4,
+            kv_int4=self.kv_int4,
             self_kv_int8=self.self_kv_int8,
             layer_unroll=self.layer_unroll,
             allow_pallas=self.allow_pallas,

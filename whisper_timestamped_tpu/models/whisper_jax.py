@@ -430,10 +430,12 @@ class KVCache(NamedTuple):
     """Self-attention KV cache, (L, B, ctx_len, D) each, plus precomputed
     cross-attention K/V from the encoder output, (L, B, T_audio, D) each.
 
-    With ``quantize_cross``, xk/xv are int8 with per-position scales
-    (L, B, T_audio) — the cross-KV read is the decode step's dominant HBM
-    traffic at large models, and the scales fold into the attention math so
-    dequantized arrays are never materialized.
+    With ``quantize_cross`` (True/"int8"), xk/xv are int8 with per-position
+    scales (L, B, T_audio) — the cross-KV read is the decode step's dominant
+    HBM traffic at large models, and the scales fold into the attention math
+    so dequantized arrays are never materialized. With ``"int4"``, xk/xv are
+    (L, B, T_audio//2, D) int8 with two 4-bit frames nibble-packed per byte
+    along T (scales stay per-frame), halving that stream again.
 
     With ``quantize_self``, k/v are likewise int8 with per-slot scales
     (L, B, ctx_len) in k_scale/v_scale — the self-KV read is the second
@@ -457,9 +459,42 @@ def _quantize_rows(x: jnp.ndarray):
     return q, s
 
 
+def _quantize_rows_int4(x: jnp.ndarray):
+    """Per-row symmetric int4 quantization, nibble-packed along the T axis.
+
+    x: (..., T, D) with T even. Returns (packed (..., T//2, D) int8 — frame
+    2i in the low nibble, 2i+1 in the high nibble, values in [-7, 7] — and
+    per-frame scales (..., T) f32). Layout contract shared with
+    ``ops.pallas_kernels.cross_attention_stacked_int4_pallas``."""
+    T = x.shape[-2]
+    assert T % 2 == 0, f"int4 cross-KV needs an even frame count, got {T}"
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 7.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / jnp.maximum(s, 1e-8)[..., None]),
+        -7, 7,
+    ).astype(jnp.int32)
+    lo, hi = q[..., 0::2, :], q[..., 1::2, :]
+    packed = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
+    return packed, s
+
+
+def _unpack_int4_rows(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``_quantize_rows_int4``'s packing (scales stay separate):
+    (..., T//2, D) int8 -> (..., T, D) int8 in frame order. Used by the
+    XLA fallback paths (CPU tests, TP meshes, prefill), which then flow
+    through the regular int8 handling unchanged."""
+    p32 = packed.astype(jnp.int32)
+    lo = (p32 << 28) >> 28
+    hi = (p32 << 24) >> 28
+    stacked = jnp.stack([lo, hi], axis=-2)  # (..., T//2, 2, D)
+    shape = packed.shape[:-2] + (2 * packed.shape[-2], packed.shape[-1])
+    # row-major reshape of (T//2, 2, D) interleaves: 2i lo, 2i+1 hi
+    return stacked.reshape(shape).astype(jnp.int8)
+
+
 def init_cache(
     params: Params, xa: jnp.ndarray, dims: WhisperDims, dtype=None,
-    ctx_len: Optional[int] = None, quantize_cross: bool = False,
+    ctx_len: Optional[int] = None, quantize_cross=False,  # False | True/"int8" | "int4"
     quantize_self: bool = False,
 ) -> KVCache:
     """``ctx_len`` sizes the self-attention cache (default n_text_ctx); callers
@@ -482,6 +517,14 @@ def init_cache(
     else:
         zeros = jnp.zeros((L, B, ctx_len, D), dtype)
         self_kw = dict(k=zeros, v=zeros)
+    if quantize_cross == "int4":
+        # nibble-packed along T: (L, B, T//2, D) int8 + per-frame scales —
+        # halves the decode loop's dominant HBM stream again vs int8
+        xk_q, xk_s = _quantize_rows_int4(xk)
+        xv_q, xv_s = _quantize_rows_int4(xv)
+        return KVCache(xk=xk_q, xv=xv_q,
+                       xk_scale=xk_s.astype(jnp.float32),
+                       xv_scale=xv_s.astype(jnp.float32), **self_kw)
     if quantize_cross:
         xk_q, xk_s = _quantize_rows(xk)
         xv_q, xv_s = _quantize_rows(xv)
@@ -586,7 +629,12 @@ def decode_step(
     if align_heads is not None:
         head_layer = np.array([l for l, _ in align_heads])  # (K,)
         head_idx = np.array([h for _, h in align_heads])  # (K,)
-        acc0 = jnp.zeros((B, len(align_heads), S, cache.xk.shape[2]), jnp.float32)
+        # real frame count: xk's T axis is halved when the cross-KV is int4
+        # nibble-packed along T (detected by the per-frame scale length)
+        T_frames = cache.xk.shape[2]
+        if cache.xk.dtype == jnp.int8 and cache.xk_scale.shape[2] == 2 * T_frames:
+            T_frames = cache.xk_scale.shape[2]
+        acc0 = jnp.zeros((B, len(align_heads), S, T_frames), jnp.float32)
     else:
         acc0 = jnp.zeros((), jnp.float32)
 
@@ -604,7 +652,12 @@ def decode_step(
         and dims.n_text_head % 2 == 0
         and (2 * (dims.n_text_state // dims.n_text_head)) % 128 == 0
     )
-    stacked_int8 = cache.xk.dtype == jnp.int8
+    # int4 cross-KV is nibble-packed along T: half as many rows as scales
+    stacked_int4 = (
+        cache.xk.dtype == jnp.int8
+        and cache.xk.shape[2] * 2 == cache.xk_scale.shape[2]
+    )
+    stacked_int8 = cache.xk.dtype == jnp.int8 and not stacked_int4
 
     def block(carry, layer_in):
         # the self-attention cache rides the CARRY (updated in place at
@@ -685,7 +738,17 @@ def decode_step(
             else:
                 need_sc = jnp.int32(1)
             emit_sc = capture_attention or align_heads is not None
-        if use_stacked_xattn and stacked_int8:
+        if use_stacked_xattn and stacked_int4:
+            # nibble-packed K/V: unpack is in-register shift arithmetic; the
+            # cross-KV stream drops to ~1/4 of the bf16 bytes
+            from ..ops.pallas_kernels import cross_attention_stacked_int4_pallas
+
+            c, w = cross_attention_stacked_int4_pallas(
+                l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
+                cache.xv_scale, dims.n_text_head,
+                score_flag=need_sc, emit_scores=emit_sc,
+            )
+        elif use_stacked_xattn and stacked_int8:
             # v2: lane-parallel (same rewrite as the bf16 kernel) — the v1
             # int8 kernel's per-head M=1 dots made it compute-bound, slower
             # per byte than bf16 despite halving the DMA
@@ -707,6 +770,11 @@ def decode_step(
                 score_flag=need_sc, emit_scores=emit_sc,
             )
         else:
+            if xk.dtype == jnp.int8 and xk.shape[1] * 2 == xk_s.shape[1]:
+                # int4 fallback (CPU tests / TP meshes): unpack to int8 and
+                # reuse the int8 path — correctness, not the bandwidth path
+                xk = _unpack_int4_rows(xk)
+                xv = _unpack_int4_rows(xv)
             c, w = cross_attention(
                 q_cross, xk, xv, xk_s, xv_s, dims.n_text_head,
                 allow_pallas=allow_pallas,

@@ -1091,6 +1091,248 @@ def cross_attention_stacked_int8_pallas_v2(
     return out, scores[:, :, :, :T]
 
 
+def _xattn_stacked_int4_v2_kernel(
+    H, T_real, inv, emit_sc,  # static
+    sp_ref, q_ref, kp_ref, ks_ref, vp_ref, vs_ref, smat_ref, emat_ref,
+    out_ref, *rest,
+):
+    """int4 variant of the lane-parallel stacked cross-attention kernel.
+
+    K/V arrive NIBBLE-PACKED ALONG T: byte row i of the (L, B, T/2, D) int8
+    buffer holds frame 2i in its low nibble and frame 2i+1 in its high nibble
+    (each value in [-7, 7] with a per-frame scale). The unpack is pure
+    register arithmetic (sign-extending shifts in int32), and the online
+    softmax treats the lo/hi frame sets as one tile — softmax is
+    order-invariant, so even and odd frames flow through as two (TTp, HP)
+    score blocks that share the max/sum carry. This halves the decode loop's
+    dominant HBM stream (the cross-KV read) relative to int8.
+
+    Scores for the aligner are emitted as separate lo/hi (HP, TTp) tiles
+    (outputs 2 and 3); the wrapper interleaves them back to frame order in
+    XLA — an in-kernel minor-axis interleave would be a lane relayout.
+    """
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    if emit_sc:
+        sc_lo_ref, sc_hi_ref, m_ref, l_acc_ref, num_ref = rest
+    else:
+        m_ref, l_acc_ref, num_ref = rest
+    _, _, TTp, D = kp_ref.shape  # packed rows per tile (2 frames per row)
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_acc_ref[...] = jnp.zeros_like(l_acc_ref)
+        num_ref[...] = jnp.zeros_like(num_ref)
+
+    q = q_ref[0, 0, :]
+    kp = kp_ref[0, 0].astype(jnp.int32)  # (TTp, D)
+    vp = vp_ref[0, 0].astype(jnp.int32)
+    # sign-extending nibble unpack (int8 -> [-8, 7]; quantizer emits [-7, 7])
+    k_lo = ((kp << 28) >> 28).astype(jnp.bfloat16)
+    k_hi = ((kp << 24) >> 28).astype(jnp.bfloat16)
+    v_lo = ((vp << 28) >> 28).astype(jnp.bfloat16)
+    v_hi = ((vp << 24) >> 28).astype(jnp.bfloat16)
+    ks2 = ks_ref[0, 0].astype(jnp.float32)  # (2, TTp): [0]=even, [1]=odd frames
+    vs2 = vs_ref[0, 0].astype(jnp.float32)
+    smat = smat_ref[...]
+    emat = emat_ref[...]
+
+    smat_q = smat * q[:, None].astype(jnp.bfloat16)  # (D, HP): q folded in
+
+    def head_scores(k_half, scale_row):
+        s = (
+            jax.lax.dot_general(
+                k_half, smat_q, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale_row[:, None]
+            * inv
+        )
+        return s  # (TTp, HP) f32
+
+    scores_lo = head_scores(k_lo, ks2[0])
+    scores_hi = head_scores(k_hi, ks2[1])
+
+    if emit_sc:
+
+        @pl.when(sp_ref[1] != 0)
+        def _scores():
+            for k_half, scale_row, ref in (
+                (k_lo, ks2[0], sc_lo_ref),
+                (k_hi, ks2[1], sc_hi_ref),
+            ):
+                sc_t = (
+                    jax.lax.dot_general(
+                        smat_q, k_half,
+                        dimension_numbers=(((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale_row[None, :]
+                    * inv
+                )
+                ref[0, :, 0, :] = sc_t[:H, :]
+
+    # frame index of each row: even frames 2i, odd frames 2i+1
+    pidx = jax.lax.broadcasted_iota(jnp.int32, scores_lo.shape, 0) + t * TTp
+    row_lo, row_hi = 2 * pidx, 2 * pidx + 1
+    scores_lo = jnp.where(row_lo < T_real, scores_lo, -jnp.inf)
+    scores_hi = jnp.where(row_hi < T_real, scores_hi, -jnp.inf)
+
+    m_old = m_ref[...]
+    m_new = jnp.maximum(
+        m_old,
+        jnp.maximum(
+            jnp.max(scores_lo, axis=0, keepdims=True),
+            jnp.max(scores_hi, axis=0, keepdims=True),
+        ),
+    )
+    alpha = jnp.exp(m_old - m_new)
+    p_lo = jnp.exp(scores_lo - m_new)  # (TTp, HP)
+    p_hi = jnp.exp(scores_hi - m_new)
+    l_new = (
+        l_acc_ref[...] * alpha
+        + jnp.sum(p_lo, axis=0, keepdims=True)
+        + jnp.sum(p_hi, axis=0, keepdims=True)
+    )
+    # fold the V scale into the weights before the head expansion (the pad
+    # tail is annihilated by the zero weights — int nibbles cast finite)
+    contrib = jnp.zeros((1, D), jnp.float32)
+    for p_half, v_half, scale_row, rows in (
+        (p_lo, v_lo, vs2[0], row_lo),
+        (p_hi, v_hi, vs2[1], row_hi),
+    ):
+        p2 = jnp.where(rows < T_real, p_half * scale_row[:, None], 0.0)
+        w_full = jax.lax.dot_general(
+            p2.astype(jnp.bfloat16), emat.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        contrib = contrib + jnp.sum(
+            v_half * w_full, axis=0, keepdims=True, dtype=jnp.float32
+        )
+    alpha_d = jax.lax.dot_general(
+        alpha, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    num_new = num_ref[...] * alpha_d + contrib
+    m_ref[...] = m_new
+    l_acc_ref[...] = l_new
+    num_ref[...] = num_new
+
+    @pl.when(t == nt - 1)
+    def _finish():
+        l_d = jax.lax.dot_general(
+            l_new, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0, :] = (num_new / l_d)[0].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "block_t", "emit_scores", "interpret")
+)
+def cross_attention_stacked_int4_pallas(
+    l_idx: jnp.ndarray,  # scalar int32
+    q: jnp.ndarray,  # (B, 1, D)
+    xk_packed: jnp.ndarray,  # (L, B, T//2, D) int8, nibble-packed along T
+    xk_scale: jnp.ndarray,  # (L, B, T) f32 per-frame scales
+    xv_packed: jnp.ndarray,  # (L, B, T//2, D) int8
+    xv_scale: jnp.ndarray,  # (L, B, T) f32
+    n_head: int,
+    block_t: int = 512,  # REAL frames per tile (must be even)
+    score_flag: Optional[jnp.ndarray] = None,
+    emit_scores: bool = True,
+    interpret=None,
+):
+    """Lane-parallel stacked int4 single-query cross-attention (same contract
+    and score gating as ``cross_attention_stacked_pallas_v2``; K/V packed as
+    two 4-bit frames per int8 byte along T — see the kernel docstring)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and D % n_head == 0 and block_t % 2 == 0
+    L, _, Tp, _ = xk_packed.shape
+    T = xk_scale.shape[2]
+    assert T == 2 * Tp, (T, Tp)
+    dh = D // n_head
+    HP = max(128, int(np.ceil(n_head / 128) * 128))
+    TTp = block_t // 2
+    nt = int(np.ceil(Tp / TTp))
+
+    smat = np.zeros((D, HP), np.float32)
+    emat = np.zeros((HP, D), np.float32)
+    for h in range(n_head):
+        smat[h * dh : (h + 1) * dh, h] = 1.0
+        emat[h, h * dh : (h + 1) * dh] = 1.0
+
+    kernel = functools.partial(
+        _xattn_stacked_int4_v2_kernel, n_head, T, np.float32(dh**-0.5),
+        emit_scores,
+    )
+    out_specs = [pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, D), q.dtype)]
+    if emit_scores:
+        for _ in range(2):  # lo / hi frame-parity score tiles
+            out_specs.append(
+                pl.BlockSpec((1, n_head, 1, TTp), lambda b, t, l: (b, 0, 0, t))
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, n_head, 1, nt * TTp), jnp.float32)
+            )
+    # per-frame scales regrouped by parity: (L, B, 2, Tp)
+    def parity_scales(s):
+        return (
+            s.astype(jnp.float32)
+            .reshape(L, B, Tp, 2)
+            .transpose(0, 1, 3, 2)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, TTp, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((1, 1, 2, TTp), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((1, 1, TTp, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((1, 1, 2, TTp), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
+            pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((1, HP), jnp.float32),
+            pltpu.VMEM((1, HP), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+        ],
+    )
+    if score_flag is None:
+        score_flag = jnp.int32(1)
+    sp = jnp.stack(
+        [jnp.asarray(l_idx, jnp.int32), jnp.asarray(score_flag, jnp.int32)]
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(
+        sp,
+        q, xk_packed, parity_scales(xk_scale), xv_packed,
+        parity_scales(xv_scale),
+        jnp.asarray(smat, jnp.bfloat16),
+        jnp.asarray(emat, jnp.float32),
+    )
+    if not emit_scores:
+        return res[0], None
+    out, sc_lo, sc_hi = res
+    # interleave the parity tiles back to frame order: (B, H, 1, 2*nt*TTp)
+    scores = jnp.stack([sc_lo, sc_hi], axis=-1).reshape(
+        B, n_head, 1, 2 * nt * TTp
+    )
+    return out, scores[:, :, :, :T]
+
+
 # ---------------------------------------------------------------------------
 # Stacked-layer SELF-attention decode-step kernel (lane-parallel)
 # ---------------------------------------------------------------------------

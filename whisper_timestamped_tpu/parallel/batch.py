@@ -229,7 +229,8 @@ class BatchTranscriber:
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
             attn_dtype=engine.attn_dtype,
-            kv_int8=engine.kv_int8,
+            kv_int8=engine.kv_int8 and not engine.kv_int4,
+            kv_int4=engine.kv_int4,
             self_kv_int8=engine.self_kv_int8,
             layer_unroll=engine.layer_unroll,
             allow_pallas=engine.allow_pallas,
