@@ -347,3 +347,31 @@ def test_transcribe_batch_device_alignment_disfluencies(model, tok):
         for a, b in zip(ws_h, ws_d):
             assert a["start"] == pytest.approx(b["start"], abs=0.021)
             assert a["end"] == pytest.approx(b["end"], abs=0.021)
+
+
+def test_batched_kv_int4_matches_serial(model, tok):
+    """kv_int4 threads through the batched pipeline's decode dispatch
+    (batch.py passes kv_int4 to decode_window_jit): batched == serial with
+    the same quantized cache."""
+    engine = DecodeEngine(model, tok, kv_int4=True)
+    audios = {"a": _audio(3, 6), "b": _audio(4, 9)}
+
+    serial = {}
+    for name, audio in audios.items():
+        res = transcribe_windows(
+            engine, audio, language="en", temperature=[0.0],
+            no_speech_threshold=None, logprob_threshold=None,
+            compression_ratio_threshold=None,
+        )
+        serial[name] = res.segments
+
+    bt = BatchTranscriber(engine, batch_size=2)
+    batched = bt.transcribe_streams(
+        audios, language="en", temperature=[0.0],
+        no_speech_threshold=None, logprob_threshold=None,
+    )
+    for name in audios:
+        s_segs, b_segs = serial[name], batched[name]
+        assert len(s_segs) == len(b_segs), name
+        for s, b in zip(s_segs, b_segs):
+            assert s.tokens == b.tokens, (name, s.tokens, b.tokens)
