@@ -473,3 +473,38 @@ def test_kv_int4_decode(engine, mel):
     prompt = list(range(400, 520))
     c = eng4.decode_window(mel, DecodingOptions(language="en"), prompt_tokens=prompt)[0]
     assert len(c.tokens) > 0
+
+
+def test_w_int8_decode(engine, mel):
+    """Weight-only int8 decode loop (per-output-channel scales on an int8
+    copy of the blocks): quantized linears are near-exact, transcript valid,
+    same forced first timestamp."""
+    import jax
+
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _linear, quantize_linear_tree,
+    )
+
+    blocks = engine.model.params["decoder"]["blocks"]
+    bq = quantize_linear_tree(blocks)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (2, engine.dims.n_text_state)
+        ).astype(np.float32)
+    )
+    w_full = _linear(x, jax.tree.map(lambda a: a[0], blocks["attn"]["q"]))
+    w_q = _linear(x, jax.tree.map(lambda a: a[0], bq["attn"]["q"]))
+    rel = np.abs(np.asarray(w_q - w_full)).max() / (
+        np.abs(np.asarray(w_full)).max() + 1e-9
+    )
+    assert rel < 0.02, rel
+
+    eng = DecodeEngine(engine.model, engine.tokenizer, w_int8=True)
+    assert "blocks_w8" in eng.model.params["decoder"]
+    a = engine.decode_window(mel, DecodingOptions(language="en"))[0]
+    b = eng.decode_window(mel, DecodingOptions(language="en"))[0]
+    assert len(b.tokens) > 0
+    assert b.tokens[0] == a.tokens[0]
+    # the original model object is untouched (quantized copy lives on the
+    # engine's own params tree)
+    assert "blocks_w8" not in engine.model.params["decoder"]

@@ -12,6 +12,7 @@ aligner consumes — the data the reference collects via hooks.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -42,6 +43,8 @@ from .decoding import (
 from .models.load import WhisperModel
 from .tokenizer import Tokenizer
 from .utils.profiling import stage_timer
+
+logger = logging.getLogger("whisper_timestamped_tpu")
 
 INPUT_STRIDE = 2  # mel frames per output token position (conv2 stride)
 TIME_PER_POSITION = INPUT_STRIDE * HOP_LENGTH / SAMPLE_RATE  # 0.02 s
@@ -135,7 +138,7 @@ class DecodeEngine:
     def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32,
                  kv_int8: Optional[bool] = None, layer_unroll: Optional[int] = None,
                  mesh=None, self_kv_int8: Optional[bool] = None,
-                 kv_int4: Optional[bool] = None):
+                 kv_int4: Optional[bool] = None, w_int8: Optional[bool] = None):
         self.model = model
         self.tokenizer = tokenizer
         self.dims = model.dims
@@ -160,11 +163,33 @@ class DecodeEngine:
             if self_kv_int8 is None
             else self_kv_int8
         )
+        # weight-only int8 for the decode loop (per-output-channel scales on
+        # an int8 COPY of the decoder blocks; bf16 originals keep serving the
+        # encoder/prefill/cross-KV projections). Env default WTT_W_INT8.
+        self.w_int8 = (
+            os.environ.get("WTT_W_INT8") == "1" if w_int8 is None else w_int8
+        )
         self.mesh = None
         self.tp = 1
         self.allow_pallas = True
         if mesh is not None:
+            if self.w_int8:
+                logger.warning(
+                    "w_int8 is not supported together with a mesh "
+                    "(no sharding rules for the quantized copy); disabling it"
+                )
+                self.w_int8 = False
             self.attach_mesh(mesh)
+        if self.w_int8:
+            import dataclasses
+
+            from .models.whisper_jax import quantize_linear_tree
+
+            dec = dict(self.model.params["decoder"])
+            dec["blocks_w8"] = jax.jit(quantize_linear_tree)(dec["blocks"])
+            self.model = dataclasses.replace(
+                self.model, params={**self.model.params, "decoder": dec}
+            )
         # layer_unroll: experimental knob. Unrolling the decode-step layer
         # scan was hypothesized to remove the per-step stacked-param slice
         # copies (~4ms/step at large-v3 B=12 in profiles), but measured SLOWER

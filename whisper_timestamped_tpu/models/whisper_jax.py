@@ -167,10 +167,46 @@ def _ln(x, p, eps=1e-5):
 
 
 def _linear(x, p):
-    y = x @ p["w"]
+    if "w8" in p:
+        # weight-only int8: per-output-channel scales applied AFTER the dot
+        # (y = (x @ W_q) * s + b is exact for column-wise scales). The int8
+        # -> bf16 convert fuses into the dot's operand read on TPU, so the
+        # weight stream is half the bf16 bytes.
+        y = (x @ p["w8"].astype(x.dtype)) * p["s"].astype(x.dtype)
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def quantize_linear_tree(blocks):
+    """Per-output-channel int8 weight quantization of the layer-stacked
+    decoder blocks tree (every ``{"w": ...}`` linear leaf dict becomes
+    ``{"w8", "s"}``; biases and layernorm params pass through). Used for the
+    decode loop's weight stream — the loop re-reads every decoder weight at
+    each step, so halving the bytes is a bandwidth lever with per-channel
+    (near-lossless) quantization error. ``_linear`` consumes either form."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node:
+                w = node["w"]
+                s = (
+                    jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+                    / 127.0
+                )
+                w8 = jnp.round(
+                    w.astype(jnp.float32) / jnp.maximum(s, 1e-8)
+                ).astype(jnp.int8)
+                out = {"w8": w8, "s": s.astype(jnp.float32)}
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(blocks)
 
 
 def _split_heads(x, n_head):  # (B, S, D) -> (B, H, S, dh)
@@ -804,10 +840,14 @@ def decode_step(
     # layer's weight/KV slice out of the stacked constant every iteration
     # (profiled at ~40% of the decode step at large-v3). Fully unrolled, the
     # slices are static and fold into the matmuls as views.
+    # optional weight-only int8 copy of the blocks (engine opt-in): the loop
+    # re-reads every decoder weight each step, so the int8 copy halves the
+    # weight stream; prefill/encoder/init_cache keep the bf16 originals
+    step_blocks = dec.get("blocks_w8", dec["blocks"])
     xs = (
-        (jnp.arange(L), dec["blocks"])
+        (jnp.arange(L), step_blocks)
         if use_stacked_xattn
-        else (jnp.arange(L), dec["blocks"], cache.xk, cache.xv,
+        else (jnp.arange(L), step_blocks, cache.xk, cache.xv,
               cache.xk_scale, cache.xv_scale)
     )
     if self_int8:
