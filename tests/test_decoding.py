@@ -501,6 +501,19 @@ def test_w_int8_decode(engine, mel):
 
     eng = DecodeEngine(engine.model, engine.tokenizer, w_int8=True)
     assert "blocks_w8" in eng.model.params["decoder"]
+    # quantized logits projection: exact-for-the-quantized-weights semantics
+    from whisper_timestamped_tpu.models.whisper_jax import _logits
+
+    dec_q = eng.model.params["decoder"]
+    dec_fp = {k: v for k, v in dec_q.items() if k not in ("logits_w8", "blocks_w8")}
+    lx = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (2, engine.dims.n_text_state)
+        ).astype(np.float32)
+    )
+    lg_q, lg_fp = np.asarray(_logits(lx, dec_q)), np.asarray(_logits(lx, dec_fp))
+    rel_l = np.abs(lg_q - lg_fp).max() / (np.abs(lg_fp).max() + 1e-9)
+    assert rel_l < 0.02, rel_l
     a = engine.decode_window(mel, DecodingOptions(language="en"))[0]
     b = eng.decode_window(mel, DecodingOptions(language="en"))[0]
     assert len(b.tokens) > 0

@@ -187,6 +187,23 @@ class DecodeEngine:
 
             dec = dict(self.model.params["decoder"])
             dec["blocks_w8"] = jax.jit(quantize_linear_tree)(dec["blocks"])
+
+            @jax.jit
+            def _q_logits(d):
+                w = (
+                    d["proj"]["w"] if d.get("proj") is not None
+                    else d["tok_emb"].T
+                )  # (D, V)
+                s = (
+                    jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
+                    / 127.0
+                )
+                w8 = jnp.round(
+                    w.astype(jnp.float32) / jnp.maximum(s, 1e-8)
+                ).astype(jnp.int8)
+                return {"w8": w8, "s": s.astype(jnp.float32)}
+
+            dec["logits_w8"] = _q_logits(dec)
             self.model = dataclasses.replace(
                 self.model, params={**self.model.params, "decoder": dec}
             )

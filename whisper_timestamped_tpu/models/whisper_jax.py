@@ -403,6 +403,13 @@ def encode(
 
 
 def _logits(x, dec):
+    q = dec.get("logits_w8")
+    if q is not None:
+        # weight-only int8 logits projection (w_int8 engines): w8 is
+        # (D, V) with per-vocab-column scales — y_v = (x @ w8_v) * s_v is
+        # exact for the quantized weights, so the only error is the
+        # per-column rounding. Halves the per-step vocab-matrix read.
+        return (x @ q["w8"].astype(x.dtype)) * q["s"].astype(x.dtype)
     proj = dec.get("proj")
     if proj is not None:
         return x @ proj["w"]
