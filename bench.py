@@ -91,6 +91,7 @@ def build_engine(model_name, kv_int8):
         wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8,
         kv_int4=os.environ.get("BENCH_KV_INT4") == "1",
         w_int8=os.environ.get("BENCH_W_INT8") == "1",
+        enc_int8=os.environ.get("BENCH_ENC_INT8") == "1",
         self_kv_int8=os.environ.get("BENCH_SELF_INT8") == "1",
     )
     return wm, tok, engine, dims

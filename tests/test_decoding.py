@@ -521,3 +521,24 @@ def test_w_int8_decode(engine, mel):
     # the original model object is untouched (quantized copy lives on the
     # engine's own params tree)
     assert "blocks_w8" not in engine.model.params["decoder"]
+
+
+def test_enc_int8_encode(engine, mel):
+    """W8A8 encoder (dynamic per-token activation scales x per-channel int8
+    weights): output stays close to the bf16 encoder; engine decode valid."""
+    import jax
+
+    from whisper_timestamped_tpu.models.whisper_jax import encode
+
+    params, dims = engine.model.params, engine.dims
+    xa_fp = np.asarray(encode(params, jnp.asarray(mel[None]), dims))
+
+    eng = DecodeEngine(engine.model, engine.tokenizer, enc_int8=True)
+    assert "blocks_w8" in eng.model.params["encoder"]
+    xa_q = np.asarray(encode(eng.model.params, jnp.asarray(mel[None]), dims))
+    rel = np.abs(xa_q - xa_fp).max() / (np.abs(xa_fp).max() + 1e-9)
+    assert rel < 0.05, rel
+
+    b = eng.decode_window(mel, DecodingOptions(language="en"))[0]
+    assert len(b.tokens) > 0
+    assert "blocks_w8" not in engine.model.params["encoder"]

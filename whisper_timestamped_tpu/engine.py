@@ -138,7 +138,8 @@ class DecodeEngine:
     def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32,
                  kv_int8: Optional[bool] = None, layer_unroll: Optional[int] = None,
                  mesh=None, self_kv_int8: Optional[bool] = None,
-                 kv_int4: Optional[bool] = None, w_int8: Optional[bool] = None):
+                 kv_int4: Optional[bool] = None, w_int8: Optional[bool] = None,
+                 enc_int8: Optional[bool] = None):
         self.model = model
         self.tokenizer = tokenizer
         self.dims = model.dims
@@ -169,17 +170,33 @@ class DecodeEngine:
         self.w_int8 = (
             os.environ.get("WTT_W_INT8") == "1" if w_int8 is None else w_int8
         )
+        # W8A8 encoder matmuls (compute lever: int8 MXU at 2x the bf16 rate;
+        # dynamic per-token activation scales). Env default WTT_ENC_INT8.
+        self.enc_int8 = (
+            os.environ.get("WTT_ENC_INT8") == "1" if enc_int8 is None else enc_int8
+        )
         self.mesh = None
         self.tp = 1
         self.allow_pallas = True
         if mesh is not None:
-            if self.w_int8:
+            if self.w_int8 or self.enc_int8:
                 logger.warning(
-                    "w_int8 is not supported together with a mesh "
-                    "(no sharding rules for the quantized copy); disabling it"
+                    "w_int8/enc_int8 are not supported together with a mesh "
+                    "(no sharding rules for the quantized copies); disabling"
                 )
                 self.w_int8 = False
+                self.enc_int8 = False
             self.attach_mesh(mesh)
+        if self.enc_int8:
+            import dataclasses
+
+            from .models.whisper_jax import quantize_linear_tree
+
+            enc = dict(self.model.params["encoder"])
+            enc["blocks_w8"] = jax.jit(quantize_linear_tree)(enc["blocks"])
+            self.model = dataclasses.replace(
+                self.model, params={**self.model.params, "encoder": enc}
+            )
         if self.w_int8:
             import dataclasses
 

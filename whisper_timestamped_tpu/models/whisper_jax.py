@@ -180,6 +180,29 @@ def _linear(x, p):
     return y
 
 
+def _linear_w8a8(x, p):
+    """Dynamic per-token int8 activations × static per-channel int8 weights.
+
+    s8×s8→s32 runs at twice the bf16 rate on the MXU, and the scales apply
+    exactly after the dot (y = (x8 @ w8) * xs * s + b for the quantized
+    operands), so the only error is the two roundings. Used for the
+    encoder's projection/MLP matmuls under the enc_int8 opt-in — the
+    encoder is compute-bound, unlike the bandwidth-bound decode loop."""
+    xs = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    x8 = jnp.round(
+        x.astype(jnp.float32) / jnp.maximum(xs, 1e-8)
+    ).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x8, p["w8"],
+        dimension_numbers=(((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * xs * p["s"].astype(jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def quantize_linear_tree(blocks):
     """Per-output-channel int8 weight quantization of the layer-stacked
     decoder blocks tree (every ``{"w": ...}`` linear leaf dict becomes
@@ -380,20 +403,27 @@ def encode(
         pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
     x = x + pos[: x.shape[1]].astype(x.dtype)
 
+    # enc_int8 opt-in (engine-built int8 copy of the blocks): the encoder is
+    # compute-bound, so the projection/MLP matmuls run W8A8 on the int8 MXU
+    # path (2x the bf16 rate); attention QK^T/PV and the convs stay bf16
+    blocks_q = enc.get("blocks_w8")
+    lin = _linear if blocks_q is None else _linear_w8a8
+
     def block(x, bp):
+        xn = _ln(x, bp["attn_ln"])
         a = _encoder_attention(
-            _linear(_ln(x, bp["attn_ln"]), bp["attn"]["q"]),
-            _linear(_ln(x, bp["attn_ln"]), bp["attn"]["k"]),
-            _linear(_ln(x, bp["attn_ln"]), bp["attn"]["v"]),
+            lin(xn, bp["attn"]["q"]),
+            lin(xn, bp["attn"]["k"]),
+            lin(xn, bp["attn"]["v"]),
             dims.n_audio_head,
             allow_pallas=allow_pallas,
         )
-        x = x + _linear(a, bp["attn"]["o"])
-        h = jax.nn.gelu(_linear(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
-        x = x + _linear(h, bp["mlp"]["fc2"])
+        x = x + lin(a, bp["attn"]["o"])
+        h = jax.nn.gelu(lin(_ln(x, bp["mlp_ln"]), bp["mlp"]["fc1"]), approximate=False)
+        x = x + lin(h, bp["mlp"]["fc2"])
         return x, None
 
-    x, _ = lax.scan(block, x, enc["blocks"])
+    x, _ = lax.scan(block, x, enc["blocks"] if blocks_q is None else blocks_q)
     return _ln(x, enc["ln_post"])
 
 
