@@ -40,6 +40,17 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _fold_q(smat, q):
+    """(D, HP) head-sum matrix with the query folded in: smat * q[:, None].
+
+    Mosaic cannot insert a minor dim on sub-32-bit vectors ("Insertion of
+    minor dim that is not a no-op only supported for 32-bit types"), so the
+    broadcast runs in f32 and casts back to bf16 — a (D, HP) VPU pass, noise
+    next to the K/V streams."""
+    q32 = q.astype(jnp.float32)[:, None]
+    return (smat.astype(jnp.float32) * q32).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # median of 9 (compare-exchange network)
 # ---------------------------------------------------------------------------
@@ -755,7 +766,7 @@ def _xattn_stacked_v2_kernel(
     smat = smat_ref[...]  # (D, HP) bf16 block-diagonal indicator
     emat = emat_ref[...]  # (HP, D) f32 expansion indicator
 
-    smat_q = smat * q[:, None]  # (D, HP) bf16: head-sum matrix with q folded
+    smat_q = _fold_q(smat, q)  # (D, HP) bf16: head-sum matrix with q folded
     scores = (
         jax.lax.dot_general(
             k, smat_q, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -941,7 +952,7 @@ def _xattn_stacked_int8_v2_kernel(
     smat = smat_ref[...]
     emat = emat_ref[...]
 
-    smat_q = smat * q[:, None].astype(jnp.bfloat16)  # (D, HP): q folded in
+    smat_q = _fold_q(smat, q)  # (D, HP): q folded in
     scores = (
         jax.lax.dot_general(
             k, smat_q, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -1138,7 +1149,7 @@ def _xattn_stacked_int4_v2_kernel(
     smat = smat_ref[...]
     emat = emat_ref[...]
 
-    smat_q = smat * q[:, None].astype(jnp.bfloat16)  # (D, HP): q folded in
+    smat_q = _fold_q(smat, q)  # (D, HP): q folded in
 
     def head_scores(k_half, scale_row):
         s = (
@@ -1256,8 +1267,22 @@ def cross_attention_stacked_int4_pallas(
     assert T == 2 * Tp, (T, Tp)
     dh = D // n_head
     HP = max(128, int(np.ceil(n_head / 128) * 128))
+    # Mosaic tiling rule: a block's minor dim must be a 128-multiple OR the
+    # full array dim. The parity-scale blocks are (…, 2, TTp), so TTp must be
+    # 128-divisible whenever the grid has more than one T tile; small T
+    # collapses to a single full-width tile instead.
     TTp = block_t // 2
-    nt = int(np.ceil(Tp / TTp))
+    if Tp <= TTp:
+        TTp, nt = Tp, 1
+    else:
+        TTp = max(128, int(np.ceil(TTp / 128) * 128))
+        nt = int(np.ceil(Tp / TTp))
+    pad_p = nt * TTp - Tp
+    if pad_p:
+        # padded packed rows decode to finite nibbles and are masked in the
+        # kernel by the global frame index (row >= T_real)
+        xk_packed = jnp.pad(xk_packed, ((0, 0), (0, 0), (0, pad_p), (0, 0)))
+        xv_packed = jnp.pad(xv_packed, ((0, 0), (0, 0), (0, pad_p), (0, 0)))
 
     smat = np.zeros((D, HP), np.float32)
     emat = np.zeros((HP, D), np.float32)
@@ -1279,13 +1304,16 @@ def cross_attention_stacked_int4_pallas(
             out_shape.append(
                 jax.ShapeDtypeStruct((B, n_head, 1, nt * TTp), jnp.float32)
             )
-    # per-frame scales regrouped by parity: (L, B, 2, Tp)
+    # per-frame scales regrouped by parity: (L, B, 2, nt*TTp)
     def parity_scales(s):
-        return (
+        ps = (
             s.astype(jnp.float32)
             .reshape(L, B, Tp, 2)
             .transpose(0, 1, 3, 2)
         )
+        if pad_p:
+            ps = jnp.pad(ps, ((0, 0), (0, 0), (0, 0), (0, pad_p)))
+        return ps
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1475,7 +1503,7 @@ def _self_attn_stacked_int8_kernel(
 
     # q folded into the head-sum matrix: a (D, HP) pass instead of the
     # (CTX, D) K⊙q product, so K streams straight into the MXU
-    smat_q = smat * q[:, None]
+    smat_q = _fold_q(smat, q)
     scores = (
         jax.lax.dot_general(
             k, smat_q, dimension_numbers=(((1,), (0,)), ((), ())),
