@@ -429,16 +429,20 @@ def test_cross_attention_stacked_int4_matches_xla_int8():
     k4, ks = _quantize_rows_int4(xk)
     v4, vs = _quantize_rows_int4(xv)
     k8, v8 = _unpack_int4_rows(k4), _unpack_int4_rows(v4)
-    for l in range(L):
-        o1, s1 = cross_attention_stacked_int4_pallas(
-            l, q, k4, ks, v4, vs, H, block_t=128, interpret=True
-        )
-        assert s1.shape == (B, H, 1, T)
-        o2, s2 = cross_attention(
-            q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H
-        )
-        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-2)
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
+    # block_t=128 -> the tile rounds up to the Mosaic-legal 128 packed rows
+    # and the packed buffers/scales get padded (nt=2); block_t=512 collapses
+    # to a single full-width tile (Tp=150 <= 256)
+    for block_t in (128, 512):
+        for l in range(L):
+            o1, s1 = cross_attention_stacked_int4_pallas(
+                l, q, k4, ks, v4, vs, H, block_t=block_t, interpret=True
+            )
+            assert s1.shape == (B, H, 1, T)
+            o2, s2 = cross_attention(
+                q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H
+            )
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-2)
+            np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
 
 
 def test_cross_attention_stacked_int4_score_gating():
