@@ -277,6 +277,13 @@ def main():
         metric += "_kvint4"
     elif kv_int8:
         metric += "_kvint8"
+    for env, tag in (
+        ("BENCH_SELF_INT8", "selfint8"),
+        ("BENCH_W_INT8", "wint8"),
+        ("BENCH_ENC_INT8", "encint8"),
+    ):
+        if os.environ.get(env) == "1":
+            metric += f"_{tag}"
 
     print(
         json.dumps(

@@ -582,7 +582,6 @@ def init_cache(
     def cross_kv(bp):
         return _linear(xa, bp["cross"]["k"]), _linear(xa, bp["cross"]["v"])
 
-    xk, xv = jax.vmap(cross_kv, in_axes=(0,))(dec["blocks"])  # maps over layer axis
     if quantize_self:
         zeros = jnp.zeros((L, B, ctx_len, D), jnp.int8)
         szeros = jnp.zeros((L, B, ctx_len), jnp.float32)
@@ -590,20 +589,25 @@ def init_cache(
     else:
         zeros = jnp.zeros((L, B, ctx_len, D), dtype)
         self_kw = dict(k=zeros, v=zeros)
-    if quantize_cross == "int4":
-        # nibble-packed along T: (L, B, T//2, D) int8 + per-frame scales —
-        # halves the decode loop's dominant HBM stream again vs int8
-        xk_q, xk_s = _quantize_rows_int4(xk)
-        xv_q, xv_s = _quantize_rows_int4(xv)
-        return KVCache(xk=xk_q, xv=xv_q,
-                       xk_scale=xk_s.astype(jnp.float32),
-                       xv_scale=xv_s.astype(jnp.float32), **self_kw)
     if quantize_cross:
-        xk_q, xk_s = _quantize_rows(xk)
-        xv_q, xv_s = _quantize_rows(xv)
-        return KVCache(xk=xk_q, xv=xv_q,
-                       xk_scale=xk_s.astype(jnp.float32),
-                       xv_scale=xv_s.astype(jnp.float32), **self_kw)
+        # quantize per layer inside a sequential lax.map: quantizing a
+        # vmapped (L, B, T, D) full-precision pair would keep ~9.8 GB of
+        # bf16 K/V live at large-v3 B=40 (the int4 packing's strided
+        # even/odd slicing defeats XLA's producer fusion) and OOM the chip;
+        # per layer the transient is L times smaller and the projections
+        # are still full-width MXU matmuls
+        qfn = _quantize_rows_int4 if quantize_cross == "int4" else _quantize_rows
+
+        def cross_kv_q(bp):
+            k, v = cross_kv(bp)
+            kq, ks = qfn(k)
+            vq, vs = qfn(v)
+            return kq, ks.astype(jnp.float32), vq, vs.astype(jnp.float32)
+
+        xk_q, xk_s, xv_q, xv_s = lax.map(cross_kv_q, dec["blocks"])
+        return KVCache(xk=xk_q, xv=xv_q, xk_scale=xk_s, xv_scale=xv_s,
+                       **self_kw)
+    xk, xv = jax.vmap(cross_kv, in_axes=(0,))(dec["blocks"])  # maps over layer axis
     ones = jnp.ones((L, B, 1), jnp.float32)
     return KVCache(xk=xk.astype(dtype), xv=xv.astype(dtype),
                    xk_scale=ones, xv_scale=ones, **self_kw)
