@@ -108,10 +108,17 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
 
     def make_streams(seed):
         # distinct audio per rep: the TPU tunnel memoizes executions on
-        # identical argument buffers, which would fake the timing
+        # identical argument buffers, which would fake the timing.
+        # Quantized to the int16 PCM grid like every real WAV/ffmpeg source,
+        # so the pipeline's lossless int16 upload path engages.
         r = np.random.default_rng(seed)
         return {
-            f"s{i:02d}": (r.standard_normal(stream_seconds * 16000) * 0.1).astype(np.float32)
+            f"s{i:02d}": (
+                (r.standard_normal(stream_seconds * 16000) * 0.1 * 32768.0)
+                .astype(np.int16)
+                .astype(np.float32)
+                / 32768.0
+            )
             for i in range(B)
         }
 
@@ -125,7 +132,7 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
             temperature=[0.0],
             no_speech_threshold=None,
             logprob_threshold=None,
-            condition_on_previous_text=True,
+            condition_on_previous_text=os.environ.get("BENCH_CONDITION", "1") == "1",
             decode_options=DecodingOptions(language="en", sample_len=n_tokens),
         )
         for name, res in results.items():

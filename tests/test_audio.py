@@ -61,6 +61,28 @@ def test_log_mel_batched_matches_single():
     np.testing.assert_allclose(batched, singles, atol=1e-6)
 
 
+def test_pcm16_transport_lossless():
+    # PCM-grid floats (what _read_wav/_read_via_ffmpeg produce) round-trip to
+    # int16 exactly, and the int16 mel path equals the float32 mel path
+    rng = np.random.default_rng(3)
+    ints = rng.integers(-32768, 32768, 24000).astype(np.int16)
+    x = ints.astype(np.float32) / 32768.0
+    a16 = A.as_pcm16(x)
+    assert a16 is not None and a16.dtype == np.int16
+    assert np.array_equal(a16, ints)
+    mel_f = np.asarray(A.log_mel_spectrogram(x))
+    mel_i = np.asarray(A.log_mel_spectrogram(a16))
+    np.testing.assert_array_equal(mel_f, mel_i)
+
+
+def test_pcm16_transport_rejects_off_grid():
+    rng = np.random.default_rng(4)
+    # generic float audio off the int16 grid must NOT be quantized
+    assert A.as_pcm16(rng.standard_normal(1000).astype(np.float32) * 0.1) is None
+    # out-of-range samples (>|1|) must not wrap
+    assert A.as_pcm16(np.asarray([2.0], np.float32)) is None
+
+
 def test_log_mel_128_bins():
     x = np.zeros(16000, dtype=np.float32)
     out = A.log_mel_spectrogram(x, n_mels=128)

@@ -25,7 +25,7 @@ import functools
 import os
 import subprocess
 import wave
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 
@@ -151,12 +151,20 @@ def log_mel_spectrogram(
 ) -> jnp.ndarray:
     """Whisper-compatible log-mel spectrogram.
 
-    audio: (n_samples,) or (batch, n_samples) float32 in [-1, 1].
+    audio: (n_samples,) or (batch, n_samples) float32 in [-1, 1], or int16
+    PCM (dequantized on device as ``x / 32768`` — the exact inverse of the
+    WAV/ffmpeg s16 decode, so int16 transport is lossless for PCM sources
+    and halves the host→device audio upload, the dominant remote-tunnel
+    cost of the batched pipeline's front-end).
     Returns (..., n_mels, n_frames) float32, same semantics as
     ``whisper.log_mel_spectrogram`` (used by the reference at
     ``transcribe.py:1213``): power mel → log10 → clamp to max-8 → (x+4)/4.
     """
-    audio = jnp.asarray(audio, dtype=jnp.float32)
+    audio = jnp.asarray(audio)
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
+    else:
+        audio = audio.astype(jnp.float32)
     if padding > 0:
         audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, padding)])
     power = _stft_power(audio, n_fft, hop)  # (..., frames, bins)
@@ -168,6 +176,27 @@ def log_mel_spectrogram(
     log_spec = jnp.maximum(log_spec, max_val - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
     return jnp.swapaxes(log_spec, -1, -2)  # (..., n_mels, frames)
+
+
+def as_pcm16(audio: np.ndarray) -> Optional[np.ndarray]:
+    """int16 view of float audio when the conversion is LOSSLESS, else None.
+
+    WAV and ffmpeg decoding both produce ``int16 / 32768`` floats
+    (``_read_wav``/``_read_via_ffmpeg``), so real-world audio round-trips
+    exactly; synthetic float audio that doesn't lie on the int16 grid stays
+    float32. Used to halve the host→device upload of the batched pipeline.
+    """
+    if audio.dtype != np.float32 and audio.dtype != np.float64:
+        return audio.astype(np.int16) if audio.dtype == np.int16 else None
+    scaled = audio * 32768.0
+    a16 = np.rint(scaled)
+    if (
+        a16.min() >= -32768
+        and a16.max() <= 32767
+        and np.array_equal(scaled, a16)
+    ):
+        return a16.astype(np.int16)
+    return None
 
 
 def pad_or_trim(array, length: int = N_SAMPLES, axis: int = -1):

@@ -27,6 +27,7 @@ from .audio import (
     N_FRAMES,
     N_SAMPLES,
     SAMPLE_RATE,
+    as_pcm16,
     log_mel_spectrogram,
     pad_or_trim,
 )
@@ -763,9 +764,13 @@ def transcribe_windows(
 
     with stage_timer("mel"):
         # stays on device: windows are sliced/padded with jnp so only the
-        # decode outputs ever cross the host boundary
+        # decode outputs ever cross the host boundary; PCM-grid audio ships
+        # as int16 (lossless, half the upload bytes)
+        audio_np = np.asarray(audio, np.float32)
+        pcm16 = as_pcm16(audio_np)
         mel_full = log_mel_spectrogram(
-            np.asarray(audio, np.float32), n_mels=dims.n_mels, padding=N_SAMPLES
+            pcm16 if pcm16 is not None else audio_np,
+            n_mels=dims.n_mels, padding=N_SAMPLES,
         )
     content_frames = mel_full.shape[-1] - N_FRAMES
     content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE

@@ -27,7 +27,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..audio import HOP_LENGTH, N_FRAMES, load_audio, log_mel_spectrogram, pad_or_trim
+from ..audio import (
+    HOP_LENGTH,
+    N_FRAMES,
+    as_pcm16,
+    load_audio,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
 from ..decoding import DecodingOptions
 from ..engine import (
     DecodeEngine,
@@ -613,8 +620,12 @@ class BatchTranscriber:
             audio_stack = np.zeros((len(wavs), max(lengths)), np.float32)
             for i, w in enumerate(wavs):
                 audio_stack[i, : len(w)] = w
+            # PCM-grid audio ships as int16 (lossless, halves the upload —
+            # the stack is the pipeline's single largest host→device copy)
+            pcm16 = as_pcm16(audio_stack)
             self._mel_stack = log_mel_spectrogram(
-                audio_stack, n_mels=dims.n_mels, padding=N_FRAMES * HOP_LENGTH
+                pcm16 if pcm16 is not None else audio_stack,
+                n_mels=dims.n_mels, padding=N_FRAMES * HOP_LENGTH,
             )  # device (N, n_mels, T_max + N_FRAMES)
 
         streams: List[_Stream] = []
