@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import sys
-from typing import List, Optional, Union
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -603,12 +603,68 @@ def device_align_segments(
     return resolve
 
 
-def prepare_segment_tokens(seg: Segment, tok: Tokenizer):
+def _needs_end_repair(tokens: List[int], tok: Tokenizer) -> bool:
+    """True when the end<=start timestamp re-estimation heuristic fires
+    (reference ``transcribe.py:528-538``) — the only consumer of the
+    timestamp-logprob rows."""
+    return (
+        len(tokens) >= 2
+        and tokens[-1] >= tok.timestamp_begin
+        and tokens[0] >= tok.timestamp_begin
+        and tokens[-1] <= tokens[0]
+    )
+
+
+def prefetch_ts_repair_rows(segments: Sequence[Segment], tok: Tokenizer):
+    """One batched fetch of every timestamp-logprob row the end<=start repair
+    will need, keyed by ``id(seg)``.
+
+    In device-alignment mode each ``ts_logprob_row`` call is a device slice +
+    host read; issued lazily from inside the window hook it lands while the
+    NEXT window's decode is in flight, and remote-tunnel reads behind an
+    in-flight execution block until that execution completes (seconds per
+    window). Batching the rows into one gather — called from the idle gap
+    between a window's outputs landing and the next dispatch — makes the
+    repair cost one cheap round trip, and only on windows that need it.
+    """
+    import jax.numpy as jnp
+
+    need = [s for s in segments
+            if s.window is not None
+            and s.window.ts_logprobs is None
+            and s.window.ts_logprobs_dev is not None
+            and _needs_end_repair(s.tokens, tok)]
+    if not need:
+        return {}
+    out = {}
+    by_buf: Dict[int, list] = {}
+    for s in need:
+        by_buf.setdefault(id(s.window.ts_logprobs_dev), []).append(s)
+    for group in by_buf.values():
+        buf = group[0].window.ts_logprobs_dev
+        idx = [(s.window.batch_index, s.token_span[1] - 1) for s in group]
+        # pow2-padded gather: a handful of compiled shapes, ever
+        n_pad = 1
+        while n_pad < len(idx):
+            n_pad *= 2
+        idx = idx + [idx[0]] * (n_pad - len(idx))
+        bi = jnp.asarray(np.asarray([i for i, _ in idx], np.int32))
+        ri = jnp.asarray(np.asarray([r for _, r in idx], np.int32))
+        rows = np.asarray(buf[bi, ri])  # (n_pad, 1501): one read
+        for s, row in zip(group, rows):
+            out[id(s)] = row
+    return out
+
+
+def prepare_segment_tokens(seg: Segment, tok: Tokenizer, ts_row=None):
     """Pre-alignment token decisions for one segment: early-EOT append,
     stuck-LM flagging, end-token re-estimation (reference
     ``transcribe.py:490-538``). Works in both host mode (window.attn fetched)
     and device mode (attention still on device) — attention rows are addressed
     by index, never by value.
+
+    ``ts_row`` optionally injects the segment's end-repair timestamp-logprob
+    row (from ``prefetch_ts_repair_rows``); otherwise it is fetched lazily.
 
     Returns (tokens, local_rows, unfinished, max_duration) or None when the
     segment has no tokens. ``local_rows[k]`` is the attention row (within the
@@ -639,14 +695,9 @@ def prepare_segment_tokens(seg: Segment, tok: Tokenizer):
 
     # end<=start repair: re-estimate the end timestamp from the step's
     # timestamp distribution (:528-538)
-    if (
-        len(tokens) >= 2
-        and tokens[-1] >= tok.timestamp_begin
-        and tokens[0] >= tok.timestamp_begin
-        and tokens[-1] <= tokens[0]
-    ):
+    if _needs_end_repair(tokens, tok):
         start_off = tokens[0] - tok.timestamp_begin
-        row = window.ts_logprob_row(b - 1)
+        row = ts_row if ts_row is not None else window.ts_logprob_row(b - 1)
         if row is not None and start_off + 1 < len(row):
             new_end = int(np.argmax(row[start_off + 1 :])) + start_off + 1
             tokens[-1] = tok.timestamp_begin + new_end

@@ -54,8 +54,19 @@ M_PAD = ((N_FRAMES // 2 + 127) // 128) * 128  # 1536: frame capacity per segment
 # token bucket matches the cost kernel's row chunk (VMEM-bounded inner loop);
 # 64/128/192/256 cover every segment (<= 226 tokens incl. both timestamps)
 TOKEN_BUCKET = 64
-SEG_BUCKET = 8
+# segment counts bucket GEOMETRICALLY (8, 16, 32, 64, ...): the count varies
+# window to window, and every distinct padded shape is a separate compiled
+# program — on a deferred-compile backend a fresh shape stalls the decode
+# pipeline for seconds, so the shape set must be small and warm up fast
+SEG_BUCKET_MIN = 8
 MAX_K = 32  # VMEM budget: refuse device alignment for huge head selections
+
+
+def _seg_bucket(S: int) -> int:
+    b = SEG_BUCKET_MIN
+    while b < S:
+        b *= 2
+    return b
 
 
 class SegmentAlignTask(NamedTuple):
@@ -170,7 +181,7 @@ def compute_jumps_batch(
     S = len(tasks)
     n_max = max(len(t.plan.tokens) for t in tasks)
     n_pad = int(np.ceil(max(n_max, TOKEN_BUCKET) / TOKEN_BUCKET) * TOKEN_BUCKET)
-    S_pad = int(np.ceil(S / SEG_BUCKET) * SEG_BUCKET)
+    S_pad = _seg_bucket(S)
 
     rows = np.zeros((S_pad, n_pad), np.int32)
     dims = np.zeros((S_pad, 4), np.int32)

@@ -447,14 +447,28 @@ class BatchTranscriber:
                     fetch_alignment=self.fetch_alignment,
                 )
 
-        def apply(results, act, sizes, hook: bool = True) -> List[Segment]:
+        hook_prepare = getattr(window_hook, "prepare", None)
+
+        def extract(results, act, sizes):
+            """Host bookkeeping + hook phase 1 (prepare), run in the idle gap
+            right after a window's outputs land: the prepare phase's batched
+            end-repair read must hit an idle device (a read issued behind an
+            in-flight decode blocks until that decode completes)."""
             segs = self._apply_window_results(
                 act, [results[s.row] for s in act], sizes,
                 no_speech_threshold, logprob_threshold, condition_on_previous_text,
             )
-            if hook and window_hook is not None and segs:
-                window_hook(segs)
-            return segs
+            prep = (
+                hook_prepare(segs)
+                if (hook_prepare is not None and window_hook is not None and segs)
+                else None
+            )
+            return segs, prep
+
+        def run_hook(segs, prep) -> None:
+            """Hook phase 2 (align dispatch): overlaps the next decode."""
+            if window_hook is not None and segs:
+                window_hook(segs, prep) if hook_prepare is not None else window_hook(segs)
 
         def check_seeks(seeks):
             for s in streams:
@@ -532,10 +546,14 @@ class BatchTranscriber:
             tok_np, lp_np, sum_np, nsp_np, done, seeks = split_host_outputs(p, M)
             p_out, p_act, p_sizes = pending
             p_results = fetch(tok_np, lp_np, sum_np, nsp_np, p_out)
+            # idle-gap work: bookkeeping + the hook's prepare phase (its
+            # batched end-repair read needs the device idle)
+            segs, prep = extract(p_results, p_act, p_sizes)
+            check_seeks(seeks)
             if bool(done[:n_streams].all()):
-                apply(p_results, p_act, p_sizes)
-                check_seeks(seeks)
+                run_hook(segs, prep)
                 break
+            p_act, p_sizes = active_snapshot()  # mirror == dispatch-time state
             mels = _slice_windows_jit(self._mel_stack, rows_dev, state.seek)
             if condition_on_previous_text:
                 prompt, plen = build_prompt_batch(
@@ -558,12 +576,9 @@ class BatchTranscriber:
                 )
             start_async_copies(packed)
 
-            # host-only work rides behind this window's execution (the align
-            # hook only DISPATCHES device programs; their results resolve at
-            # assembly time)
-            apply(p_results, p_act, p_sizes)
-            check_seeks(seeks)
-            p_act, p_sizes = active_snapshot()  # mirror == dispatch-time state
+            # hook phase 2 rides behind this window's execution (it only
+            # DISPATCHES device programs; results resolve at assembly time)
+            run_hook(segs, prep)
             pending = (out, p_act, p_sizes)
             it += 1
 
@@ -672,8 +687,20 @@ class BatchTranscriber:
         # window_hook runs one iteration LATE: its device work and host fetch
         # (e.g. the device aligner's jumps transfer) ride behind the NEXT
         # window's decode execution instead of adding a blocking round trip
-        # between iterations (tunnel latency is a real per-iteration cost)
-        pending_hook: List[Segment] = []
+        # between iterations (tunnel latency is a real per-iteration cost).
+        # Its PREPARE phase (which may read from the device) runs eagerly at
+        # extraction time, while the device is idle.
+        hook_prepare = getattr(window_hook, "prepare", None)
+        pending_hook: List[tuple] = []  # [(segments, prepared-entries or None)]
+
+        def flush_hook():
+            for segs, prep in pending_hook:
+                if hook_prepare is not None:
+                    window_hook(segs, prep)
+                else:
+                    window_hook(segs)
+            pending_hook.clear()
+
         while True:
             active = [s for s in streams if not s.done and s.seek < s.content_frames]
             if not active:
@@ -715,9 +742,8 @@ class BatchTranscriber:
                     # whisper decodes with beam search at t==0 only; fallback
                     # temperatures sample (decode_with_fallback semantics,
                     # engine.py decode_with_fallback)
-                    if pending_hook and window_hook is not None:
-                        window_hook(pending_hook)
-                    pending_hook = []
+                    if window_hook is not None:
+                        flush_hook()
                     results = engine.decode_window_beam_batch(
                         mels, opts, prompts, languages,
                     )
@@ -733,18 +759,16 @@ class BatchTranscriber:
                         copy_async = getattr(out[k], "copy_to_host_async", None)
                         if copy_async is not None:
                             copy_async()
-                    if pending_hook and window_hook is not None:
-                        window_hook(pending_hook)  # overlaps the decode
-                    pending_hook = []
+                    if window_hook is not None:
+                        flush_hook()  # overlaps the decode
                     with stage_timer("decode_fetch_unpack"):
                         results = engine.unpack_window_outputs(
                             out, temperature[0],
                             fetch_alignment=self.fetch_alignment,
                         )
                 else:
-                    if pending_hook and window_hook is not None:
-                        window_hook(pending_hook)
-                    pending_hook = []
+                    if window_hook is not None:
+                        flush_hook()
                     results = self._decode_batch_best_of(
                         mels, prompts, opts, temperature[0], it_seed, languages
                     )
@@ -777,10 +801,13 @@ class BatchTranscriber:
                 batch, results[:n_real], sizes,
                 no_speech_threshold, logprob_threshold, condition_on_previous_text,
             )
-            pending_hook.extend(new_segments)
+            if new_segments and window_hook is not None:
+                # prepare NOW (device idle after the unpack); align later
+                prep = hook_prepare(new_segments) if hook_prepare is not None else None
+                pending_hook.append((new_segments, prep))
 
-        if window_hook is not None and pending_hook:
-            window_hook(pending_hook)
+        if window_hook is not None:
+            flush_hook()
         return {s.name: s.segments for s in streams}
 
 
@@ -891,12 +918,24 @@ def transcribe_batch(
     preps_map: Dict[int, Any] = {}
     pending_aligns: List[Tuple[list, Any]] = []
 
-    def _align_step(new_segments: List[Segment]) -> None:
-        with stage_timer("batch_align"):
-            entries = [
-                (seg, prepare_segment_tokens(seg, engine.tokenizer))
+    def _prepare_step(new_segments: List[Segment]):
+        """Phase 1 (host + one cheap batched device read): runs in the idle
+        gap between a window's outputs landing and the next dispatch, so the
+        end-repair rows never block behind an in-flight decode."""
+        from ..api import prefetch_ts_repair_rows
+
+        with stage_timer("batch_prepare"):
+            ts_rows = prefetch_ts_repair_rows(new_segments, engine.tokenizer)
+            return [
+                (seg, prepare_segment_tokens(
+                    seg, engine.tokenizer, ts_row=ts_rows.get(id(seg))))
                 for seg in new_segments
             ]
+
+    def _align_step(new_segments: List[Segment], entries=None) -> None:
+        with stage_timer("batch_align"):
+            if entries is None:
+                entries = _prepare_step(new_segments)
             # dispatch the align programs + async jump copies only: the
             # resolver runs at assembly time, so the fetch never blocks the
             # window loop (the align compute itself queues behind the next
@@ -907,8 +946,12 @@ def transcribe_batch(
             )
             for seg, p in entries:
                 preps_map[id(seg)] = p
-                seg.window.attn_dev = None  # release the device attention buffer
+                # release the big device buffers (attention + ts logprobs)
+                seg.window.attn_dev = None
+                seg.window.ts_logprobs_dev = None
             pending_aligns.append((entries, resolver))
+
+    _align_step.prepare = _prepare_step
 
     all_segments = bt.transcribe_streams(
         audios, language=language,
