@@ -265,3 +265,20 @@ def test_api_device_disfluencies_matches_host():
     for a, b in zip(ws_h, ws_d):
         assert a["start"] == pytest.approx(b["start"], abs=0.021)
         assert a["end"] == pytest.approx(b["end"], abs=0.021)
+
+
+def test_default_device_alignment_resolution(monkeypatch):
+    """Flag resolution contract: env override wins; otherwise ON on
+    accelerators, OFF on CPU (VERDICT r2 item 3: fast path is the default)."""
+    import jax
+    from whisper_timestamped_tpu.device_align import default_device_alignment
+
+    monkeypatch.setenv("WTT_DEVICE_ALIGN", "1")
+    assert default_device_alignment() is True
+    monkeypatch.setenv("WTT_DEVICE_ALIGN", "0")
+    assert default_device_alignment() is False
+    monkeypatch.delenv("WTT_DEVICE_ALIGN")
+    assert default_device_alignment() is (jax.default_backend() != "cpu")
+    # the test suite runs on CPU, so the auto default must be the host path
+    assert jax.default_backend() == "cpu"
+    assert default_device_alignment() is False

@@ -66,92 +66,127 @@ def round_timestamp(x: float) -> float:
 # ---------------------------------------------------------------------------
 
 
+class _WordGroup:
+    """One word under construction: visible text plus the flat per-token
+    decoded-string / token-id sequences that the alignment code indexes by
+    token position."""
+
+    __slots__ = ("text", "token_strs", "token_ids")
+
+    def __init__(self):
+        self.text = ""
+        self.token_strs: List[str] = []
+        self.token_ids: List[int] = []
+
+    def take(self, piece_text: str, piece_ids: List[int], shown: Optional[str] = None):
+        """Absorb one unicode-complete piece. ``shown`` overrides what is added
+        to the visible text (e.g. '' to hide glued punctuation, or a stripped
+        form in space-grouping mode)."""
+        self.text += piece_text if shown is None else shown
+        # only the final token of a multi-token piece carries the decoded text
+        self.token_strs += [""] * (len(piece_ids) - 1) + [piece_text]
+        self.token_ids += piece_ids
+
+
+def _as_triple(groups: List[_WordGroup]):
+    return (
+        [g.text for g in groups],
+        [g.token_strs for g in groups],
+        [g.token_ids for g in groups],
+    )
+
+
+def _iter_unicode_pieces(tokens: Sequence[int], tokenizer):
+    """Yield ``(text, token_ids)`` pieces: each is the shortest run of tokens
+    whose decode (text + timestamp tokens only) is free of U+FFFD, i.e. a
+    complete UTF-8 sequence. A trailing incomplete run is dropped, matching
+    the reference (``transcribe.py:1815-1842`` never flushes it)."""
+    pending: List[int] = []
+    for tok in tokens:
+        pending.append(int(tok))
+        printable = [
+            t for t in pending if t < tokenizer.eot or t >= tokenizer.timestamp_begin
+        ]
+        text = tokenizer.decode_with_timestamps(printable)
+        if "�" in text:
+            continue
+        yield text, pending
+        pending = []
+
+
 def split_tokens_on_unicode(
     tokens: Sequence[int],
     tokenizer,
     remove_punctuation_from_words: bool = False,
     isolate_punctuations: bool = False,
 ):
-    """Group tokens into unicode-complete chunks; glue punctuation backwards."""
-    words: List[str] = []
-    word_tokens: List[List[str]] = []
-    word_tokens_indices: List[List[int]] = []
-    current_tokens: List[int] = []
+    """Group tokens into unicode-complete chunks; glue punctuation backwards.
 
-    for token in tokens:
-        token = int(token)
-        current_tokens.append(token)
-        decoded = tokenizer.decode_with_timestamps(
-            [t for t in current_tokens if t < tokenizer.eot or t >= tokenizer.timestamp_begin]
+    Behavior matches reference ``transcribe.py:1815-1842`` (pinned by the
+    CJK / punctuation goldens): a pure-punctuation piece joins the preceding
+    word unless that word ends in a timestamp token.
+    """
+    groups: List[_WordGroup] = []
+    for text, ids in _iter_unicode_pieces(tokens, tokenizer):
+        bare = text.strip()
+        glue = (
+            not isolate_punctuations
+            and bare != ""
+            and bare in _punctuation
+            and not (groups and groups[-1].token_ids
+                     and groups[-1].token_ids[-1] >= tokenizer.timestamp_begin)
         )
-        if "�" not in decoded:
-            empty_tokens = [""] * (len(current_tokens) - 1)
-            punctuation = not isolate_punctuations and (
-                decoded.strip() and decoded.strip() in _punctuation
-            )
-            previous_special = len(word_tokens_indices) > 0 and (
-                word_tokens_indices[-1][-1] >= tokenizer.timestamp_begin
-            )
-            if punctuation and not previous_special:
-                if len(words) == 0:
-                    words = [""]
-                    word_tokens = [[]]
-                    word_tokens_indices = [[]]
-                if not remove_punctuation_from_words:
-                    words[-1] += decoded
-                word_tokens[-1].extend(empty_tokens + [decoded])
-                word_tokens_indices[-1].extend(current_tokens)
-            else:
-                words.append(decoded)
-                word_tokens.append(empty_tokens + [decoded])
-                word_tokens_indices.append(current_tokens)
-            current_tokens = []
-
-    return words, word_tokens, word_tokens_indices
+        if glue:
+            if not groups:
+                groups.append(_WordGroup())
+            groups[-1].take(text, ids, shown="" if remove_punctuation_from_words else None)
+        else:
+            groups.append(_WordGroup())
+            groups[-1].take(text, ids)
+    return _as_triple(groups)
 
 
 def split_tokens_on_spaces(
     tokens: Sequence[int], tokenizer, remove_punctuation_from_words: bool = False
 ):
-    """Group unicode chunks into space-delimited words (space languages)."""
-    subwords, subword_tokens_list, subword_tokens_indices_list = split_tokens_on_unicode(
+    """Group unicode chunks into space-delimited words (space languages).
+
+    Behavior matches reference ``transcribe.py:1845-1868`` (pinned by the
+    Arabic / double-space / issue-61 ``<|te|>`` tests). Each chunk either
+    opens a new word or merges into the previous one, per ``_opens_word``.
+    """
+    texts, _strs, ids = split_tokens_on_unicode(
         tokens, tokenizer, remove_punctuation_from_words=remove_punctuation_from_words
     )
-    words: List[str] = []
-    word_tokens: List[List[str]] = []
-    word_tokens_indices: List[List[int]] = []
+    n = len(texts)
+    ts_begin = tokenizer.timestamp_begin
+    is_timestamp = [seq[0] >= ts_begin for seq in ids]
+    is_blank = [t.strip() == "" for t in texts]
 
-    for i, (subword, subword_tokens, subword_tokens_indices) in enumerate(
-        zip(subwords, subword_tokens_list, subword_tokens_indices_list)
-    ):
-        special = subword_tokens_indices[0] >= tokenizer.timestamp_begin
-        previous_special = (i > 0) and (
-            subword_tokens_indices_list[i - 1][0] >= tokenizer.timestamp_begin
-        )
-        next_special = (i < len(subword_tokens_indices_list) - 1) and (
-            subword_tokens_indices_list[i + 1][0] >= tokenizer.timestamp_begin
-        )
-        previous_space = (i > 0) and (not subwords[i - 1].strip())
-        is_space = not subword.strip()
-        with_space = subword.startswith(" ") and not is_space
-        punctuation = not is_space and subword.strip() in _punctuation
-        if special or (
-            not previous_space
-            and (
-                previous_special
-                or (with_space and not punctuation)
-                or (is_space and not next_special)
-            )
-        ):
-            words.append(subword.strip())
-            word_tokens.append(subword_tokens)
-            word_tokens_indices.append(subword_tokens_indices)
-        else:
-            words[-1] = words[-1] + subword.strip()
-            word_tokens[-1].extend(subword_tokens)
-            word_tokens_indices[-1].extend(subword_tokens_indices)
+    def _opens_word(i: int) -> bool:
+        if is_timestamp[i]:
+            return True
+        if i > 0 and is_blank[i - 1]:
+            return False  # whatever follows a bare-space chunk merges into it
+        if i > 0 and is_timestamp[i - 1]:
+            return True  # first text after a timestamp token
+        if is_blank[i]:
+            # a space chunk opens a word, unless it pads a following timestamp
+            return i + 1 >= n or not is_timestamp[i + 1]
+        # leading space opens a word — except for punctuation, which glues back
+        return texts[i].startswith(" ") and texts[i].strip() not in _punctuation
 
-    return words, word_tokens, word_tokens_indices
+    groups: List[_WordGroup] = []
+    for i in range(n):
+        if i == 0 or _opens_word(i):
+            groups.append(_WordGroup())
+        # re-absorb the chunk's pieces so token_strs layout is preserved,
+        # but contribute only the stripped text to the visible word
+        g = groups[-1]
+        g.text += texts[i].strip()
+        g.token_strs += _strs[i]
+        g.token_ids += ids[i]
+    return _as_triple(groups)
 
 
 # ---------------------------------------------------------------------------

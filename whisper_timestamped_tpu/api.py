@@ -107,7 +107,7 @@ def transcribe_timestamped(
     include_punctuation_in_confidence: bool = False,
     refine_whisper_precision: float = 0.5,
     min_word_duration: float = 0.02,
-    plot_word_alignment: bool = False,
+    plot_word_alignment: Union[bool, str] = False,
     word_alignment_most_top_layers: Optional[int] = None,
     remove_empty_words: bool = False,
     use_backend_timestamps: bool = False,
@@ -145,12 +145,15 @@ def transcribe_timestamped(
     ``speech_activity`` when VAD runs.
 
     ``device_alignment`` routes the alignment cost matrix + DTW through the
-    Pallas kernels (default: the WTT_DEVICE_ALIGN env var; host path otherwise).
+    Pallas kernels. Default (None): ON when the JAX backend is an accelerator
+    (host fallback is automatic when gating conditions fail), OFF on CPU;
+    the WTT_DEVICE_ALIGN env var ("1"/"0") overrides.
     """
+    device_alignment_explicit = device_alignment is not None
     if device_alignment is None:
-        import os
+        from .device_align import default_device_alignment
 
-        device_alignment = os.environ.get("WTT_DEVICE_ALIGN") == "1"
+        device_alignment = default_device_alignment()
     # --- validation (reference transcribe.py:227-245) ---
     assert (
         refine_whisper_precision >= 0
@@ -255,6 +258,7 @@ def transcribe_timestamped(
             include_punctuation_in_confidence=include_punctuation_in_confidence,
             detect_disfluencies=detect_disfluencies,
             verbose=live_verbose,
+            plot_word_alignment=plot_word_alignment,
         )
     else:
         transcription, words = _transcribe_efficient(
@@ -279,6 +283,7 @@ def transcribe_timestamped(
             verbose=live_verbose,
             plot_word_alignment=plot_word_alignment,
             device_alignment=device_alignment,
+            device_alignment_explicit=device_alignment_explicit,
         )
 
     transcription = finalize_transcription(
@@ -390,6 +395,7 @@ def _transcribe_efficient(
     verbose,
     plot_word_alignment=False,
     device_alignment=False,
+    device_alignment_explicit=True,
 ):
     tok = engine.tokenizer
 
@@ -408,8 +414,9 @@ def _transcribe_efficient(
         and len(engine.align_heads) <= MAX_K
     )
     if device_alignment and not full_device:
-        # never downgrade silently (reference pattern: every repair/fallback
-        # warns, e.g. transcribe.py:496-538)
+        # never downgrade silently when explicitly requested (reference
+        # pattern: every repair/fallback warns, e.g. transcribe.py:496-538);
+        # the auto-resolved default degrades with an info line only
         reasons = [
             r for cond, r in (
                 (plot_word_alignment, "plot_word_alignment needs the host cost matrix"),
@@ -417,8 +424,9 @@ def _transcribe_efficient(
                  f"{len(engine.align_heads)} alignment heads exceed the device aligner's capacity ({MAX_K})"),
             ) if cond
         ]
-        logger.warning(
-            "device_alignment requested but falling back to host alignment: %s",
+        (logger.warning if device_alignment_explicit else logger.info)(
+            "device_alignment %s but falling back to host alignment: %s",
+            "requested" if device_alignment_explicit else "auto-enabled",
             "; ".join(reasons),
         )
 
@@ -633,7 +641,12 @@ def prefetch_ts_repair_rows(segments: Sequence[Segment], tok: Tokenizer):
             if s.window is not None
             and s.window.ts_logprobs is None
             and s.window.ts_logprobs_dev is not None
-            and _needs_end_repair(s.tokens, tok)]
+            and _needs_end_repair(s.tokens, tok)
+            # Mirror the lazy ts_logprob_row bound guard: JAX clamps OOB
+            # gather indices silently, which would apply the repair with a
+            # wrong row; out-of-range spans fall through to the guarded
+            # lazy fetch instead.
+            and s.token_span[1] - 1 < s.window.ts_logprobs_dev.shape[1]]
     if not need:
         return {}
     out = {}

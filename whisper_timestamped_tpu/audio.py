@@ -188,6 +188,10 @@ def as_pcm16(audio: np.ndarray) -> Optional[np.ndarray]:
     """
     if audio.dtype != np.float32 and audio.dtype != np.float64:
         return audio.astype(np.int16) if audio.dtype == np.int16 else None
+    if audio.size == 0:
+        # Empty audio is trivially lossless (reference supports empty input:
+        # /root/reference/tests/data/empty.mp3); min()/max() below would raise.
+        return audio.astype(np.int16)
     scaled = audio * 32768.0
     a16 = np.rint(scaled)
     if (

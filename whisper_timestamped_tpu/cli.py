@@ -170,8 +170,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="host CPU threads for inference (CPU platform)")
     parser.add_argument("--compute_confidence", default=True, type=str2bool)
     parser.add_argument("--verbose", type=str2bool, default=False)
-    parser.add_argument("--plot", default=False, action="store_true",
-                        help="plot word alignments (requires matplotlib)")
+    parser.add_argument("--plot", default=False, nargs="?", const=True, metavar="DIR",
+                        help="plot word alignments (requires matplotlib); with a "
+                             "directory argument, save figures there instead of "
+                             "showing them")
     parser.add_argument("--debug", default=False, action="store_true")
     parser.add_argument("--accurate", action=_ActionSetAccurate,
                         help="shortcut for best_of=5, beam_size=5, fallback step 0.2")
@@ -328,11 +330,19 @@ def main(argv=None):
         outname = (
             os.path.join(output_dir, os.path.basename(audio_path)) if output_dir else None
         )
-        # with an output dir, figures are SAVED next to the outputs
-        # (reference transcribe.py:3136); bare --plot shows them interactively
-        args["plot_word_alignment"] = (
-            outname if (outname and plot_word_alignment) else plot_word_alignment
-        )
+        # --plot DIR saves figures under DIR; with an output dir, figures are
+        # SAVED next to the outputs (reference transcribe.py:3136); bare
+        # --plot shows them interactively
+        if isinstance(plot_word_alignment, str):
+            if not os.path.isdir(plot_word_alignment):
+                os.makedirs(plot_word_alignment)
+            args["plot_word_alignment"] = os.path.join(
+                plot_word_alignment, os.path.basename(audio_path)
+            )
+        else:
+            args["plot_word_alignment"] = (
+                outname if (outname and plot_word_alignment) else plot_word_alignment
+            )
         result = transcribe_timestamped(
             model, audio_path, temperature=temperature, tokenizer=tokenizer, **args
         )

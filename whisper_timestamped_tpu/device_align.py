@@ -62,6 +62,25 @@ SEG_BUCKET_MIN = 8
 MAX_K = 32  # VMEM budget: refuse device alignment for huge head selections
 
 
+def default_device_alignment() -> bool:
+    """Resolve ``device_alignment=None``: the WTT_DEVICE_ALIGN env var wins
+    ("1"/"0"), otherwise ON whenever the default JAX backend is an
+    accelerator. On TPU the host alignment path's per-window
+    (max_new, K, 1500) attention fetch is the dominant cost (~27 MB/s over a
+    remote tunnel), so the on-device aligner is the serving default; the
+    caller still falls back to the host path automatically when the gating
+    conditions (module docstring) do not hold."""
+    import os
+
+    env = os.environ.get("WTT_DEVICE_ALIGN")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+
+
 def _seg_bucket(S: int) -> int:
     b = SEG_BUCKET_MIN
     while b < S:

@@ -98,6 +98,7 @@ def transcribe_naive(
     detect_disfluencies: bool,
     verbose,
     min_word_duration: float = 0.0,
+    plot_word_alignment=False,
 ):
     tok = engine.tokenizer
     refine_sec = refine_whisper_precision_nframes * AUDIO_TIME_PER_TOKEN
@@ -200,6 +201,7 @@ def transcribe_naive(
         detect_disfluencies=detect_disfluencies,
         verbose=verbose,
         min_word_duration=min_word_duration,
+        plot_word_alignment=plot_word_alignment,
     )
     words = drive_teacher_forced_serial(gen, engine)
 
@@ -316,6 +318,7 @@ def naive_word_requests(
     verbose,
     min_word_duration: float = 0.0,
     task: str = "transcribe",
+    plot_word_alignment=False,
 ):
     """Per-stream word-extraction generator (pass 2 of the naive engine).
 
@@ -453,6 +456,8 @@ def naive_word_requests(
             refine_whisper_precision_nframes=refine_whisper_precision_nframes,
             remove_punctuation_from_words=remove_punctuation_from_words,
             detect_disfluencies=detect_disfluencies,
+            # teacher-forced pass plots too (reference transcribe.py:1251)
+            plot=plot_word_alignment,
         )
 
         segment_logprobs: List[np.ndarray] = []

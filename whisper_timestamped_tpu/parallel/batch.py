@@ -835,7 +835,8 @@ def transcribe_batch(
     ``vad`` applies per-stream speech extraction on the host before the batched
     decode; word/segment timestamps are mapped back to original-audio time.
     ``device_alignment`` keeps attention on device and aligns with the batched
-    Pallas cost+DTW kernels (default: the WTT_DEVICE_ALIGN env var).
+    Pallas cost+DTW kernels (default: ON on accelerators, OFF on CPU,
+    WTT_DEVICE_ALIGN env overrides — see device_align.default_device_alignment).
     ``engine`` overrides the default DecodeEngine (custom attn dtype /
     int8 cross-KV / pre-attached mesh)."""
     from ..api import (
@@ -845,11 +846,12 @@ def transcribe_batch(
         prepare_segment_tokens,
         should_use_space,
     )
-    from ..device_align import MAX_K
+    from ..device_align import MAX_K, default_device_alignment
     from ..vad import check_vad_method, remove_non_speech
 
+    device_alignment_explicit = device_alignment is not None
     if device_alignment is None:
-        device_alignment = os.environ.get("WTT_DEVICE_ALIGN") == "1"
+        device_alignment = default_device_alignment()
 
     vad = check_vad_method(vad)
     converts: Dict[str, Any] = {}
@@ -877,7 +879,7 @@ def transcribe_batch(
         # batched teacher-forced pass with the naive engine's word semantics
         # (the reference forces its naive engine for beam too,
         # transcribe.py:233-245)
-        if device_alignment:
+        if device_alignment and device_alignment_explicit:
             logger.warning(
                 "beam_size uses teacher-forced (naive-engine) alignment; "
                 "device_alignment does not apply to the beam pipeline"
@@ -890,16 +892,18 @@ def transcribe_batch(
         and len(engine.align_heads) <= MAX_K
     )
     if device_alignment and not full_device and not beam_mode:
-        # never downgrade silently (the reference warns on every such repair
-        # or fallback, e.g. transcribe.py:496-538)
+        # never downgrade silently when explicitly requested (the reference
+        # warns on every such repair/fallback, e.g. transcribe.py:496-538);
+        # the auto-resolved default degrades with an info line only
         reasons = []
         if len(engine.align_heads) > MAX_K:
             reasons.append(
                 f"{len(engine.align_heads)} alignment heads exceed the device "
                 f"aligner's capacity ({MAX_K})"
             )
-        logger.warning(
-            "device_alignment requested but falling back to host alignment: %s",
+        (logger.warning if device_alignment_explicit else logger.info)(
+            "device_alignment %s but falling back to host alignment: %s",
+            "requested" if device_alignment_explicit else "auto-enabled",
             "; ".join(reasons),
         )
     tail_batch = os.environ.get("WTT_TAIL_BATCH")
