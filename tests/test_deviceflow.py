@@ -118,6 +118,48 @@ def test_advance_matches_host_rule():
         assert bool(np.asarray(new.done)[b]) == (host_seek >= int(content[b]))
 
 
+def test_advance_no_speech_skip_matches_host_rule():
+    """With quality thresholds set, the device advance computes whisper's
+    no-speech window skip (full advance, nothing enters the history) exactly
+    like extract_window_segments' skip branch."""
+    import dataclasses
+
+    B = len(CASES)
+    tokens = np.stack([_row(c) for c in CASES])
+    rng = np.random.default_rng(5)
+    nsp = rng.uniform(0.0, 1.0, B).astype(np.float32)
+    sum_lp = rng.uniform(-40.0, 0.0, B).astype(np.float32)
+    seeks = np.zeros(B, np.int32)
+    content = np.full(B, 9000, np.int32)
+    H = 64
+    for thr, lp_thr in [(0.5, -1.0), (0.5, None), (0.0, -0.5)]:
+        state = WindowState(
+            seek=jnp.asarray(seeks),
+            done=jnp.asarray(np.zeros(B, bool)),
+            hist=jnp.full((B, H), EOT, jnp.int32),
+            count=jnp.zeros((B,), jnp.int32),
+        )
+        new = advance_window_state(
+            jnp.asarray(tokens), state, jnp.asarray(content), eot=EOT, ts_begin=TSB,
+            no_speech_prob=jnp.asarray(nsp), sum_logprobs=jnp.asarray(sum_lp),
+            no_speech_threshold=thr, logprob_threshold=lp_thr,
+        )
+        for b in range(B):
+            base = _host_result(tokens[b])
+            n = len(base.tokens)
+            res = dataclasses.replace(
+                base, no_speech_prob=float(nsp[b]),
+                avg_logprob=float(sum_lp[b]) / (n + 1), sum_logprob=float(sum_lp[b]),
+            )
+            segs, host_seek = extract_window_segments(
+                res, 0, min(N_FRAMES, int(content[b])), TOK,
+                no_speech_threshold=thr, logprob_threshold=lp_thr,
+            )
+            assert int(new.seek[b]) == host_seek, (b, thr, lp_thr, CASES[b])
+            consumed = [t for s in segs for t in s.tokens]
+            assert int(new.count[b]) == min(len(consumed), H), (b, thr, lp_thr)
+
+
 def test_advance_frozen_when_done():
     tokens = np.stack([_row(["t", 5, "E"])] * 2)
     state = WindowState(
@@ -214,7 +256,8 @@ def _audio(seed, seconds):
     return (rng.standard_normal(int(16000 * seconds)) * 0.1).astype(np.float32)
 
 
-def _run_batch(model, flow: bool, *, device_alignment: bool, **kw):
+def _run_batch(model, flow: bool, *, device_alignment: bool,
+               no_speech_threshold=None, logprob_threshold=None, **kw):
     import os
 
     from whisper_timestamped_tpu.parallel.batch import transcribe_batch
@@ -226,7 +269,8 @@ def _run_batch(model, flow: bool, *, device_alignment: bool, **kw):
     try:
         return transcribe_batch(
             model, audios, TOK, language="en", batch_size=4,
-            temperature=[0.0], no_speech_threshold=None, logprob_threshold=None,
+            temperature=[0.0], no_speech_threshold=no_speech_threshold,
+            logprob_threshold=logprob_threshold,
             device_alignment=device_alignment, **kw,
         )
     finally:
@@ -253,6 +297,17 @@ def test_flow_matches_host_loop_unconditioned(model):
         model, True, device_alignment=True,
         condition_on_previous_text=False, initial_prompt="hello there",
     )
+    assert got == ref
+
+
+def test_flow_matches_host_loop_with_thresholds(model):
+    """Quality thresholds (the reference defaults, transcribe.py:111-113)
+    engage the no-speech skip ON DEVICE and must not force the host loop or
+    change the output."""
+    kw = dict(device_alignment=True, no_speech_threshold=0.6,
+              logprob_threshold=-1.0)
+    ref = _run_batch(model, False, **kw)
+    got = _run_batch(model, True, **kw)
     assert got == ref
 
 

@@ -77,30 +77,101 @@ def _audio(seed, seconds):
     return (rng.standard_normal(16000 * seconds) * 0.1).astype(np.float32)
 
 
+# Config matrix mirroring the reference's expected-dir classes
+# (/root/reference/tests/expected/, matrix at test_transcribe.py:300-650).
+# Special keys: _audio=(seed, seconds) picks the input; _tok overrides the
+# tokenizer kwargs; keys colliding with the base kwargs override them
+# (e.g. thresholds for the fallback/no-speech classes).
+# See tests/expected/README.md for the config -> reference-dir mapping.
 CONFIGS = {
+    # language matrix (ref: tiny_fr/medium_fr, tiny_auto/medium_auto)
     "efficient_greedy": dict(language="en"),
     "autodetect_language": dict(),
+    # alignment options (ref: corner_cases, punctuations_no/yes)
     "disfluencies": dict(language="en", detect_disfluencies=True),
-    "vad_explicit": dict(language="en", vad=[(0.0, 3.0), (4.0, 6.0)]),
-    "naive": dict(language="en", naive_approach=True),
-    "beam3": dict(language="en", beam_size=3),
     "no_refine": dict(language="en", refine_whisper_precision=0.0),
     "punctuation_stripped": dict(language="en", remove_punctuation_from_words=True),
+    "confidence_punct": dict(language="en", include_punctuation_in_confidence=True),
+    # engines (ref: naive, naive.cuda; accurate preset)
+    "naive": dict(language="en", naive_approach=True),
+    "beam3": dict(language="en", beam_size=3),
+    "recompute_all": dict(language="en", trust_whisper_timestamps=False),
+    # VAD classes (ref: verbose/vad_* stdout dirs; auditok variant)
+    "vad_explicit": dict(language="en", vad=[(0.0, 3.0), (4.0, 6.0)]),
+    "vad_auditok": dict(language="en", vad="auditok"),
+    # monolingual *.en models on foreign audio (ref: tiny.en, small.en,
+    # TestTranscribeMonolingual) — no language detection, bare sot sequence
+    "monolingual_en": dict(_tok=dict(multilingual=False)),
+    # unspaced language (ref: TestTranscribeUnspacedLanguage, ja)
+    "unspaced_ja": dict(language="ja"),
+    # task=translate flag parity
+    "translate_task": dict(language="fr", task="translate"),
+    # decode strategies (ref: corner_cases temperature tests, best_of)
+    "temperature_sampling": dict(language="en", temperature=0.7),
+    "best_of2": dict(language="en", temperature=0.7, best_of=2),
+    # temperature fallback ACTUALLY TRIGGERING (ref: corner_cases random.wav —
+    # random-weight logprobs sit far below -0.5, so t=0.0 fails the check and
+    # the 0.2 retry's sampled output is kept; reference fallback rule at
+    # whisper transcribe + our engine.decode_with_fallback)
+    "temperature_fallback": dict(
+        language="en", temperature=[0.0, 0.2], logprob_threshold=-0.5,
+        no_speech_threshold=0.99,
+    ),
+    # no-speech skip machinery (ref: empty/silence handling): threshold ~0
+    # makes every window skip -> empty output via the skip path, not VAD
+    "no_speech_skip_all": dict(
+        language="en", no_speech_threshold=1e-9, logprob_threshold=None,
+    ),
+    # prompt threading (ref: corner_cases condition-off music; initial_prompt)
+    "condition_off": dict(language="en", condition_on_previous_text=False,
+                          _audio=(8, 35)),
+    "long_conditioned": dict(language="en", _audio=(8, 35)),
+    "initial_prompt": dict(language="en", initial_prompt="hello world"),
+    # stuck LM (ref: corner_cases/stucked_lm_apollo11): EOT suppressed, the
+    # decode hits its token budget with no final timestamp -> unfinished-
+    # decoding alignment path (reference transcribe.py:490-517)
+    "stuck_lm": dict(language="en", suppress_tokens="-1,320", sample_len=24),
 }
 
 
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_golden(name, model, tok):
-    opts = CONFIGS[name]
-    result = transcribe_timestamped(
-        model, _audio(7, 7), tokenizer=tok,
+    opts = dict(CONFIGS[name])
+    seed, seconds = opts.pop("_audio", (7, 7))
+    tok_kw = opts.pop("_tok", None)
+    kwargs = dict(
+        tokenizer=make_tokenizer(**tok_kw) if tok_kw else tok,
         no_speech_threshold=None, logprob_threshold=None,
         compression_ratio_threshold=None,
-        **opts,
     )
+    kwargs.update(opts)
+    result = transcribe_timestamped(model, _audio(seed, seconds), **kwargs)
     if "language_probs" in result:
         result = {**result, "language_probs": loose(result["language_probs"])}
     assert_non_regression(result, name)
+
+
+def test_golden_verbose_stdout(model, tok, capsys):
+    """Verbose word-line transcript pinned as a golden (the reference pins
+    VAD configurations through their stdout transcripts,
+    tests/expected/verbose/*.stdout, test_transcribe.py:490-524)."""
+    transcribe_timestamped(
+        model, _audio(7, 7), language="en", tokenizer=tok,
+        vad=[(0.0, 3.0), (4.0, 6.0)], verbose=True,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    out = capsys.readouterr().out
+    os.makedirs(os.path.join(EXPECTED_DIR, "verbose"), exist_ok=True)
+    path = os.path.join(EXPECTED_DIR, "verbose", "vad_explicit.stdout")
+    if GENERATE or not os.path.exists(path):
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(out)
+        if not GENERATE:
+            pytest.skip("generated stdout golden")
+        return
+    with open(path, encoding="utf-8") as f:
+        assert out == f.read()
 
 
 def test_golden_real_audio(model, tok):

@@ -364,14 +364,15 @@ class BatchTranscriber:
     def _device_flow_ok(self, streams, opts, temperature, no_speech_threshold) -> bool:
         """The device-resident window-advance flow (parallel/deviceflow.py)
         engages when the host makes no data-dependent decision between
-        windows: greedy single-temperature decoding (no fallback re-decode)
-        and no no-speech window skipping. WTT_DEVICE_FLOW=0 forces the host
-        loop (used by the equivalence tests)."""
+        windows: greedy single-temperature decoding (no fallback re-decode).
+        The no-speech window skip is computed ON DEVICE by
+        ``advance_window_state`` so quality thresholds stay on the fast path.
+        WTT_DEVICE_FLOW=0 forces the host loop (used by the equivalence
+        tests)."""
         return (
             os.environ.get("WTT_DEVICE_FLOW", "1") != "0"
             and len(temperature) == 1
             and float(temperature[0]) == 0.0
-            and no_speech_threshold is None
             and (opts.best_of or 1) <= 1
             and not opts.beam_size
             and not opts.without_timestamps
@@ -524,7 +525,11 @@ class BatchTranscriber:
                 mels0, prompts0, opts, t0, rng_seed + 104729, langs0
             )
             state = advance_window_state(
-                out0["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin
+                out0["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin,
+                no_speech_prob=out0["no_speech_prob"],
+                sum_logprobs=out0["sum_logprobs"],
+                no_speech_threshold=no_speech_threshold,
+                logprob_threshold=logprob_threshold,
             )
             packed = pack_host_outputs(
                 out0["tokens"], out0["token_logprobs"], out0["sum_logprobs"],
@@ -568,7 +573,11 @@ class BatchTranscriber:
                     rng_seed + 104729 * (it + 1), sot_index_from_end=S,
                 )
                 state = advance_window_state(
-                    out["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin
+                    out["tokens"], state, frames_dev, eot=eot, ts_begin=ts_begin,
+                    no_speech_prob=out["no_speech_prob"],
+                    sum_logprobs=out["sum_logprobs"],
+                    no_speech_threshold=no_speech_threshold,
+                    logprob_threshold=logprob_threshold,
                 )
                 packed = pack_host_outputs(
                     out["tokens"], out["token_logprobs"], out["sum_logprobs"],

@@ -39,8 +39,10 @@ tests/test_deviceflow.py against ``extract_window_segments`` and
 The fast path only engages for configurations where the host makes no
 data-dependent decisions between windows (see
 ``BatchTranscriber._device_flow_ok``): greedy decoding at temperature 0 with
-a single-element temperature schedule (no fallback re-decodes) and
-``no_speech_threshold=None`` (no window skipping, which would alter the seek).
+a single-element temperature schedule (no fallback re-decodes). The
+no-speech window skip is NOT such a decision: with thresholds set,
+``advance_window_state`` computes the skip on device from the same
+no_speech_prob/sum_logprobs buffers, identically to the host rule.
 """
 
 from __future__ import annotations
@@ -67,7 +69,10 @@ class WindowState(NamedTuple):
     count: jnp.ndarray  # int32 valid entries in hist (<= H)
 
 
-@partial(jax.jit, static_argnames=("eot", "ts_begin"))
+@partial(
+    jax.jit,
+    static_argnames=("eot", "ts_begin", "no_speech_threshold", "logprob_threshold"),
+)
 def advance_window_state(
     tokens: jnp.ndarray,  # (B, M) int32 decode output (eot-padded)
     state: WindowState,
@@ -75,13 +80,20 @@ def advance_window_state(
     *,
     eot: int,
     ts_begin: int,
+    no_speech_prob: jnp.ndarray = None,  # (B,) f32 (required with a threshold)
+    sum_logprobs: jnp.ndarray = None,  # (B,) f32 (required with a threshold)
+    no_speech_threshold: float = None,
+    logprob_threshold: float = None,
 ) -> WindowState:
     """One window's seek/history update, all rows at once (device).
 
     Mirrors ``engine.extract_window_segments``'s seek rule and its
     ``all_tokens.extend(seg.tokens)`` history accumulation: completed
     segments' tokens enter the history; the unconsumed tail after the last
-    consecutive-timestamp pair does not.
+    consecutive-timestamp pair does not. With ``no_speech_threshold`` set,
+    the no-speech window skip (full-window advance, nothing enters the
+    history — ``extract_window_segments``'s skip branch) is ALSO computed
+    here, so the quality thresholds no longer force the host loop.
     """
     B, M = tokens.shape
     idx = jnp.arange(M, dtype=jnp.int32)
@@ -110,6 +122,16 @@ def advance_window_state(
     consumed = jnp.where(partial_adv, last_consec, n_text)
     last_ts_pos = at(tokens, last_consec - 1) - ts_begin
     advance = jnp.where(partial_adv, last_ts_pos * INPUT_STRIDE, segment_size)
+
+    if no_speech_threshold is not None:
+        # whisper's skip rule (extract_window_segments:881-886): silence
+        # advances a full window and contributes nothing to the prompt
+        skip = no_speech_prob > no_speech_threshold
+        if logprob_threshold is not None:
+            avg_lp = sum_logprobs / (n_text + 1).astype(jnp.float32)
+            skip = skip & ~(avg_lp > logprob_threshold)
+        advance = jnp.where(skip, segment_size, advance)
+        consumed = jnp.where(skip, 0, consumed)
 
     new_seek = jnp.where(state.done, state.seek, state.seek + advance)
     consumed = jnp.where(state.done, 0, consumed)
