@@ -109,7 +109,10 @@ def build_engine(model_name, kv_int8):
 
 def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
     from whisper_timestamped_tpu.decoding import DecodingOptions
-    from whisper_timestamped_tpu.parallel.batch import transcribe_batch
+    from whisper_timestamped_tpu.parallel.batch import (
+        transcribe_batch,
+        transcribe_batch_stream,
+    )
 
     def make_streams(seed):
         # distinct audio per rep: the TPU tunnel memoizes executions on
@@ -133,45 +136,64 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
     # would measure garbage, and real speech rarely triggers it.
     thresholds_on = os.environ.get("BENCH_THRESHOLDS", "1") == "1"
 
-    def run(streams, outdir):
-        results = transcribe_batch(
-            wm, streams, tok,
-            language="en",
-            batch_size=B,
-            engine=engine,
-            device_alignment=True,
-            temperature=[0.0],
-            no_speech_threshold=0.6 if thresholds_on else None,
-            logprob_threshold=-1.0 if thresholds_on else None,
-            condition_on_previous_text=os.environ.get("BENCH_CONDITION", "1") == "1",
-            decode_options=DecodingOptions(language="en", sample_len=n_tokens),
-        )
+    kw = dict(
+        language="en",
+        batch_size=B,
+        engine=engine,
+        device_alignment=True,
+        temperature=[0.0],
+        no_speech_threshold=0.6 if thresholds_on else None,
+        logprob_threshold=-1.0 if thresholds_on else None,
+        condition_on_previous_text=os.environ.get("BENCH_CONDITION", "1") == "1",
+        decode_options=DecodingOptions(language="en", sample_len=n_tokens),
+    )
+
+    def serialize(results, outdir):
         for name, res in results.items():
             with open(os.path.join(outdir, name + ".words.json"), "w", encoding="utf-8") as f:
                 json.dump(res, f, ensure_ascii=False)
-        return results
 
     from whisper_timestamped_tpu.utils.profiling import (
         get_stage_timings, reset_stage_timings,
     )
 
+    # BENCH_STREAM=1 (default): the serving loop (transcribe_batch_stream) —
+    # rep k+1's audio upload + mel dispatch overlap rep k's decode, so the
+    # measured quantity is steady-state serving throughput. BENCH_STREAM=0:
+    # independent transcribe_batch calls (cold-batch latency), for A/B.
+    streamed = os.environ.get("BENCH_STREAM", "1") == "1"
     with tempfile.TemporaryDirectory() as td:
-        run(make_streams(10_000), td)  # compile + warmup
+        serialize(transcribe_batch(wm, make_streams(10_000), tok, **kw), td)  # warmup
         times, windows = [], []
-        for rep in range(reps):
-            streams = make_streams(rep)
-            reset_stage_timings()
-            t0 = time.time()
-            run(streams, td)
-            times.append(time.time() - t0)
-            stages = get_stage_timings()
-            windows.append(
-                stages.get("devflow_dispatch", stages.get("decode", {})).get("count", 0)
+        reset_stage_timings()
+        t0 = time.time()
+        if streamed:
+            gen = transcribe_batch_stream(
+                wm, (make_streams(rep) for rep in range(reps)), tok, **kw
             )
-            if os.environ.get("BENCH_STAGES") == "1":
-                st = {k: (round(v["total_s"], 3), v["count"]) for k, v in stages.items()}
-                print(f"# rep {rep}: {times[-1]:.2f}s stages={st}", file=sys.stderr)
-    return B * stream_seconds / min(times), times, windows
+            for results in gen:
+                serialize(results, td)
+                times.append(time.time() - t0 - sum(times))
+        else:
+            for rep in range(reps):
+                streams = make_streams(rep)
+                t_rep = time.time()
+                serialize(transcribe_batch(wm, streams, tok, **kw), td)
+                times.append(time.time() - t_rep)
+        total = time.time() - t0
+        stages = get_stage_timings()
+        n_windows = stages.get(
+            "devflow_dispatch", stages.get("decode", {})
+        ).get("count", 0)
+        windows = [n_windows // max(reps, 1)] * reps
+        if os.environ.get("BENCH_STAGES") == "1":
+            st = {k: (round(v["total_s"], 3), v["count"]) for k, v in stages.items()}
+            print(f"# reps={[round(t, 2) for t in times]} total={total:.2f}s "
+                  f"stages={st}", file=sys.stderr)
+    # throughput over the whole timed phase (includes the first batch's
+    # unhidden upload; per-rep inter-yield times show the steady state)
+    rtf = reps * B * stream_seconds / total
+    return rtf, times, windows
 
 
 def decode_step_bytes(dims, B, n_tokens, kv_int8, kv_int4, self_int8, w_int8,

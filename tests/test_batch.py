@@ -375,3 +375,49 @@ def test_batched_kv_int4_matches_serial(model, tok):
         assert len(s_segs) == len(b_segs), name
         for s, b in zip(s_segs, b_segs):
             assert s.tokens == b.tokens, (name, s.tokens, b.tokens)
+
+
+def test_stream_matches_per_batch_calls(model, tok):
+    """transcribe_batch_stream pipelines the NEXT batch's upload+mel behind
+    the current decode; results must be identical to independent
+    transcribe_batch calls (the prepared mel is the same computation)."""
+    from whisper_timestamped_tpu.parallel.batch import transcribe_batch_stream
+
+    batches = [
+        {"a": _audio(20, 4), "b": _audio(21, 6)},
+        {"c": _audio(22, 3)},
+        {"d": _audio(23, 5), "e": _audio(24, 4)},
+    ]
+    kw = dict(language="en", batch_size=2, temperature=[0.0],
+              no_speech_threshold=0.6, logprob_threshold=-1.0)
+    engine = DecodeEngine(model, tok)
+    got = list(transcribe_batch_stream(model, iter(batches), tok,
+                                       engine=engine, **kw))
+    want = [transcribe_batch(model, b, tok, engine=engine, **kw)
+            for b in batches]
+    assert got == want
+
+
+def test_stream_vad_mode_unpipelined_but_correct(model, tok):
+    """vad forces the per-batch fallback path; output still matches."""
+    from whisper_timestamped_tpu.parallel.batch import transcribe_batch_stream
+
+    batches = [{"a": _audio(25, 6)}, {"b": _audio(26, 6)}]
+    kw = dict(language="en", batch_size=2, temperature=[0.0],
+              no_speech_threshold=None, logprob_threshold=None,
+              vad=[(0.0, 3.0), (4.0, 5.5)])
+    engine = DecodeEngine(model, tok)
+    got = list(transcribe_batch_stream(model, iter(batches), tok,
+                                       engine=engine, **kw))
+    want = [transcribe_batch(model, b, tok, engine=engine, **kw)
+            for b in batches]
+    assert got == want
+
+
+def test_prepared_audio_mismatch_raises(model, tok):
+    from whisper_timestamped_tpu.parallel.batch import prepare_audio_batch
+
+    prepared = prepare_audio_batch({"x": _audio(27, 3)}, model.dims.n_mels)
+    with pytest.raises(ValueError, match="does not match"):
+        transcribe_batch(model, {"y": _audio(28, 3)}, tok, language="en",
+                         temperature=[0.0], _prepared=prepared)

@@ -509,3 +509,53 @@ def test_cli_batch_size_beam(tmp_path):
         for seg in b["segments"]:
             for w in seg.get("words", []):
                 assert w["start"] <= w["end"]
+
+
+def test_cli_debug_deep_logging(tmp_path):
+    """--debug turns on package-wide DEBUG (stage timers, engine decisions)
+    plus the model runtime's logger — the deep-debug bridge the reference
+    wires via its "WHISPER" logger (transcribe.py:3113-3118)."""
+    import wave
+
+    from model_utils import make_hf_model, save_openai_pt
+
+    model = make_hf_model(seed=0)
+    ckpt = str(tmp_path / "model.pt")
+    save_openai_pt(model, ckpt)
+    import base64
+
+    from whisper_timestamped_tpu.tokenizer import synthetic_ranks
+
+    with open(tmp_path / "multilingual.tiktoken", "wb") as f:
+        for k, v in synthetic_ranks().items():
+            f.write(base64.b64encode(k) + b" " + str(v).encode() + b"\n")
+
+    wav = str(tmp_path / "test.wav")
+    rng = np.random.default_rng(0)
+    sig = (rng.standard_normal(16000 * 2) * 0.1 * 32767).astype("<i2")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = [sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from whisper_timestamped_tpu.cli import main; main()",
+            wav, "--model", ckpt, "--language", "en",
+            "--output_dir", str(tmp_path / "out"),
+            "--output_format", "json", "--no_speech_threshold", "None",
+            "--logprob_threshold", "None",
+            "--compression_ratio_threshold", "None"]
+    with_debug = subprocess.run(base + ["--debug"], capture_output=True,
+                                text=True, env=env, timeout=600)
+    assert with_debug.returncode == 0, with_debug.stderr[-2000:]
+    # stage timers log at DEBUG under the package logger
+    assert "DEBUG:whisper_timestamped_tpu:stage" in with_debug.stderr
+
+    without = subprocess.run(base, capture_output=True, text=True, env=env,
+                             timeout=600)
+    assert without.returncode == 0, without.stderr[-2000:]
+    assert "DEBUG:whisper_timestamped_tpu" not in without.stderr

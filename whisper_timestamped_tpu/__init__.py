@@ -36,6 +36,8 @@ _LAZY = {
     "perform_word_alignment": ("whisper_timestamped_tpu.alignment", "perform_word_alignment"),
     "remove_non_speech": ("whisper_timestamped_tpu.vad", "remove_non_speech"),
     "transcribe_batch": ("whisper_timestamped_tpu.parallel.batch", "transcribe_batch"),
+    "transcribe_batch_stream": (
+        "whisper_timestamped_tpu.parallel.batch", "transcribe_batch_stream"),
     # model-class analogs of the reference's `Whisper`/`ModelDimensions`
     # re-exports (reference __init__.py:5)
     "WhisperModel": ("whisper_timestamped_tpu.models.load", "WhisperModel"),

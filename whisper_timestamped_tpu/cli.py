@@ -283,7 +283,12 @@ def main(argv=None):
     debug = args.pop("debug")
     logging.basicConfig()
     if debug:
+        # package-wide deep debug (stage timers, repair heuristics, engine
+        # decisions) plus the model runtime's logger — the reference bridges
+        # its wrapped runtime the same way ("WHISPER" logger + DEBUG level,
+        # transcribe.py:3113-3118); here the runtime is JAX
         logger.setLevel(logging.DEBUG)
+        logging.getLogger("jax").setLevel(logging.DEBUG)
     if backend != "jax":
         logger.info("backend %r checkpoints are loaded natively into JAX", backend)
 

@@ -68,6 +68,48 @@ class _Stream:
     language_probs: Optional[dict] = None
 
 
+@dataclass
+class PreparedAudio:
+    """A batch's device-resident mel stack plus host metadata.
+
+    Produced by :func:`prepare_audio_batch`; consumed by
+    ``BatchTranscriber.transcribe_streams(prepared=...)`` /
+    ``transcribe_batch(_prepared=...)``. The point of the split: preparation
+    is dominated by the host→device audio upload (the pipeline's single
+    largest copy — ~6 MB/stream/minute even as int16), so a serving loop can
+    prepare batch k+1 on a worker thread while batch k's decode occupies the
+    device (see :func:`transcribe_batch_stream`)."""
+
+    mel_stack: Any  # device (N, n_mels, T_max + N_FRAMES)
+    lengths: List[int]  # per-stream sample counts, audios order
+    names: List[str]
+
+
+def prepare_audio_batch(audios: Dict[str, Any], n_mels: int) -> PreparedAudio:
+    """Host audio load + lossless int16 stack + mel dispatch (async).
+
+    One batched on-device mel for ALL streams (shorter audio is zero-padded
+    to the longest, which IS whisper's window padding — log-mel of appended
+    zeros equals the per-stream padding). The mel stack stays on device for
+    the whole run: every window batch is a jitted dynamic-slice gather, so no
+    mel bytes ever cross the host↔device boundary after the initial audio
+    upload. Thread-safe (JAX dispatch is); returns without blocking on the
+    mel computation."""
+    with stage_timer("prepare_audio"):  # off-critical-path when prefetched
+        wavs = [np.asarray(load_audio(a), np.float32) for a in audios.values()]
+        lengths = [w.shape[-1] for w in wavs]
+        audio_stack = np.zeros((len(wavs), max(lengths)), np.float32)
+        for i, w in enumerate(wavs):
+            audio_stack[i, : len(w)] = w
+        # PCM-grid audio ships as int16 (lossless, halves the upload)
+        pcm16 = as_pcm16(audio_stack)
+        mel = log_mel_spectrogram(
+            pcm16 if pcm16 is not None else audio_stack,
+            n_mels=n_mels, padding=N_FRAMES * HOP_LENGTH,
+        )
+    return PreparedAudio(mel_stack=mel, lengths=lengths, names=list(audios))
+
+
 @jax.jit
 def _slice_windows_jit(mel_stack, rows, seeks):
     """Per-row (n_mels, N_FRAMES) windows out of the stacked device mel."""
@@ -610,6 +652,7 @@ class BatchTranscriber:
         decode_options: Optional[DecodingOptions] = None,
         rng_seed: int = 0,
         window_hook=None,
+        prepared: Optional[PreparedAudio] = None,
     ) -> Dict[str, List[Segment]]:
         """Decode all streams; returns name -> alignment-ready segments.
 
@@ -631,26 +674,19 @@ class BatchTranscriber:
                "task": task, "language": language}
         )
 
-        # One batched on-device mel for ALL streams (shorter audio is
-        # zero-padded to the longest, which IS whisper's window padding —
-        # log-mel of appended zeros equals the per-stream padding). The mel
-        # stack stays on device for the whole run: every window batch is a
-        # jitted dynamic-slice gather, so no mel bytes ever cross the
-        # host↔device boundary after the initial audio upload (the dominant
-        # cost on remote-tunnel TPUs).
+        # Mel front-end (see prepare_audio_batch) — or a PreparedAudio handed
+        # in by a serving loop that uploaded this batch while the previous
+        # batch's decode occupied the device (transcribe_batch_stream).
         with stage_timer("batch_mel"):
-            wavs = [np.asarray(load_audio(a), np.float32) for a in audios.values()]
-            lengths = [w.shape[-1] for w in wavs]
-            audio_stack = np.zeros((len(wavs), max(lengths)), np.float32)
-            for i, w in enumerate(wavs):
-                audio_stack[i, : len(w)] = w
-            # PCM-grid audio ships as int16 (lossless, halves the upload —
-            # the stack is the pipeline's single largest host→device copy)
-            pcm16 = as_pcm16(audio_stack)
-            self._mel_stack = log_mel_spectrogram(
-                pcm16 if pcm16 is not None else audio_stack,
-                n_mels=dims.n_mels, padding=N_FRAMES * HOP_LENGTH,
-            )  # device (N, n_mels, T_max + N_FRAMES)
+            if prepared is None:
+                prepared = prepare_audio_batch(audios, dims.n_mels)
+            elif prepared.names != list(audios):
+                raise ValueError(
+                    "prepared audio batch does not match the streams: "
+                    f"{prepared.names} vs {list(audios)}"
+                )
+            self._mel_stack = prepared.mel_stack
+            lengths = prepared.lengths
 
         streams: List[_Stream] = []
         for row, (name, n_samples) in enumerate(zip(audios, lengths)):
@@ -837,6 +873,7 @@ def transcribe_batch(
     vad=False,
     device_alignment: Optional[bool] = None,
     engine: Optional[DecodeEngine] = None,
+    _prepared: Optional[PreparedAudio] = None,
     **window_options,
 ) -> Dict[str, dict]:
     """High-level batched API: name -> full whisper-timestamped result dict.
@@ -967,7 +1004,7 @@ def transcribe_batch(
     _align_step.prepare = _prepare_step
 
     all_segments = bt.transcribe_streams(
-        audios, language=language,
+        audios, language=language, prepared=_prepared,
         window_hook=_align_step if full_device else None, **window_options,
     )
     for entries, resolver in pending_aligns:
@@ -1135,3 +1172,70 @@ def _assemble_naive_batch(
                 transcription["speech_activity"] = speech_activity[name]
             results[name] = transcription
     return results
+
+
+def transcribe_batch_stream(
+    model,
+    batches,  # iterable of {name: path/array} dicts
+    tokenizer: Tokenizer,
+    *,
+    engine: Optional[DecodeEngine] = None,
+    mesh=None,
+    **options,
+):
+    """Serving loop: transcribe a stream of batches, pipelining each batch's
+    audio upload behind the previous batch's decode.
+
+    Yields one ``{name: result_dict}`` per input batch, in order. While batch
+    k's windows decode on the device, a worker thread loads batch k+1's audio,
+    ships it host→device (the pipeline's single largest copy) and dispatches
+    its mel — so at steady state the upload cost disappears from the critical
+    path. Results are identical to calling :func:`transcribe_batch` per batch
+    (the prepared mel is bit-identical; only the schedule changes).
+
+    The reference has no serving story (strictly one file at a time,
+    ``transcribe.py:3129``); this is the TPU-native replacement for running
+    N processes against N GPUs.
+
+    ``vad`` and beam decoding preprocess audio on the host per batch, so those
+    modes run unpipelined (plain per-batch calls) — correct, just without the
+    upload overlap.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if engine is None:
+        engine = DecodeEngine(model, tokenizer, mesh=mesh)
+    elif mesh is not None and engine.mesh is None:
+        engine.attach_mesh(mesh)
+    decode_opts = options.get("decode_options")
+    pipelined = not options.get("vad") and not (
+        decode_opts is not None and decode_opts.beam_size
+    )
+
+    it = iter(batches)
+    if not pipelined:
+        for audios in it:
+            yield transcribe_batch(
+                model, audios, tokenizer, engine=engine, **options
+            )
+        return
+
+    n_mels = engine.dims.n_mels
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        try:
+            current = next(it)
+        except StopIteration:
+            return
+        fut = ex.submit(prepare_audio_batch, current, n_mels)
+        while current is not None:
+            prepared = fut.result()
+            nxt = next(it, None)
+            if nxt is not None:
+                # the worker's device_put/mel dispatch rides alongside the
+                # current batch's decode occupying the device
+                fut = ex.submit(prepare_audio_batch, nxt, n_mels)
+            yield transcribe_batch(
+                model, current, tokenizer, engine=engine,
+                _prepared=prepared, **options,
+            )
+            current = nxt
