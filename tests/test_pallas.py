@@ -476,3 +476,55 @@ def test_cross_attention_stacked_int4_score_gating():
     np.testing.assert_allclose(np.asarray(o_off), np.asarray(o_on), atol=1e-5)
     np.testing.assert_allclose(np.asarray(o_none), np.asarray(o_on), atol=1e-5)
     assert s_on.shape == (B, H, 1, T)
+
+
+def test_cross_attention_stacked_int8_v3_matches_xla_int8():
+    """v3 (MXU weighted-V tail) vs the XLA int8 math path, non-aligned T."""
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _quantize_rows,
+        cross_attention,
+    )
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas_v3,
+    )
+
+    L, B, T, D, H = 3, 2, 300, 256, 4
+    r = np.random.default_rng(13)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+    k8, ks = _quantize_rows(xk)
+    v8, vs = _quantize_rows(xv)
+    for l in range(L):
+        o1, s1 = cross_attention_stacked_int8_pallas_v3(
+            l, q, k8, ks, v8, vs, H, block_t=128, interpret=True
+        )
+        o2, s2 = cross_attention(q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-2)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
+
+
+def test_cross_attention_int8_v3_matches_v2_exact_shape():
+    """v3 == v2 at a tile-padded T and with emit_scores=False (the serving
+    configuration compiles this variant for non-alignment layers)."""
+    from whisper_timestamped_tpu.models.whisper_jax import _quantize_rows
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas_v2,
+        cross_attention_stacked_int8_pallas_v3,
+    )
+
+    L, B, T, D, H = 2, 3, 250, 256, 4
+    r = np.random.default_rng(17)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    k8, ks = _quantize_rows(jnp.asarray(r.standard_normal((L, B, T, D)), jnp.float32))
+    v8, vs = _quantize_rows(jnp.asarray(r.standard_normal((L, B, T, D)), jnp.float32))
+    for emit in (True, False):
+        o2, s2 = cross_attention_stacked_int8_pallas_v2(
+            1, q, k8, ks, v8, vs, H, block_t=128, emit_scores=emit, interpret=True
+        )
+        o3, s3 = cross_attention_stacked_int8_pallas_v3(
+            1, q, k8, ks, v8, vs, H, block_t=128, emit_scores=emit, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o3), atol=2e-3)
+        if emit:
+            np.testing.assert_allclose(np.asarray(s2), np.asarray(s3), atol=1e-5)
