@@ -19,6 +19,7 @@ Weight orientation: linear weights are stored ``(in, out)`` so application is
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -828,10 +829,19 @@ def decode_step(
         elif use_stacked_xattn and stacked_int8:
             # v2: lane-parallel (same rewrite as the bf16 kernel) — the v1
             # int8 kernel's per-head M=1 dots made it compute-bound, slower
-            # per byte than bf16 despite halving the DMA
-            from ..ops.pallas_kernels import cross_attention_stacked_int8_pallas_v2
+            # per byte than bf16 despite halving the DMA. v3 moves the
+            # weighted-V tail to the MXU (WTT_XATTN_V3=1; A/B in progress)
+            from ..ops.pallas_kernels import (
+                cross_attention_stacked_int8_pallas_v2,
+                cross_attention_stacked_int8_pallas_v3,
+            )
 
-            c, w = cross_attention_stacked_int8_pallas_v2(
+            _xattn8 = (
+                cross_attention_stacked_int8_pallas_v3
+                if os.environ.get("WTT_XATTN_V3") == "1"
+                else cross_attention_stacked_int8_pallas_v2
+            )
+            c, w = _xattn8(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,
                 score_flag=need_sc, emit_scores=emit_sc,
