@@ -318,7 +318,11 @@ def main():
 
     times = windows = None
     if mode == "pipeline":
-        reps = int(os.environ.get("BENCH_REPS", "3"))
+        # 5 consecutive batches through the serving loop: the aggregate
+        # includes batch 0's unhidden upload, so more batches = closer to the
+        # steady state a serving deployment actually runs at (per-batch times
+        # in reps_s keep the audit trail)
+        reps = int(os.environ.get("BENCH_REPS", "5"))
         # 3-minute streams: long-form transcription is the reference's unit of
         # work, and short streams over-weight the trailing partial window
         # (seek advances ~20-26 s per 30-s window on synthetic audio, so a

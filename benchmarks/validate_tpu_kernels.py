@@ -83,6 +83,17 @@ def main():
     ok &= check("xattn_stacked_int8_v2 out", o1, o2, 3e-2)
     ok &= check("xattn_stacked_int8_v2 scores", s1, s2, 5e-2)
 
+    # int8 v3 (MXU weighted-V tail)
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas_v3,
+    )
+
+    o3, s3 = cross_attention_stacked_int8_pallas_v3(
+        1, q, k8, ks, v8, vs, H, block_t=128, interpret=None
+    )
+    ok &= check("xattn_stacked_int8_v3 out", o3, o2, 3e-2)
+    ok &= check("xattn_stacked_int8_v3 scores", s3, s2, 5e-2)
+
     # int4 (nibble-packed): oracle = XLA int8 path on the unpacked values
     k4, ks4 = _quantize_rows_int4(xk)
     v4, vs4 = _quantize_rows_int4(xv)

@@ -121,6 +121,16 @@ def test_load_audio_array_passthrough():
     np.testing.assert_array_equal(A.load_audio(x), x)
 
 
+def test_load_audio_torch_tensor():
+    """The reference's get_audio_tensor accepts torch tensors
+    (transcribe.py:1340-1347); migrating callers pass them here too."""
+    torch = pytest.importorskip("torch")
+    x = np.linspace(-1, 1, 64).astype(np.float32)
+    np.testing.assert_array_equal(A.load_audio(torch.from_numpy(x)), x)
+    stereo = torch.from_numpy(np.stack([x, -x]))  # (2, n) -> mono mean
+    np.testing.assert_allclose(A.load_audio(stereo), np.zeros_like(x), atol=1e-7)
+
+
 def test_load_reference_fixture_wav():
     import os
 

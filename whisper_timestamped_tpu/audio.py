@@ -294,7 +294,11 @@ def load_audio(
     """
     if isinstance(audio, (list, tuple)):
         audio = np.asarray(audio, dtype=np.float32)
-    if isinstance(audio, np.ndarray) or hasattr(audio, "__jax_array__") or isinstance(audio, jnp.ndarray):
+    if not isinstance(audio, (str, os.PathLike)):
+        # any array-like: numpy, jax, torch (the reference's
+        # get_audio_tensor accepts torch tensors, transcribe.py:1340-1347)
+        if hasattr(audio, "detach"):  # torch tensor: detach off any graph
+            audio = audio.detach().cpu()
         arr = np.asarray(audio, dtype=np.float32)
         if arr.ndim == 2:  # (channels, n) or (n, channels)
             arr = arr.mean(axis=0 if arr.shape[0] < arr.shape[1] else 1)

@@ -198,12 +198,20 @@ def _run_batched(
     loops files serially, reference ``transcribe.py:3129``)."""
     from .api import _resolve_tokenizer
     from .decoding import DecodingOptions
-    from .parallel.batch import transcribe_batch
+    from .parallel.batch import transcribe_batch_stream
 
     tok = _resolve_tokenizer(model, tokenizer, args.get("language"), args["task"])
-    results = transcribe_batch(
+    # one batch per --batch_size files through the serving loop: batch k+1's
+    # audio upload + mel overlap batch k's decode, and only ~one batch's mel
+    # stack is device-resident at a time (vs all files at once)
+    batches = [
+        {p: p for p in audio_files[i : i + batch_size]}
+        for i in range(0, len(audio_files), batch_size)
+    ]
+    results = {}
+    gen = transcribe_batch_stream(
         model,
-        {p: p for p in audio_files},
+        batches,
         tok,
         language=args.get("language"),
         batch_size=batch_size,
@@ -226,6 +234,8 @@ def _run_batched(
             suppress_tokens=args["suppress_tokens"],
         ),
     )
+    for batch_results in gen:
+        results.update(batch_results)
     for audio_path in audio_files:
         result = results[audio_path]
         if output_dir:

@@ -103,9 +103,25 @@ def prepare_audio_batch(audios: Dict[str, Any], n_mels: int) -> PreparedAudio:
             audio_stack[i, : len(w)] = w
         # PCM-grid audio ships as int16 (lossless, halves the upload)
         pcm16 = as_pcm16(audio_stack)
+        send = pcm16 if pcm16 is not None else audio_stack
+        # Ship in ~chunk_mb slices, not one giant put: a serving loop uploads
+        # the NEXT batch while the current batch decodes, and one multi-
+        # hundred-MB transfer head-of-line-blocks the decode loop's small
+        # per-window reads on remote-tunnel backends (measured: per-window
+        # align fetches stretching seconds behind a monolithic upload). The
+        # on-device concatenate costs one cheap HBM copy.
+        chunk_mb = float(os.environ.get("WTT_UPLOAD_CHUNK_MB", "16"))
+        rows_per = max(1, int(chunk_mb * 1e6 // max(send[0].nbytes, 1)))
+        if rows_per >= len(send):
+            dev = jnp.asarray(send)
+        else:
+            parts = [
+                jnp.asarray(send[i : i + rows_per])
+                for i in range(0, len(send), rows_per)
+            ]
+            dev = jnp.concatenate(parts, axis=0)
         mel = log_mel_spectrogram(
-            pcm16 if pcm16 is not None else audio_stack,
-            n_mels=n_mels, padding=N_FRAMES * HOP_LENGTH,
+            dev, n_mels=n_mels, padding=N_FRAMES * HOP_LENGTH,
         )
     return PreparedAudio(mel_stack=mel, lengths=lengths, names=list(audios))
 
