@@ -421,3 +421,43 @@ def test_prepared_audio_mismatch_raises(model, tok):
     with pytest.raises(ValueError, match="does not match"):
         transcribe_batch(model, {"y": _audio(28, 3)}, tok, language="en",
                          temperature=[0.0], _prepared=prepared)
+
+
+def test_stream_early_break_and_reuse(model, tok):
+    """Breaking out of the serving generator mid-stream must not wedge
+    (daemon prefetch thread, bounded queue) and the engine stays usable."""
+    from whisper_timestamped_tpu.parallel.batch import transcribe_batch_stream
+
+    def endless():
+        i = 0
+        while True:  # a source that never ends (directory-watcher shape)
+            yield {f"x{i}": _audio(30 + i, 3)}
+            i += 1
+
+    kw = dict(language="en", batch_size=2, temperature=[0.0],
+              no_speech_threshold=None, logprob_threshold=None)
+    engine = DecodeEngine(model, tok)
+    gen = transcribe_batch_stream(model, endless(), tok, engine=engine, **kw)
+    first = next(gen)
+    assert list(first) == ["x0"] and first["x0"]["segments"]
+    gen.close()  # must not hang on the blocked prefetch thread
+    # engine still serves afterwards
+    again = transcribe_batch(model, {"y": _audio(40, 3)}, tok,
+                             engine=engine, **kw)
+    assert again["y"]["segments"]
+
+
+def test_stream_source_exception_propagates(model, tok):
+    from whisper_timestamped_tpu.parallel.batch import transcribe_batch_stream
+
+    def bad():
+        yield {"a": _audio(41, 3)}
+        raise RuntimeError("source broke")
+
+    kw = dict(language="en", batch_size=2, temperature=[0.0],
+              no_speech_threshold=None, logprob_threshold=None)
+    gen = transcribe_batch_stream(model, bad(), tok, **kw)
+    assert list(next(gen)) == ["a"]
+    with pytest.raises(RuntimeError, match="source broke"):
+        for _ in gen:
+            pass

@@ -188,3 +188,22 @@ def test_golden_real_audio(model, tok):
         compression_ratio_threshold=None,
     )
     assert_non_regression(result, "bonjour_fr")
+
+
+def test_golden_real_audio_vad(model, tok):
+    """The reference's VAD fixture (tests/data/words.wav) through the full
+    pipeline with the built-in energy VAD (its vad_* configs are pinned on
+    this file, test_transcribe.py:490-524)."""
+    import whisper_timestamped_tpu as wtt
+
+    path = "/root/reference/tests/data/words.wav"
+    if not os.path.exists(path):
+        pytest.skip("fixture unavailable")
+    audio = wtt.load_audio(path)
+    result = transcribe_timestamped(
+        model, audio, language="en", tokenizer=tok, vad="auditok",
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert "speech_activity" in result
+    assert_non_regression(result, "words_vad_auditok")

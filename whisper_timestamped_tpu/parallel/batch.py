@@ -1216,8 +1216,14 @@ def transcribe_batch_stream(
     ``vad`` and beam decoding preprocess audio on the host per batch, so those
     modes run unpipelined (plain per-batch calls) — correct, just without the
     upload overlap.
+
+    ``batches`` may block between items (e.g. a directory watcher): the
+    prefetch runs on a daemon worker thread, so finished batches are yielded
+    immediately and an idle source never wedges the consumer (or process
+    exit).
     """
-    from concurrent.futures import ThreadPoolExecutor
+    import queue as queue_mod
+    import threading
 
     if engine is None:
         engine = DecodeEngine(model, tokenizer, mesh=mesh)
@@ -1237,21 +1243,40 @@ def transcribe_batch_stream(
         return
 
     n_mels = engine.dims.n_mels
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    done = object()
+    q: Any = queue_mod.Queue(maxsize=1)
+    stop = threading.Event()
+
+    def worker():
         try:
-            current = next(it)
-        except StopIteration:
-            return
-        fut = ex.submit(prepare_audio_batch, current, n_mels)
-        while current is not None:
-            prepared = fut.result()
-            nxt = next(it, None)
-            if nxt is not None:
-                # the worker's device_put/mel dispatch rides alongside the
-                # current batch's decode occupying the device
-                fut = ex.submit(prepare_audio_batch, nxt, n_mels)
+            for audios in it:
+                prepared = prepare_audio_batch(audios, n_mels)
+                # maxsize=1: at most one finished preparation queued (plus
+                # one in flight) — bounds device-resident mel stacks to ~3
+                q.put((audios, prepared))
+                if stop.is_set():
+                    return
+            q.put(done)
+        except BaseException as exc:  # re-raised on the consumer side
+            q.put(exc)
+
+    t = threading.Thread(target=worker, daemon=True, name="wtt-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            audios, prepared = item
             yield transcribe_batch(
-                model, current, tokenizer, engine=engine,
+                model, audios, tokenizer, engine=engine,
                 _prepared=prepared, **options,
             )
-            current = nxt
+    finally:
+        stop.set()
+        try:  # unblock a worker waiting on a full queue; daemon=True
+            q.get_nowait()  # guarantees it never pins process exit anyway
+        except queue_mod.Empty:
+            pass
