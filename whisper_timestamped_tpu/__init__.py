@@ -44,11 +44,22 @@ _LAZY = {
     "WhisperDims": ("whisper_timestamped_tpu.models.whisper_jax", "WhisperDims"),
 }
 
+_LAZY_MODULES = {
+    # module re-exports the reference forwards from whisper (__init__.py:2):
+    # `whisper.normalizers.EnglishTextNormalizer()` keeps working
+    "normalizers": "whisper_timestamped_tpu.normalizers",
+    "audio": "whisper_timestamped_tpu.audio",
+    "decoding": "whisper_timestamped_tpu.decoding",
+    "tokenizer": "whisper_timestamped_tpu.tokenizer",
+}
+
 
 def __getattr__(name):
-    if name in _LAZY:
-        import importlib
+    import importlib
 
+    if name in _LAZY:
         module, attr = _LAZY[name]
         return getattr(importlib.import_module(module), attr)
+    if name in _LAZY_MODULES:
+        return importlib.import_module(_LAZY_MODULES[name])
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
