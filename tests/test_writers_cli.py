@@ -559,3 +559,38 @@ def test_cli_debug_deep_logging(tmp_path):
                              timeout=600)
     assert without.returncode == 0, without.stderr[-2000:]
     assert "DEBUG:whisper_timestamped_tpu" not in without.stderr
+
+
+def test_get_writer(tmp_path):
+    """whisper.utils.get_writer analog: per-format factory + 'all'."""
+    from whisper_timestamped_tpu.writers import get_writer, write_srt
+    from whisper_timestamped_tpu.utils import get_writer as via_utils
+    import io
+
+    assert via_utils is get_writer
+    result = {
+        "text": " Hello world.",
+        "segments": [{
+            "id": 0, "start": 0.0, "end": 1.5, "text": " Hello world.",
+            "words": [
+                {"text": "Hello", "start": 0.0, "end": 0.7, "confidence": 0.9},
+                {"text": "world.", "start": 0.8, "end": 1.5, "confidence": 0.8},
+            ],
+        }],
+        "language": "en",
+    }
+    out = str(tmp_path)
+    get_writer("srt", out)(result, "/some/dir/audio.wav")
+    srt = open(os.path.join(out, "audio.srt"), encoding="utf-8").read()
+    buf = io.StringIO()
+    write_srt([{k: v for k, v in result["segments"][0].items() if k != "words"}], buf)
+    assert srt == buf.getvalue()
+
+    get_writer("all", out)(result, "b.wav")
+    names = sorted(os.listdir(out))
+    for ext in ("srt", "vtt", "txt", "tsv", "csv"):
+        assert f"b.{ext}" in names, names
+    assert "b.words.json" in names and "b.words.srt" in names
+
+    with pytest.raises(ValueError, match="unknown output format"):
+        get_writer("bogus", out)

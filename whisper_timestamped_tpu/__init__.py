@@ -51,6 +51,7 @@ _LAZY_MODULES = {
     "audio": "whisper_timestamped_tpu.audio",
     "decoding": "whisper_timestamped_tpu.decoding",
     "tokenizer": "whisper_timestamped_tpu.tokenizer",
+    "utils": "whisper_timestamped_tpu.utils",  # whisper.utils surface
 }
 
 

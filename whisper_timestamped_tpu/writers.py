@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import csv as _csv
 import json
+import os
 from typing import IO, Iterable, Iterator, List, Optional
 
 
@@ -150,3 +151,43 @@ def write_all_formats(result: dict, outname: str, formats: List[str]):
                 writer(remove_keys(segments, "words"), f)
             with open(f"{outname}.words.{fmt}", "w", encoding="utf-8", newline=nl) as f:
                 writer(flatten(segments, "words"), f)
+
+
+def get_writer(output_format: str, output_dir: str):
+    """``whisper.utils.get_writer`` analog (the writer-factory entry point
+    migrating code calls; the reference reuses whisper's writers,
+    ``transcribe.py:2973-2999``).
+
+    Returns ``writer(result, audio_path)`` which writes
+    ``<output_dir>/<audio basename>.<ext>`` — or every format (plus the
+    ``.words.*`` word-level variants) for ``"all"``."""
+    if output_format == "all":
+        formats = list(VALID_FORMATS)
+    else:
+        if output_format not in VALID_FORMATS:
+            raise ValueError(
+                f"unknown output format {output_format!r}; "
+                f"expected one of {VALID_FORMATS + ['all']}"
+            )
+        formats = [output_format]
+
+    def writer(result: dict, audio_path: str, **_ignored):
+        base = os.path.join(
+            output_dir, os.path.splitext(os.path.basename(audio_path))[0]
+        )
+        if output_format == "all":
+            write_all_formats(result, base, formats)
+            return
+        segments = result["segments"]
+        if output_format == "json":
+            with open(base + ".json", "w", encoding="utf-8") as f:
+                write_json(result, f)
+            return
+        nl = "" if output_format == "csv" else None
+        with open(f"{base}.{output_format}", "w", encoding="utf-8", newline=nl) as f:
+            if output_format == "txt":
+                write_txt(segments, f)
+            else:
+                WRITERS[output_format](remove_keys(segments, "words"), f)
+
+    return writer
