@@ -404,3 +404,28 @@ def test_translate_task_prompt_and_result(model, tok, audio):
     )
     assert res["language"] == "fr"
     assert "segments" in res
+
+
+def test_dropin_import_surface(tmp_path):
+    """`import whisper_timestamped_tpu as whisper` exposes the reference's
+    re-export surface under the reference's own names (reference
+    __init__.py:1-9 forwards whisper.{Whisper,ModelDimensions,_MODELS,
+    _download,model,...})."""
+    import whisper_timestamped_tpu as wtt
+    from whisper_timestamped_tpu.models.load import WhisperModel
+    from whisper_timestamped_tpu.models.whisper_jax import WhisperDims
+
+    assert wtt.Whisper is WhisperModel
+    assert wtt.ModelDimensions is WhisperDims
+    assert wtt.model.WhisperDims is WhisperDims  # whisper.model module analog
+    assert set(wtt._MODELS) == set(wtt.available_models())
+
+    # _download resolves against the local cache, never the network
+    ckpt = tmp_path / "tiny.pt"
+    ckpt.write_bytes(b"not-a-real-checkpoint")
+    assert wtt._download(wtt._MODELS["tiny"], str(tmp_path)) == str(ckpt)
+    assert wtt._download("tiny.pt", str(tmp_path), in_memory=True) == (
+        b"not-a-real-checkpoint"
+    )
+    with pytest.raises(FileNotFoundError):
+        wtt._download(wtt._MODELS["base"], str(tmp_path))

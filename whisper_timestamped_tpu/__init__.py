@@ -42,6 +42,13 @@ _LAZY = {
     # re-exports (reference __init__.py:5)
     "WhisperModel": ("whisper_timestamped_tpu.models.load", "WhisperModel"),
     "WhisperDims": ("whisper_timestamped_tpu.models.whisper_jax", "WhisperDims"),
+    # drop-in aliases under the reference's exact names (reference
+    # __init__.py:1-5 re-exports whisper.{Whisper,ModelDimensions,_MODELS,
+    # _download}); here they resolve to the JAX-native equivalents
+    "Whisper": ("whisper_timestamped_tpu.models.load", "WhisperModel"),
+    "ModelDimensions": ("whisper_timestamped_tpu.models.whisper_jax", "WhisperDims"),
+    "_MODELS": ("whisper_timestamped_tpu.models.load", "_MODELS"),
+    "_download": ("whisper_timestamped_tpu.models.load", "_download"),
 }
 
 _LAZY_MODULES = {
@@ -52,6 +59,7 @@ _LAZY_MODULES = {
     "decoding": "whisper_timestamped_tpu.decoding",
     "tokenizer": "whisper_timestamped_tpu.tokenizer",
     "utils": "whisper_timestamped_tpu.utils",  # whisper.utils surface
+    "model": "whisper_timestamped_tpu.models.whisper_jax",  # whisper.model surface
 }
 
 

@@ -32,6 +32,31 @@ def available_models() -> Tuple[str, ...]:
     return OFFICIAL_MODELS
 
 
+# Drop-in analog of ``whisper._MODELS`` (the reference re-exports it,
+# ``__init__.py:1``). This framework ships no download URLs (zero-egress
+# design): entries map to the checkpoint filename expected under
+# ``download_root`` / ``~/.cache/whisper``, and ``_download`` resolves
+# against that cache instead of the network.
+_MODELS = {name: f"{name}.pt" for name in OFFICIAL_MODELS}
+
+
+def _download(url: str, root: str, in_memory: bool = False):
+    """Cache-resolving analog of ``whisper._download`` (re-exported by the
+    reference, ``__init__.py:1``). Returns the cached checkpoint path (or its
+    bytes when ``in_memory``); never touches the network."""
+    path = os.path.join(root, os.path.basename(url))
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{os.path.basename(url)} not found under {root!r}. This framework "
+            "does not download weights; place the checkpoint there or pass a "
+            "local path to load_model()."
+        )
+    if in_memory:
+        with open(path, "rb") as f:
+            return f.read()
+    return path
+
+
 @dataclass
 class WhisperModel:
     """A loaded model: parameter pytree + geometry + alignment metadata."""
