@@ -594,3 +594,138 @@ def test_get_writer(tmp_path):
 
     with pytest.raises(ValueError, match="unknown output format"):
         get_writer("bogus", out)
+
+
+def test_subtitle_word_options():
+    """srt/vtt writer word-level options (highlight_words / max_line_width /
+    max_line_count / max_words_per_line) — the whisper.utils.SubtitlesWriter
+    option surface the reference re-exports (reference __init__.py:2)."""
+    import io
+
+    from whisper_timestamped_tpu.writers import write_srt, write_vtt
+
+    seg = {
+        "text": " Hello brave new world",
+        "start": 0.0,
+        "end": 2.0,
+        "words": [
+            {"text": "Hello", "start": 0.0, "end": 0.5},
+            {"text": "brave", "start": 0.5, "end": 1.0},
+            {"text": "new", "start": 1.0, "end": 1.3},
+            {"text": "world", "start": 1.3, "end": 2.0},
+        ],
+    }
+
+    buf = io.StringIO()
+    write_srt([seg], buf, max_line_width=11)
+    assert "Hello brave\nnew world" in buf.getvalue()
+    assert buf.getvalue().count("-->") == 1
+
+    buf = io.StringIO()
+    write_srt([seg], buf, max_words_per_line=2)
+    assert "Hello brave\nnew world" in buf.getvalue()
+
+    # max_line_count=1: each full line becomes its own cue with word timings
+    buf = io.StringIO()
+    write_srt([seg], buf, max_line_width=11, max_line_count=1)
+    out = buf.getvalue()
+    assert out.count("-->") == 2
+    assert "00:00:00,000 --> 00:00:01,000" in out  # Hello..brave
+    assert "00:00:01,000 --> 00:00:02,000" in out  # new..world
+
+    # highlight_words: one cue per word, that word underlined, spans running
+    # to the next word's start
+    buf = io.StringIO()
+    write_vtt([seg], buf, highlight_words=True)
+    out = buf.getvalue()
+    assert out.count("-->") == 4
+    assert "<u>Hello</u> brave new world" in out
+    assert "Hello brave new <u>world</u>" in out
+    assert "00:00.500 --> 00:01.000" in out  # brave's cue ends at new's start
+
+    # no options -> classic one-cue-per-segment output, words ignored
+    buf = io.StringIO()
+    write_srt([seg], buf)
+    assert buf.getvalue().count("-->") == 1
+    assert "Hello brave new world" in buf.getvalue()
+
+
+def test_get_writer_passes_word_options(tmp_path):
+    from whisper_timestamped_tpu.writers import get_writer
+
+    result = {
+        "text": " Hi there",
+        "segments": [{
+            "text": " Hi there", "start": 0.0, "end": 1.0,
+            "words": [{"text": "Hi", "start": 0.0, "end": 0.4},
+                      {"text": "there", "start": 0.4, "end": 1.0}],
+        }],
+    }
+    get_writer("srt", str(tmp_path))(result, "a.wav", highlight_words=True)
+    out = (tmp_path / "a.srt").read_text()
+    assert "<u>Hi</u> there" in out and "Hi <u>there</u>" in out
+
+
+def test_get_writer_write_result_interface():
+    """The reference's writer shim calls writer.write_result(result, file,
+    {"highlight_words": ..., "max_line_width": ..., "max_line_count": ...})
+    (reference transcribe.py:2984-2991); migrating code relying on that
+    interface keeps working."""
+    import io
+
+    from whisper_timestamped_tpu.writers import get_writer
+
+    segs = [{
+        "text": " Hi there", "start": 0.0, "end": 1.0,
+        "words": [{"text": "Hi", "start": 0.0, "end": 0.4},
+                  {"text": "there", "start": 0.4, "end": 1.0}],
+    }]
+    w = get_writer("srt", ".")
+    buf = io.StringIO()
+    w.write_result({"segments": segs}, buf, {
+        "highlight_words": False, "max_line_width": None, "max_line_count": None,
+    })
+    assert "Hi there" in buf.getvalue() and "<u>" not in buf.getvalue()
+
+    buf = io.StringIO()
+    w.write_result({"segments": segs}, buf, {"highlight_words": True})
+    assert "<u>Hi</u> there" in buf.getvalue()
+
+    # word dicts (the reference's .words.* path flattens words through the
+    # same writers) go down the classic one-cue-per-item path
+    buf = io.StringIO()
+    w.write_result({"segments": segs[0]["words"]}, buf, {"highlight_words": False})
+    assert buf.getvalue().count("-->") == 2
+
+
+def test_write_all_formats_subtitle_options(tmp_path):
+    from whisper_timestamped_tpu.writers import write_all_formats
+
+    result = {
+        "text": " Hi there",
+        "segments": [{
+            "text": " Hi there", "start": 0.0, "end": 1.0,
+            "words": [{"text": "Hi", "start": 0.0, "end": 0.4},
+                      {"text": "there", "start": 0.4, "end": 1.0}],
+        }],
+    }
+    base = str(tmp_path / "a.wav")
+    write_all_formats(result, base, ["srt", "vtt"],
+                      {"highlight_words": True, "max_line_width": None})
+    assert "<u>Hi</u> there" in open(base + ".srt").read()
+    assert "<u>Hi</u> there" in open(base + ".vtt").read()
+    # per-word variants keep their classic one-cue-per-word form
+    words_srt = open(base + ".words.srt").read()
+    assert "<u>" not in words_srt and words_srt.count("-->") == 2
+
+
+def test_cli_parses_subtitle_flags():
+    from whisper_timestamped_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["a.wav", "--highlight_words", "True", "--max_line_width", "42",
+         "--max_line_count", "2", "--max_words_per_line", "7"]
+    )
+    assert args.highlight_words is True
+    assert (args.max_line_width, args.max_line_count, args.max_words_per_line) \
+        == (42, 2, 7)

@@ -128,6 +128,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output_format", "-f", default="all", type=str2output_formats,
                         help=f"format(s) of the output files: {', '.join(VALID_FORMATS)}, "
                         "comma-separated, or 'all'")
+    # subtitle writer options (whisper's CLI surface; the reference hardcodes
+    # these off in its writer shim, transcribe.py:2984-2991)
+    parser.add_argument("--highlight_words", default=False, type=str2bool,
+                        help="underline each word as it is spoken in srt/vtt outputs")
+    parser.add_argument("--max_line_width", default=None, type=optional_int,
+                        help="max characters per subtitle line (srt/vtt)")
+    parser.add_argument("--max_line_count", default=None, type=optional_int,
+                        help="max lines per subtitle cue (srt/vtt)")
+    parser.add_argument("--max_words_per_line", default=None, type=optional_int,
+                        help="max words per subtitle line (srt/vtt)")
     parser.add_argument("--task", default="transcribe", choices=["transcribe", "translate"],
                         help="speech recognition ('transcribe') or X->English translation ('translate')")
     parser.add_argument(
@@ -191,7 +201,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _run_batched(
     model, audio_files, batch_size, args, temperature, tokenizer,
-    output_dir, output_format,
+    output_dir, output_format, subtitle_options=None,
 ):
     """Multi-file decoding through the batched pipeline (all streams in
     flight on one chip / a mesh) — a capability the reference lacks (its CLI
@@ -240,7 +250,7 @@ def _run_batched(
         result = results[audio_path]
         if output_dir:
             outname = os.path.join(output_dir, os.path.basename(audio_path))
-            write_all_formats(result, outname, output_format)
+            write_all_formats(result, outname, output_format, subtitle_options)
         else:
             json.dump(filtered_keys(result), sys.stdout, indent=2, ensure_ascii=False)
 
@@ -319,6 +329,12 @@ def main(argv=None):
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(dtype),
     )
 
+    subtitle_options = {
+        k: args.pop(k)
+        for k in ("highlight_words", "max_line_width", "max_line_count",
+                  "max_words_per_line")
+    }
+
     batch_size = args.pop("batch_size")
     if batch_size and len(audio_files) > 1:
         blockers = [
@@ -337,7 +353,7 @@ def main(argv=None):
         else:
             _run_batched(
                 model, audio_files, batch_size, args, temperature, tokenizer,
-                output_dir, output_format,
+                output_dir, output_format, subtitle_options,
             )
             return
 
@@ -362,7 +378,7 @@ def main(argv=None):
             model, audio_path, temperature=temperature, tokenizer=tokenizer, **args
         )
         if output_dir:
-            write_all_formats(result, outname, output_format)
+            write_all_formats(result, outname, output_format, subtitle_options)
         elif not args["verbose"]:
             json.dump(filtered_keys(result), sys.stdout, indent=2, ensure_ascii=False)
 
