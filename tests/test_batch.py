@@ -414,6 +414,21 @@ def test_stream_vad_mode_unpipelined_but_correct(model, tok):
     assert got == want
 
 
+def test_threaded_chunked_upload_equivalent(model, monkeypatch):
+    """WTT_UPLOAD_THREADS issues the chunk puts concurrently; the assembled
+    device mel must be identical to the serial chunked and monolithic paths."""
+    from whisper_timestamped_tpu.parallel.batch import prepare_audio_batch
+
+    audios = {f"s{i}": _audio(50 + i, 4) for i in range(5)}
+    base = np.asarray(prepare_audio_batch(audios, model.dims.n_mels).mel_stack)
+    monkeypatch.setenv("WTT_UPLOAD_CHUNK_MB", "0.1")
+    serial = np.asarray(prepare_audio_batch(audios, model.dims.n_mels).mel_stack)
+    monkeypatch.setenv("WTT_UPLOAD_THREADS", "4")
+    threaded = np.asarray(prepare_audio_batch(audios, model.dims.n_mels).mel_stack)
+    assert np.array_equal(base, serial)
+    assert np.array_equal(base, threaded)
+
+
 def test_prepared_audio_mismatch_raises(model, tok):
     from whisper_timestamped_tpu.parallel.batch import prepare_audio_batch
 

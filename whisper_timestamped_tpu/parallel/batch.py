@@ -115,10 +115,21 @@ def prepare_audio_batch(audios: Dict[str, Any], n_mels: int) -> PreparedAudio:
         if rows_per >= len(send):
             dev = jnp.asarray(send)
         else:
-            parts = [
-                jnp.asarray(send[i : i + rows_per])
-                for i in range(0, len(send), rows_per)
-            ]
+            starts = range(0, len(send), rows_per)
+            # WTT_UPLOAD_THREADS>1 issues the chunk puts from a thread pool:
+            # on remote-tunnel backends each put pays a round trip, so a few
+            # transfers in flight raise aggregate upload bandwidth (on local
+            # PCIe backends it makes no difference; default stays serial)
+            n_thr = int(os.environ.get("WTT_UPLOAD_THREADS", "1"))
+            if n_thr > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=n_thr) as ex:
+                    parts = list(
+                        ex.map(lambda i: jnp.asarray(send[i : i + rows_per]), starts)
+                    )
+            else:
+                parts = [jnp.asarray(send[i : i + rows_per]) for i in starts]
             dev = jnp.concatenate(parts, axis=0)
         mel = log_mel_spectrogram(
             dev, n_mels=n_mels, padding=N_FRAMES * HOP_LENGTH,
