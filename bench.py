@@ -174,21 +174,25 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
     # measured quantity is steady-state serving throughput. BENCH_STREAM=0:
     # independent transcribe_batch calls (cold-batch latency), for A/B.
     streamed = os.environ.get("BENCH_STREAM", "1") == "1"
-    for seed in ([10_001 + r for r in range(-1, reps)] if streamed
+    for seed in ([10_001 + r for r in range(-1, reps + 1)] if streamed
                  else list(range(reps))):
         _pcm_cache[seed] = gen_pcm(seed)
     with tempfile.TemporaryDirectory() as td:
         serialize(transcribe_batch(wm, make_streams(10_000), tok, **kw), td)  # warmup
-        times, windows = [], []
+        times, total = [], None
         reset_stage_timings()
         t0 = time.time()
         if streamed:
-            # the warmup batch flows through the SAME stream so the first
+            # The warmup batch flows through the SAME stream so the first
             # timed batch starts with its upload already overlapped — the
-            # steady state a serving deployment runs at (the pipeline-fill
-            # batch itself is not timed; every timed batch's full cost is)
+            # steady state a serving deployment runs at. With assembly one
+            # batch behind, yield k lands at the END of decode k+1, so the
+            # timed window must cover exactly `reps` decodes: one untimed
+            # pipeline-fill yield in front, `reps` timed yields, and one
+            # untimed DRAIN batch at the back (its yield costs no decode —
+            # counting it would credit audio the window never decoded).
             gen = transcribe_batch_stream(
-                wm, (make_streams(10_001 + rep) for rep in range(-1, reps)),
+                wm, (make_streams(10_001 + rep) for rep in range(-1, reps + 1)),
                 tok, **kw,
             )
             serialize(next(gen), td)  # pipeline fill (untimed)
@@ -196,19 +200,23 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
             t0 = time.time()
             for results in gen:
                 serialize(results, td)
-                times.append(time.time() - t0 - sum(times))
+                if len(times) < reps:
+                    times.append(time.time() - t0 - sum(times))
+                    if len(times) == reps:
+                        total = time.time() - t0
         else:
             for rep in range(reps):
                 streams = make_streams(rep)
                 t_rep = time.time()
                 serialize(transcribe_batch(wm, streams, tok, **kw), td)
                 times.append(time.time() - t_rep)
-        total = time.time() - t0
+            total = time.time() - t0
+        if total is None:  # stream ended short of `reps` yields
+            total = time.time() - t0
         stages = get_stage_timings()
         n_windows = stages.get(
             "devflow_dispatch", stages.get("decode", {})
         ).get("count", 0)
-        windows = [n_windows // max(reps, 1)] * reps
         if os.environ.get("BENCH_STAGES") == "1":
             st = {k: (round(v["total_s"], 3), v["count"]) for k, v in stages.items()}
             print(f"# reps={[round(t, 2) for t in times]} total={total:.2f}s "
@@ -217,7 +225,7 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
     # batch is untimed, so this IS the steady state; per-rep inter-yield
     # times in reps_s keep the audit trail)
     rtf = reps * B * stream_seconds / total
-    return rtf, times, windows
+    return rtf, times, n_windows, total, streamed
 
 
 def decode_step_bytes(dims, B, n_tokens, kv_int8, kv_int4, self_int8, w_int8,
@@ -340,7 +348,8 @@ def main():
 
     wm, tok, engine, dims = build_engine(model_name, kv_int8)
 
-    times = windows = None
+    times = n_windows = total_s = None
+    streamed = False
     if mode == "pipeline":
         # 5 timed batches through the serving loop, after an untimed
         # pipeline-fill batch whose upload overlap primes the steady state a
@@ -353,7 +362,7 @@ def main():
         # 60-s stream pays a third window for its tail; at 180 s the tail
         # amortizes: measured 196x at S=60 vs 225x at S=180, same code)
         stream_seconds = int(os.environ.get("BENCH_STREAM_SECONDS", "180"))
-        rtf, times, windows = bench_pipeline(
+        rtf, times, n_windows, total_s, streamed = bench_pipeline(
             wm, tok, engine, B, n_tokens, reps, stream_seconds
         )
         metric = f"e2e_audio_sec_per_sec_per_chip_{model_name}_b{B}"
@@ -373,15 +382,19 @@ def main():
         if os.environ.get(env) == "1":
             metric += f"_{tag}"
 
-    if times is not None:
-        # headline = median per-batch steady-state RTF: the shared tunnel
-        # intermittently stalls a single batch for minutes (observed 165.9 s
-        # against a 24-47 s norm), and the mean/total lets one stall define
-        # the number; the median is the honest steady-state estimator. The
-        # total-based aggregate stays in the payload as total_x.
+    if times is not None and not streamed:
+        # unpipelined mode: each rep IS one batch's cost, so the median
+        # per-batch RTF is the robust headline (the shared tunnel
+        # intermittently stalls one batch for minutes — observed 165.9 s
+        # against a 24-47 s norm — and the mean/total lets one stall define
+        # the number). The aggregate stays in the payload as total_x.
         med = sorted(times)[len(times) // 2]
         headline = B * stream_seconds / med
     else:
+        # streamed mode: the serving loop runs assembly one batch behind, so
+        # inter-yield gaps no longer map 1:1 to per-batch cost — the honest
+        # steady-state number is total audio / total wall time (the pipeline
+        # fill is untimed, so the whole timed phase is steady state).
         headline = rtf
     payload = {
         "metric": metric,
@@ -393,11 +406,11 @@ def main():
         # variance audit trail: per-rep wall times + aggregate RTF
         payload["reps_s"] = [round(t, 2) for t in times]
         payload["total_x"] = round(rtf, 2)
-        payload["median_x"] = round(headline, 2)
+        med = sorted(times)[len(times) // 2]
+        payload["median_x"] = round(B * stream_seconds / med, 2)
         # roofline context (lower bound: whole-pipeline time in the
         # denominator, decode-loop traffic only in the numerator)
-        best = min(range(len(times)), key=lambda i: times[i])
-        if windows[best]:
+        if n_windows:
             gb_step = decode_step_bytes(
                 dims, B, n_tokens, kv_int8,
                 os.environ.get("BENCH_KV_INT4") == "1",
@@ -405,15 +418,15 @@ def main():
                 os.environ.get("BENCH_W_INT8") == "1",
                 conditioned=os.environ.get("BENCH_CONDITION", "1") == "1",
             ) / 1e9
-            eff = windows[best] * n_tokens * gb_step / times[best]
+            eff = n_windows * n_tokens * gb_step / total_s
             payload["roofline"] = {
                 "gb_per_step": round(gb_step, 2),
                 "eff_gbps_lower_bound": round(eff, 1),
                 "pct_of_v5e_hbm_819gbps": round(100.0 * eff / 819.0, 1),
             }
             print(
-                f"# reps_s={payload['reps_s']} median_x={payload['median_x']} "
-                f"| ~{gb_step:.1f} GB/step x {windows[best] * n_tokens} steps "
+                f"# reps_s={payload['reps_s']} value={payload['value']} "
+                f"| ~{gb_step:.1f} GB/step x {n_windows * n_tokens} steps "
                 f"-> >={eff:.0f} GB/s effective ({payload['roofline']['pct_of_v5e_hbm_819gbps']}% "
                 f"of v5e 819 GB/s HBM)",
                 file=sys.stderr,

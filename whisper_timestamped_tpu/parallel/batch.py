@@ -901,6 +901,7 @@ def transcribe_batch(
     device_alignment: Optional[bool] = None,
     engine: Optional[DecodeEngine] = None,
     _prepared: Optional[PreparedAudio] = None,
+    _deferred_assembly: bool = False,
     **window_options,
 ) -> Dict[str, dict]:
     """High-level batched API: name -> full whisper-timestamped result dict.
@@ -911,7 +912,11 @@ def transcribe_batch(
     Pallas cost+DTW kernels (default: ON on accelerators, OFF on CPU,
     WTT_DEVICE_ALIGN env overrides — see device_align.default_device_alignment).
     ``engine`` overrides the default DecodeEngine (custom attn dtype /
-    int8 cross-KV / pre-attached mesh)."""
+    int8 cross-KV / pre-attached mesh). ``_deferred_assembly`` (private, used
+    by :func:`transcribe_batch_stream`) returns a zero-arg ``finish()``
+    closure instead of results once the device decode is complete, so the
+    align-fetch drain + host assembly can run off-thread while the next
+    batch decodes."""
     from ..api import (
         align_and_score_segment,
         device_align_segments,
@@ -1034,12 +1039,9 @@ def transcribe_batch(
         audios, language=language, prepared=_prepared,
         window_hook=_align_step if full_device else None, **window_options,
     )
-    for entries, resolver in pending_aligns:
-        for (seg, _p), j in zip(entries, resolver()):
-            jumps_map[id(seg)] = j
 
     if beam_mode:
-        return _assemble_naive_batch(
+        results = _assemble_naive_batch(
             engine, bt, audios, all_segments,
             language=language,
             task=window_options.get("task", "transcribe"),
@@ -1054,62 +1056,83 @@ def transcribe_batch(
             converts=converts,
             speech_activity=speech_activity,
         )
+        return (lambda: results) if _deferred_assembly else results
 
-    results = {}
-    assemble_timer = stage_timer("batch_assemble")
-    assemble_timer.__enter__()
-    for name, segments in all_segments.items():
-        meta = bt.stream_meta.get(name, {})
-        stream_language = meta.get("language") or language or "en"
-        use_space = should_use_space(stream_language)
-        words: List[dict] = []
-        seg_dicts: List[dict] = []
-        for seg in segments:
-            if full_device and preps_map.get(id(seg)) is None:
-                continue
-            jumps = jumps_map.get(id(seg))
-            cost = None
-            if jumps is not None and detect_disfluencies:
-                jumps, cost = jumps
-            ws, seg_dict = align_and_score_segment(
-                seg, engine.tokenizer, use_space=use_space,
-                refine_whisper_precision_nframes=refine_nframes,
-                remove_punctuation_from_words=remove_punctuation_from_words,
-                compute_word_confidence=compute_word_confidence,
-                include_punctuation_in_confidence=False,
-                detect_disfluencies=detect_disfluencies,
-                precomputed_jumps=jumps,
-                precomputed_cost=cost,
-                prepared=preps_map.get(id(seg)) if full_device else None,
+    # Everything past this point is align-fetch draining + pure host
+    # assembly: no new device programs, and every engine/transcriber field it
+    # needs is snapshotted here (stream_meta is REPLACED, never mutated, by
+    # the next batch). The serving loop exploits that: with
+    # ``_deferred_assembly=True`` it runs ``finish`` on a worker thread so
+    # batch k's assembly (and the caller's serialization of batch k-1)
+    # overlap batch k+1's decode on the device.
+    stream_meta = bt.stream_meta
+
+    def finish():
+        for entries, resolver in pending_aligns:
+            for (seg, _p), j in zip(entries, resolver()):
+                jumps_map[id(seg)] = j
+        return _assemble()
+
+    def _assemble():
+        results = {}
+        assemble_timer = stage_timer("batch_assemble")
+        assemble_timer.__enter__()
+        for name, segments in all_segments.items():
+            meta = stream_meta.get(name, {})
+            stream_language = meta.get("language") or language or "en"
+            use_space = should_use_space(stream_language)
+            words: List[dict] = []
+            seg_dicts: List[dict] = []
+            for seg in segments:
+                if full_device and preps_map.get(id(seg)) is None:
+                    continue
+                jumps = jumps_map.get(id(seg))
+                cost = None
+                if jumps is not None and detect_disfluencies:
+                    jumps, cost = jumps
+                ws, seg_dict = align_and_score_segment(
+                    seg, engine.tokenizer, use_space=use_space,
+                    refine_whisper_precision_nframes=refine_nframes,
+                    remove_punctuation_from_words=remove_punctuation_from_words,
+                    compute_word_confidence=compute_word_confidence,
+                    include_punctuation_in_confidence=False,
+                    detect_disfluencies=detect_disfluencies,
+                    precomputed_jumps=jumps,
+                    precomputed_cost=cost,
+                    prepared=preps_map.get(id(seg)) if full_device else None,
+                )
+                if ws is None:
+                    continue
+                idx = len(seg_dicts)
+                for w in ws:
+                    w["idx_segment"] = idx
+                seg_dict["id"] = idx
+                seg_dicts.append(seg_dict)
+                words.extend(ws)
+            transcription = {
+                "text": "".join(s["text"] for s in seg_dicts),
+                "segments": seg_dicts,
+                "language": stream_language,
+            }
+            if meta.get("language_probs") is not None:
+                transcription["language_probs"] = meta["language_probs"]
+            transcription = finalize_transcription(
+                transcription, words,
+                remove_empty_words=remove_empty_words,
+                min_word_duration=min_word_duration,
+                trust_whisper_timestamps=True,
+                refine_whisper_precision=refine_whisper_precision,
+                vad_convert=converts.get(name),
             )
-            if ws is None:
-                continue
-            idx = len(seg_dicts)
-            for w in ws:
-                w["idx_segment"] = idx
-            seg_dict["id"] = idx
-            seg_dicts.append(seg_dict)
-            words.extend(ws)
-        transcription = {
-            "text": "".join(s["text"] for s in seg_dicts),
-            "segments": seg_dicts,
-            "language": stream_language,
-        }
-        if meta.get("language_probs") is not None:
-            transcription["language_probs"] = meta["language_probs"]
-        transcription = finalize_transcription(
-            transcription, words,
-            remove_empty_words=remove_empty_words,
-            min_word_duration=min_word_duration,
-            trust_whisper_timestamps=True,
-            refine_whisper_precision=refine_whisper_precision,
-            vad_convert=converts.get(name),
-        )
-        if name in speech_activity:
-            transcription["speech_activity"] = speech_activity[name]
-        results[name] = transcription
-    assemble_timer.__exit__(None, None, None)
-    return results
+            if name in speech_activity:
+                transcription["speech_activity"] = speech_activity[name]
+            results[name] = transcription
+        assemble_timer.__exit__(None, None, None)
+        return results
+
+    if _deferred_assembly:
+        return finish
+    return finish()
 
 
 def _assemble_naive_batch(
@@ -1273,20 +1296,55 @@ def transcribe_batch_stream(
 
     t = threading.Thread(target=worker, daemon=True, name="wtt-prefetch")
     t.start()
+    # Assembly runs one batch behind on its own worker thread:
+    # transcribe_batch returns a finish() closure as soon as the device
+    # decode completes; the closure (align-jump fetches + pure host assembly)
+    # executes while the NEXT batch's decode occupies the device, and results
+    # still yield in order. Combined with the prefetch thread, the steady
+    # state is upload(k+1) | decode(k) | assemble(k-1) in flight at once.
+    from concurrent.futures import ThreadPoolExecutor
+
+    finisher = ThreadPoolExecutor(max_workers=1, thread_name_prefix="wtt-assemble")
+    prev_fut = None
     try:
+        pending_item = None
         while True:
-            item = q.get()
-            if item is done:
-                return
-            if isinstance(item, BaseException):
+            item = pending_item if pending_item is not None else q.get()
+            pending_item = None
+            if item is done or isinstance(item, BaseException):
+                # flush the deferred batch BEFORE ending/raising: its decode
+                # finished; a source failure must not discard its results
+                if prev_fut is not None:
+                    yield prev_fut.result()
+                    prev_fut = None
+                if item is done:
+                    return
                 raise item
             audios, prepared = item
-            yield transcribe_batch(
+            finish = transcribe_batch(
                 model, audios, tokenizer, engine=engine,
-                _prepared=prepared, **options,
+                _prepared=prepared, _deferred_assembly=True, **options,
             )
+            # Defer assembly only when the next batch is already (about to
+            # be) queued — with an idle/blocking source, finish NOW so a
+            # completed batch is never held hostage to the source's pace.
+            try:
+                pending_item = q.get(timeout=0.2)
+            except queue_mod.Empty:
+                pending_item = None
+            if pending_item is None:
+                if prev_fut is not None:
+                    yield prev_fut.result()
+                    prev_fut = None
+                yield finish()
+            else:
+                fut = finisher.submit(finish)
+                if prev_fut is not None:
+                    yield prev_fut.result()
+                prev_fut = fut
     finally:
         stop.set()
+        finisher.shutdown(wait=False, cancel_futures=True)
         try:  # unblock a worker waiting on a full queue; daemon=True
             q.get_nowait()  # guarantees it never pins process exit anyway
         except queue_mod.Empty:
