@@ -153,14 +153,17 @@ def test_cross_attention_stacked_v2_matches_xla():
     q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
     xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
     xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
-    for l in range(L):
-        o1, s1 = cross_attention_stacked_pallas_v2(
-            l, q, xk, xv, H, block_t=128, interpret=True
-        )
-        o2, s2 = _attention(q, xk[l], xv[l], H, return_scores=True)
-        assert o1.shape == o2.shape and s1.shape == s2.shape
-        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-2)
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
+    # block_t=128: multi-tile online-softmax carry; block_t=512 > T: the
+    # whole context in ONE padded tile (the WTT_XATTN_BLOCK_T fast path)
+    for block_t in (128, 512):
+        for l in range(L):
+            o1, s1 = cross_attention_stacked_pallas_v2(
+                l, q, xk, xv, H, block_t=block_t, interpret=True
+            )
+            o2, s2 = _attention(q, xk[l], xv[l], H, return_scores=True)
+            assert o1.shape == o2.shape and s1.shape == s2.shape
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-2)
+            np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
 
 
 def test_cross_attention_stacked_int8_v2_matches_xla_int8():
@@ -181,13 +184,14 @@ def test_cross_attention_stacked_int8_v2_matches_xla_int8():
     xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
     k8, ks = _quantize_rows(xk)
     v8, vs = _quantize_rows(xv)
-    for l in range(L):
-        o1, s1 = cross_attention_stacked_int8_pallas_v2(
-            l, q, k8, ks, v8, vs, H, block_t=128, interpret=True
-        )
-        o2, s2 = cross_attention(q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H)
-        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-2)
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
+    for block_t in (128, 512):
+        for l in range(L):
+            o1, s1 = cross_attention_stacked_int8_pallas_v2(
+                l, q, k8, ks, v8, vs, H, block_t=block_t, interpret=True
+            )
+            o2, s2 = cross_attention(q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H)
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-2)
+            np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
 
 
 def test_self_attention_stacked_matches_xla():

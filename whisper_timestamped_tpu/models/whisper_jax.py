@@ -552,6 +552,17 @@ def _quantize_rows_int4(x: jnp.ndarray):
     return packed, s
 
 
+def _xattn_block_t() -> int:
+    """T-tile size for the stacked cross-attention decode kernels.
+
+    Read at trace time (the decode step re-traces when it changes via the
+    engine cache key). Larger tiles mean fewer, bigger HBM→VMEM DMAs per
+    grid step — the lever for the kernel's effective bandwidth; 1536 covers
+    the whole 1500-frame audio context in one tile (VMEM: K+V int8 blocks
+    2x1.92 MB double-buffered ≈ 7.7 MB)."""
+    return int(os.environ.get("WTT_XATTN_BLOCK_T", "512"))
+
+
 def _unpack_int4_rows(packed: jnp.ndarray) -> jnp.ndarray:
     """Inverse of ``_quantize_rows_int4``'s packing (scales stay separate):
     (..., T//2, D) int8 -> (..., T, D) int8 in frame order. Used by the
@@ -844,7 +855,8 @@ def decode_step(
             c, w = _xattn8(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,
-                score_flag=need_sc, emit_scores=emit_sc,
+                block_t=_xattn_block_t(), score_flag=need_sc,
+                emit_scores=emit_sc,
             )
         elif use_stacked_xattn:
             # v2: lane-parallel heads (block-diagonal sum matrices on the MXU)
@@ -854,7 +866,8 @@ def decode_step(
 
             c, w = cross_attention_stacked_pallas_v2(
                 l_idx, q_cross, cache.xk, cache.xv, dims.n_text_head,
-                score_flag=need_sc, emit_scores=emit_sc,
+                block_t=_xattn_block_t(), score_flag=need_sc,
+                emit_scores=emit_sc,
             )
         else:
             if xk.dtype == jnp.int8 and xk.shape[1] * 2 == xk_s.shape[1]:
