@@ -174,6 +174,38 @@ def test_golden_verbose_stdout(model, tok, capsys):
         assert out == f.read()
 
 
+def test_golden_vad_silero(model, tok, tmp_path, monkeypatch, capsys):
+    """VAD-silero end-to-end, pinned through BOTH the words.json and the
+    verbose stdout transcript — the reference pins its silero configs this
+    way (tests/expected/verbose/*.stdout lines driven by
+    test_transcribe.py:490-524). Uses the deterministic fake-silero
+    torchscript (the JAX port's oracle) since real weights can't download."""
+    from test_vad import _make_fake_silero_jit
+
+    import whisper_timestamped_tpu as wtt
+
+    monkeypatch.setenv("SILERO_VAD_PATH", _make_fake_silero_jit(tmp_path))
+    path = "/root/reference/tests/data/words.wav"
+    if not os.path.exists(path):
+        pytest.skip("fixture unavailable")
+    result = transcribe_timestamped(
+        model, wtt.load_audio(path), language="en", tokenizer=tok,
+        vad="silero", verbose=True,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    out = capsys.readouterr().out
+    stdout_path = os.path.join(EXPECTED_DIR, "verbose", "vad_silero.stdout")
+    if GENERATE or not os.path.exists(stdout_path):
+        with open(stdout_path, "w", encoding="utf-8") as f:
+            f.write(out)
+    else:
+        with open(stdout_path, encoding="utf-8") as f:
+            assert out == f.read()
+    assert "speech_activity" in result
+    assert_non_regression(result, "words_vad_silero")
+
+
 def test_golden_real_audio(model, tok):
     """Real fixture wav through the full pipeline (deterministic greedy)."""
     import whisper_timestamped_tpu as wtt
