@@ -257,15 +257,12 @@ def _run_batched(
 
 def main(argv=None):
     # persistent XLA compilation cache: first large-model compile is minutes
-    # on some TPU runtimes; subsequent runs are instant
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "jax_comp"),
-    )
-    # some TPU runtimes report near-zero compile times (the real compile is
-    # remote/deferred), which makes jax skip cache writes at the default 1 s
-    # threshold — force-write so reruns never recompile
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    # on some TPU runtimes; subsequent runs are instant. Applied through
+    # jax.config (env vars are frozen once jax is imported, which some
+    # runtime images do from sitecustomize before main() ever runs).
+    from .utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv).__dict__
     args.pop("accurate", None)

@@ -841,7 +841,9 @@ def decode_step(
             # v2: lane-parallel (same rewrite as the bf16 kernel) — the v1
             # int8 kernel's per-head M=1 dots made it compute-bound, slower
             # per byte than bf16 despite halving the DMA. v3 moves the
-            # weighted-V tail to the MXU (WTT_XATTN_V3=1; A/B in progress)
+            # weighted-V tail to the MXU (WTT_XATTN_V3=1) — measured
+            # in-loop EQUAL to v2 (18.66 vs 18.67 ms/token: the kernel is
+            # stream-bound at this shape), so v2 stays the default
             from ..ops.pallas_kernels import (
                 cross_attention_stacked_int8_pallas_v2,
                 cross_attention_stacked_int8_pallas_v3,

@@ -1,4 +1,5 @@
 from .profiling import stage_timer, get_stage_timings, reset_stage_timings, trace  # noqa: F401
+from .compile_cache import enable_persistent_compile_cache  # noqa: F401
 
 # whisper.utils surface (the reference re-exports that module,
 # __init__.py:2): migrating `whisper.utils.get_writer(...)` keeps working.
