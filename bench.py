@@ -176,7 +176,13 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
     # measured quantity is steady-state serving throughput. BENCH_STREAM=0:
     # independent transcribe_batch calls (cold-batch latency), for A/B.
     streamed = os.environ.get("BENCH_STREAM", "1") == "1"
-    for seed in ([10_001 + r for r in range(-1, reps + 1)] if streamed
+    # Untimed pipeline-fill batches before the timed window. ONE fill is not
+    # enough to reach steady state: the first timed inter-yield gap measures
+    # ~33 s vs ~21-24 s for the rest, reproducibly across sessions (the
+    # 3-stage pipeline's upload/assembly workers are still backlogged from
+    # the fill batch). Two fills put the whole timed window at steady state.
+    fill = int(os.environ.get("BENCH_FILL", "2"))
+    for seed in ([10_001 + r for r in range(-fill, reps + 1)] if streamed
                  else list(range(reps))):
         _pcm_cache[seed] = gen_pcm(seed)
     with tempfile.TemporaryDirectory() as td:
@@ -185,19 +191,18 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
         reset_stage_timings()
         t0 = time.time()
         if streamed:
-            # The warmup batch flows through the SAME stream so the first
-            # timed batch starts with its upload already overlapped — the
-            # steady state a serving deployment runs at. With assembly one
-            # batch behind, yield k lands at the END of decode k+1, so the
-            # timed window must cover exactly `reps` decodes: one untimed
-            # pipeline-fill yield in front, `reps` timed yields, and one
-            # untimed DRAIN batch at the back (its yield costs no decode —
-            # counting it would credit audio the window never decoded).
+            # With assembly one batch behind, yield k lands at the END of
+            # decode k+1, so the timed window must cover exactly `reps`
+            # decodes: `fill` untimed pipeline-fill yields in front, `reps`
+            # timed yields, and one untimed DRAIN batch at the back (its
+            # yield costs no decode — counting it would credit audio the
+            # window never decoded).
             gen = transcribe_batch_stream(
-                wm, (make_streams(10_001 + rep) for rep in range(-1, reps + 1)),
+                wm, (make_streams(10_001 + rep) for rep in range(-fill, reps + 1)),
                 tok, **kw,
             )
-            serialize(next(gen), td)  # pipeline fill (untimed)
+            for _ in range(fill):
+                serialize(next(gen), td)  # pipeline fill (untimed)
             reset_stage_timings()
             t0 = time.time()
             for results in gen:
