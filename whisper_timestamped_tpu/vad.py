@@ -9,11 +9,13 @@ Port of the reference VAD subsystem (``check_vad_method``
     numpy/jnp (reference delegates to the auditok package,
     ``transcribe.py:2025-2054``).
   * ``"silero"`` (and ``"silero:vX.Y"``): a JAX port of the Silero VAD
-    network (``models/silero_jax.py``): locally cached ``.jit`` weights are
-    parsed once at load time, then inference is a jitted conv+LSTM-scan
-    program, load-time-validated against the torchscript model (which
-    remains the fallback for unknown silero revisions). The hysteresis state
-    machine is reimplemented here. No downloads.
+    network (``models/silero_jax.py``): locally cached ``.jit`` or ``.onnx``
+    weights are parsed once at load time (torchscript state_dict, or raw
+    protobuf initializers via ``models/onnx_weights.py`` — no onnxruntime
+    needed), then inference is a jitted conv+LSTM-scan program. ``.jit``
+    loads are validated against the torchscript model (which remains the
+    fallback for unknown silero revisions). The hysteresis state machine is
+    reimplemented here. No downloads.
   * explicit ``[(start, end), ...]`` second pairs.
 
 Segment dilation+merge and the piecewise timestamp back-conversion match the
@@ -22,6 +24,7 @@ reference exactly (goldens compare VAD runs via stdout transcripts).
 
 from __future__ import annotations
 
+import ast
 import logging
 import os
 from typing import Callable, List, Optional, Tuple, Union
@@ -33,44 +36,59 @@ from .audio import SAMPLE_RATE
 logger = logging.getLogger("whisper_timestamped_tpu")
 
 
+_VAD_TRUTHY = (True, "True", "true")
+_VAD_FALSEY = (None, False, "False", "false", "None", "none")
+_VAD_DETECTORS = ("auditok", "energy")
+
+
+def _silero_version_of(spec: str) -> Optional[str]:
+    """``"silero"`` → None; ``"silero:3.1"``/``"silero:v3.1"`` → ``"v3.1"``."""
+    name, colon, suffix = spec.partition(":")
+    if name != "silero" or (colon and not suffix):
+        raise ValueError(f"Got unexpected VAD method {spec}")
+    if not colon:
+        return None
+    tag = suffix if suffix.startswith("v") else "v" + suffix
+    try:
+        numeric_ok = float(tag[1:]) >= 1
+    except ValueError:
+        numeric_ok = False
+    if not numeric_ok:
+        raise ValueError(f"Got unexpected silero version {tag}")
+    return tag
+
+
+def _as_span_pair(item) -> tuple:
+    pair = tuple(item)
+    assert len(pair) == 2, (
+        f"Got unexpected element {item} in the list of VAD segments. "
+        "Expect (start, end) pairs"
+    )
+    return pair
+
+
 def check_vad_method(method, with_version: bool = False):
     """Normalize the ``vad`` option (True→silero, strings, explicit pairs)."""
-    if method in [True, "True", "true"]:
-        return check_vad_method("silero")
-    elif method in [None, False, "False", "false", "None", "none"]:
+    if method in _VAD_TRUTHY:
+        method = "silero"
+    if method in _VAD_FALSEY:
         return None
-    elif not isinstance(method, str) and hasattr(method, "__iter__"):
-        checked_pairs = []
-        for s_e in method:
-            assert len(s_e) == 2, (
-                f"Got unexpected element {s_e} in the list of VAD segments. "
-                "Expect (start, end) pairs"
-            )
-            checked_pairs.append(tuple(s_e))
-        return checked_pairs
-    elif isinstance(method, str) and method.startswith("silero"):
-        version = None
-        if method != "silero":
-            assert method.startswith("silero:"), f"Got unexpected VAD method {method}"
-            version = method.split(":")[1]
-            if not version.startswith("v"):
-                version = "v" + version
-            try:
-                assert float(version[1:]) >= 1
-            except Exception:
-                raise ValueError(f"Got unexpected silero version {version}")
-        if with_version:
-            return ("silero", version)
-        return method
-    elif method in ("auditok", "energy"):
-        return method
-    else:
+
+    if isinstance(method, str):
+        if method in _VAD_DETECTORS:
+            return method
+        if method.split(":", 1)[0] == "silero":
+            version = _silero_version_of(method)
+            return ("silero", version) if with_version else method
+        # a stringified list of (start, end) pairs, e.g. from the CLI
         try:
-            method = eval(method)  # noqa: S307 - reference-compatible string parsing
-            assert hasattr(method, "__iter__")
-        except Exception:
+            method = ast.literal_eval(method)
+        except (ValueError, SyntaxError):
             raise ValueError(f"Got unexpected VAD method {method}")
-        return check_vad_method(method, with_version=with_version)
+
+    if hasattr(method, "__iter__"):
+        return [_as_span_pair(span) for span in method]
+    raise ValueError(f"Got unexpected VAD method {method}")
 
 
 def normalize_gain(audio):
@@ -179,9 +197,9 @@ def _silero_speech_segments(audio, sample_rate, min_speech_duration, min_silence
     if path is None:
         raise FileNotFoundError(
             "No local silero-vad weights found (set SILERO_VAD_PATH or place "
-            "silero_vad.jit under ~/.cache/torch/hub). This framework does not "
-            "download models; use vad='auditok' for the dependency-free "
-            "energy VAD."
+            "silero_vad.jit / silero_vad.onnx under ~/.cache/torch/hub). This "
+            "framework does not download models; use vad='auditok' for the "
+            "dependency-free energy VAD."
         )
     from .models.silero_jax import silero_get_speech_timestamps  # lazy import
 
@@ -224,19 +242,19 @@ def get_vad_segments(
     else:
         raise ValueError(f"Got unexpected VAD method {method}")
 
-    if dilatation > 0:
-        dilatation = round(dilatation * sample_rate)
-        new_segments = []
-        for seg in segments:
-            new_seg = {
-                "start": max(0, seg["start"] - dilatation),
-                "end": min(len(audio), seg["end"] + dilatation),
-            }
-            if len(new_segments) > 0 and new_segments[-1]["end"] >= new_seg["start"]:
-                new_segments[-1]["end"] = new_seg["end"]
-            else:
-                new_segments.append(new_seg)
-        segments = new_segments
+    if dilatation > 0 and segments:
+        # vectorized dilate-then-merge: pad every span, then chain-merge runs
+        # whose padded spans touch (detector spans are sorted + disjoint, so a
+        # span opens a new run iff its padded start clears the previous
+        # padded end)
+        pad = round(dilatation * sample_rate)
+        lo = np.maximum(np.asarray([s["start"] for s in segments]) - pad, 0)
+        hi = np.minimum(np.asarray([s["end"] for s in segments]) + pad, len(audio))
+        heads = np.flatnonzero(np.r_[True, lo[1:] > hi[:-1]])
+        tails = np.r_[heads[1:], len(lo)] - 1
+        segments = [
+            {"start": lo[h].item(), "end": hi[t].item()} for h, t in zip(heads, tails)
+        ]
 
     ratio = 1 if output_sample else 1 / sample_rate
     if ratio != 1:

@@ -12,34 +12,31 @@ from __future__ import annotations
 import csv as _csv
 import json
 import os
+from itertools import chain
 from typing import IO, Iterable, Iterator, List, Optional
 
 
 def format_timestamp(
     seconds: float, always_include_hours: bool = False, decimal_marker: str = "."
 ) -> str:
-    assert seconds >= 0, "non-negative timestamp expected"
-    milliseconds = round(seconds * 1000.0)
-    hours = milliseconds // 3_600_000
-    milliseconds -= hours * 3_600_000
-    minutes = milliseconds // 60_000
-    milliseconds -= minutes * 60_000
-    secs = milliseconds // 1_000
-    milliseconds -= secs * 1_000
-    hours_marker = f"{hours:02d}:" if always_include_hours or hours > 0 else ""
-    return f"{hours_marker}{minutes:02d}:{secs:02d}{decimal_marker}{milliseconds:03d}"
+    """``HH:MM:SS.mmm`` (hour field elided when zero unless forced)."""
+    if seconds < 0:
+        raise ValueError("non-negative timestamp expected")
+    hours, rem_ms = divmod(round(seconds * 1000.0), 3_600_000)
+    minutes, rem_ms = divmod(rem_ms, 60_000)
+    secs, ms = divmod(rem_ms, 1_000)
+    head = f"{hours:02d}:" if (hours or always_include_hours) else ""
+    return f"{head}{minutes:02d}:{secs:02d}{decimal_marker}{ms:03d}"
 
 
 def flatten(list_of_dicts: Iterable[dict], key: Optional[str] = None) -> Iterator:
-    """Yield items of each dict's ``key`` list (segments → words)."""
-    for d in list_of_dicts:
-        for item in d.get(key, []) if key else d:
-            yield item
+    """Chain the items of each dict's ``key`` list (segments → words)."""
+    per_dict = ((d.get(key) or []) for d in list_of_dicts) if key else list_of_dicts
+    return chain.from_iterable(per_dict)
 
 
 def remove_keys(list_of_dicts: Iterable[dict], key: str) -> Iterator[dict]:
-    for d in list_of_dicts:
-        yield {k: d[k] for k in d.keys() - {key}}
+    return ({k: v for k, v in d.items() if k != key} for d in list_of_dicts)
 
 
 def write_txt(transcript: Iterable[dict], file: IO):
@@ -159,27 +156,18 @@ def write_csv(
     format_timestamps=None,
     header=False,
 ):
-    writer = _csv.writer(file, delimiter=sep)
-    if format_timestamps is None:
-        format_timestamps = lambda x: x  # noqa: E731
-    if header is True:
-        header = ["text", "start", "end"] if text_first else ["start", "end", "text"]
+    fmt_ts = format_timestamps or (lambda t: t)
+    columns = ("text", "start", "end") if text_first else ("start", "end", "text")
+    emit = _csv.writer(file, delimiter=sep)
     if header:
-        writer.writerow(header)
-    if text_first:
-        writer.writerows(
-            [
-                [seg["text"].strip(), format_timestamps(seg["start"]), format_timestamps(seg["end"])]
-                for seg in transcript
-            ]
-        )
-    else:
-        writer.writerows(
-            [
-                [format_timestamps(seg["start"]), format_timestamps(seg["end"]), seg["text"].strip()]
-                for seg in transcript
-            ]
-        )
+        emit.writerow(list(columns) if header is True else header)
+    for seg in transcript:
+        cell = {
+            "text": seg["text"].strip(),
+            "start": fmt_ts(seg["start"]),
+            "end": fmt_ts(seg["end"]),
+        }
+        emit.writerow([cell[c] for c in columns])
 
 
 def write_tsv(transcript: Iterable[dict], file: IO):
