@@ -43,12 +43,8 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-# the axon backend reports near-zero compile times (the real compile is
-# remote/deferred), so jax skips cache writes unless the threshold is 0
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 from whisper_timestamped_tpu.utils.compile_cache import enable_persistent_compile_cache
-enable_persistent_compile_cache()  # the env vars above are no-ops in-process: sitecustomize already imported jax
+enable_persistent_compile_cache()  # env vars are frozen pre-script by sitecustomize; this works in-process
 
 import numpy as np
 

@@ -12,10 +12,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 from whisper_timestamped_tpu.utils.compile_cache import enable_persistent_compile_cache
-enable_persistent_compile_cache()  # the env vars above are no-ops in-process: sitecustomize already imported jax
+enable_persistent_compile_cache()  # env vars are frozen pre-script by sitecustomize; this works in-process
 
 import numpy as np
 import jax

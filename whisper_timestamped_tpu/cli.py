@@ -262,7 +262,7 @@ def main(argv=None):
     # runtime images do from sitecustomize before main() ever runs).
     from .utils.compile_cache import enable_persistent_compile_cache
 
-    enable_persistent_compile_cache()
+    enable_persistent_compile_cache(skip_on_cpu=True)
     parser = build_parser()
     args = parser.parse_args(argv).__dict__
     args.pop("accurate", None)
