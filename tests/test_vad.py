@@ -269,3 +269,138 @@ def test_silero_fake_prob_model_end_to_end():
     assert len(segs) == 1
     assert abs(segs[0]["start"] - 16000) < 2000
     assert abs(segs[0]["end"] - 32000) < 2000
+
+
+# ---------------------------------------------------------------------------
+# Silero ONNX weight path (protobuf lifted by models/onnx_weights.py — no
+# onnx/onnxruntime in this environment, reference transcribe.py:1956-2011)
+# ---------------------------------------------------------------------------
+
+
+def _pb_varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _pb_len_field(num, data):
+    return _pb_varint((num << 3) | 2) + _pb_varint(len(data)) + data
+
+
+def _pb_tensor(name, arr):
+    arr = np.asarray(arr, np.float32)
+    msg = b"".join(_pb_varint(1 << 3) + _pb_varint(d) for d in arr.shape)  # dims
+    msg += _pb_varint(2 << 3) + _pb_varint(1)  # data_type = FLOAT
+    msg += _pb_len_field(8, name.encode())
+    msg += _pb_len_field(9, arr.tobytes())
+    return msg
+
+
+def _write_fake_onnx(path, initializers, subgraph_initializers=None):
+    """Serialize {name: array} dicts as a minimal valid ModelProto, optionally
+    burying some initializers in an If-style node-attribute subgraph (the
+    real silero onnx wraps its 8k/16k paths that way)."""
+    nodes = b""
+    if subgraph_initializers:
+        sub = b"".join(
+            _pb_len_field(5, _pb_tensor(n, a))
+            for n, a in subgraph_initializers.items()
+        )
+        attr = _pb_len_field(6, sub)  # AttributeProto.g
+        nodes = _pb_len_field(1, _pb_len_field(5, attr))  # GraphProto.node
+    graph = nodes + b"".join(
+        _pb_len_field(5, _pb_tensor(n, a)) for n, a in initializers.items()
+    )
+    with open(path, "wb") as f:
+        f.write(_pb_len_field(7, graph))  # ModelProto.graph
+
+
+def _jit_state_arrays(jit_path):
+    import torch
+
+    sd = torch.jit.load(jit_path, map_location="cpu").state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if k.startswith("_model.")}
+
+
+def test_silero_onnx_weights_match_jit(tmp_path):
+    """ONNX-initializer weights must drive the SAME jax network as the .jit
+    parse — probs bit-equal on identical weights. Half the tensors are buried
+    in an If-branch subgraph to exercise the recursive collector."""
+    from whisper_timestamped_tpu.models import silero_jax as sj
+
+    jit_path = _make_fake_silero_jit(tmp_path)
+    arrays = _jit_state_arrays(jit_path)
+    names = sorted(arrays)
+    onnx_path = str(tmp_path / "silero_vad.onnx")
+    _write_fake_onnx(
+        onnx_path,
+        {n: arrays[n] for n in names[::2]},
+        subgraph_initializers={n: arrays[n] for n in names[1::2]},
+    )
+
+    onnx_fn = sj.load_onnx_prob_model(onnx_path)
+    assert onnx_fn is not None and getattr(onnx_fn, "is_jax", False)
+    jit_fn = sj.load_jax_prob_model(jit_path)
+    rng = np.random.default_rng(5)
+    chunks = (rng.standard_normal((16, 512)) * 0.3).astype(np.float32)
+    np.testing.assert_array_equal(onnx_fn(chunks, 16000), jit_fn(chunks, 16000))
+
+
+def test_silero_onnx_shape_fallback(tmp_path):
+    """Exporters that mangle module paths: conv stack matched by shape
+    chaining, LSTM by the ih/hh name fragments."""
+    from whisper_timestamped_tpu.models import silero_jax as sj
+
+    jit_path = _make_fake_silero_jit(tmp_path)
+    arrays = _jit_state_arrays(jit_path)
+    renamed = {}
+    for i, (name, arr) in enumerate(sorted(arrays.items())):
+        for frag in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            if frag in name:
+                renamed[f"onnx::LSTM_{i}.{frag}"] = arr
+                break
+        else:
+            renamed[f"onnx::Conv_{i}"] = arr
+    onnx_path = str(tmp_path / "mangled.onnx")
+    _write_fake_onnx(onnx_path, renamed)
+
+    onnx_fn = sj.load_onnx_prob_model(onnx_path)
+    assert onnx_fn is not None
+    jit_fn = sj.load_jax_prob_model(jit_path)
+    rng = np.random.default_rng(6)
+    chunks = (rng.standard_normal((8, 512)) * 0.3).astype(np.float32)
+    np.testing.assert_array_equal(onnx_fn(chunks, 16000), jit_fn(chunks, 16000))
+
+
+def test_silero_onnx_end_to_end_via_vad(tmp_path, monkeypatch):
+    """A user with only a cached silero_vad.onnx gets working vad='silero'
+    (previously a dead end: _find_local_silero found the file but only .jit
+    parsed). Segments must equal the .jit route's."""
+    from whisper_timestamped_tpu.models import silero_jax as sj
+
+    jit_path = _make_fake_silero_jit(tmp_path)
+    onnx_path = str(tmp_path / "silero_vad.onnx")
+    _write_fake_onnx(onnx_path, _jit_state_arrays(jit_path))
+
+    a = _speech_like()
+    monkeypatch.setenv("SILERO_VAD_PATH", jit_path)
+    want = get_vad_segments(a, method="silero", dilatation=0.0)
+    monkeypatch.setenv("SILERO_VAD_PATH", onnx_path)
+    got = get_vad_segments(a, method="silero", dilatation=0.0)
+    assert got == want
+    assert sj._PROB_MODEL_CACHE[onnx_path].is_jax
+
+
+def test_silero_onnx_schema_mismatch_raises(tmp_path, monkeypatch):
+    """An unrecognized onnx must fail loudly, not mis-score."""
+    from whisper_timestamped_tpu.models import silero_jax as sj
+
+    onnx_path = str(tmp_path / "weird.onnx")
+    _write_fake_onnx(onnx_path, {"w": np.zeros((3, 3), np.float32)})
+    with pytest.raises(RuntimeError, match="v5 weight schema"):
+        sj._cached_prob_model(onnx_path)

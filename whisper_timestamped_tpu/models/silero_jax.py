@@ -57,11 +57,18 @@ _ENC_STRIDES = (1, 2, 2, 1)  # per encoder layer, padding 1 each
 
 def parse_silero_state_dict(sd: dict) -> Optional[dict]:
     """Extract the v5-schema weights as numpy arrays, or None if the
-    checkpoint does not match (e.g. the v3/v4 architecture)."""
+    checkpoint does not match (e.g. the v3/v4 architecture).
+
+    Accepts torch tensors (jit state_dict) or numpy arrays (onnx
+    initializers remapped by :func:`match_onnx_silero_weights`)."""
 
     def get(key):
         t = sd.get(key)
-        return None if t is None else np.asarray(t.detach().cpu().numpy(), np.float32)
+        if t is None:
+            return None
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().numpy()
+        return np.asarray(t, np.float32)
 
     stft = get(_V5_KEYS["stft"])
     if stft is None or stft.ndim != 3 or stft.shape[1] != 1 or stft.shape[0] % 2:
@@ -80,6 +87,122 @@ def parse_silero_state_dict(sd: dict) -> Optional[dict]:
     if rnn[0].shape[0] != 4 * rnn[1].shape[1]:
         return None
     return {"stft": stft, "enc": enc, "rnn": rnn, "head": (head_w, head_b)}
+
+
+def match_onnx_silero_weights(inits: dict) -> Optional[dict]:
+    """Remap ONNX initializer names onto the v5 jit state_dict schema.
+
+    The published silero exports keep the module paths in initializer names
+    (possibly without the ``_model.`` prefix, possibly under an ``If``-branch
+    subgraph); match each canonical key by suffix. When name matching fails
+    (e.g. an exporter that renamed everything), fall back to chaining the
+    conv shapes: STFT basis (2F, 1, K) → encoder convs (out, in, 3) linked
+    in→out starting from F → (1, C, 1) head; the LSTM weights are only
+    accepted by name (``weight_ih``/``weight_hh`` have identical shapes).
+    """
+    by_suffix = {}
+    for name, arr in inits.items():
+        by_suffix[name] = arr
+
+    def find(canonical: str):
+        suffix = canonical[len("_model."):]  # e.g. "stft.forward_basis_buffer"
+        for name, arr in by_suffix.items():
+            if name == canonical or name.endswith(suffix):
+                return arr
+        return None
+
+    sd = {}
+    missing = []
+    for slot, key in _V5_KEYS.items():
+        keys = [key.format(i=i) for i in range(4)] if "{i}" in key else [key]
+        for k in keys:
+            arr = find(k)
+            if arr is None:
+                missing.append(k)
+            else:
+                sd[k] = arr
+    if not missing:
+        return sd
+
+    # shape-chaining fallback (module paths mangled by the exporter). Bias
+    # shapes alone are ambiguous (the v5 stack has two 64- and two 128-wide
+    # conv biases), so each conv weight pairs with the CLOSEST unused 1-D
+    # tensor of matching length in graph order — torch exporters emit a
+    # node's weight and bias initializers adjacently.
+    order = {n: i for i, n in enumerate(inits)}
+    stfts = [a for a in inits.values() if a.ndim == 3 and a.shape[1] == 1
+             and a.shape[0] % 2 == 0 and a.shape[0] > 8 and a.shape[2] > 4]
+    convs = {n: a for n, a in inits.items() if a.ndim == 3 and a.shape[2] == 3}
+    heads = [a for a in inits.values()
+             if a.ndim == 3 and a.shape[0] == 1 and a.shape[2] == 1]
+    lstm = {("w" if "weight" in n else "b") + ("i" if "_ih" in n else "h"): a
+            for n, a in inits.items()
+            if ("weight_ih" in n or "weight_hh" in n or "bias_ih" in n or "bias_hh" in n)}
+    if len(stfts) != 1 or len(heads) != 1 or len(lstm) < 4:
+        return None
+    used_biases: set = set()
+
+    def nearest_bias(anchor_name: str, length: int):
+        cands = [
+            (abs(order[n] - order[anchor_name]), order[n], n)
+            for n, a in inits.items()
+            if a.ndim == 1 and a.shape[0] == length and n not in used_biases
+        ]
+        if not cands:
+            return None
+        name = min(cands)[2]
+        used_biases.add(name)
+        return inits[name]
+
+    stft = stfts[0]
+    sd = {_V5_KEYS["stft"]: stft}
+    in_ch = stft.shape[0] // 2
+    for i in range(4):
+        w_name = next((n for n, a in convs.items() if a.shape[1] == in_ch), None)
+        if w_name is None:
+            return None
+        w = convs.pop(w_name)
+        b = nearest_bias(w_name, w.shape[0])
+        if b is None:
+            return None
+        sd[_V5_KEYS["enc_w"].format(i=i)] = w
+        sd[_V5_KEYS["enc_b"].format(i=i)] = b
+        in_ch = w.shape[0]
+    sd[_V5_KEYS["rnn_wi"]] = lstm.get("wi")
+    sd[_V5_KEYS["rnn_wh"]] = lstm.get("wh")
+    sd[_V5_KEYS["rnn_bi"]] = lstm.get("bi")
+    sd[_V5_KEYS["rnn_bh"]] = lstm.get("bh")
+    sd[_V5_KEYS["head_w"]] = heads[0]
+    sd[_V5_KEYS["head_b"]] = nearest_bias(next(iter(inits)), 1)
+    if any(v is None for v in sd.values()):
+        return None
+    return sd
+
+
+def load_onnx_prob_model(path: str) -> Optional[Callable[[np.ndarray, int], np.ndarray]]:
+    """Build the JAX prob model from a cached ``silero_vad.onnx``.
+
+    The reference runs this file through onnxruntime
+    (``transcribe.py:1956-2011``); neither onnx nor onnxruntime exists in
+    this image, so the initializers are lifted straight out of the protobuf
+    (``onnx_weights.py``) and run through the same JAX network as the ``.jit``
+    path. Returns None when the file's weights don't match the v5 schema."""
+    from .onnx_weights import parse_onnx_initializers
+
+    try:
+        inits = parse_onnx_initializers(path)
+    except Exception as exc:
+        logger.warning("could not parse %s as ONNX (%s)", path, exc)
+        return None
+    sd = match_onnx_silero_weights(inits)
+    weights = parse_silero_state_dict(sd) if sd else None
+    if weights is None:
+        logger.warning(
+            "%s does not match the silero v5 weight schema — "
+            "use a .jit checkpoint or the energy VAD", path,
+        )
+        return None
+    return make_jax_prob_fn(weights)
 
 
 def make_jax_prob_fn(weights: dict) -> Callable[[np.ndarray, int], np.ndarray]:
@@ -280,10 +403,21 @@ _PROB_MODEL_CACHE: dict = {}
 
 def _cached_prob_model(path: str) -> Callable[[np.ndarray, int], np.ndarray]:
     """JAX port when the checkpoint matches, torchscript otherwise; cached so
-    weight parsing/validation happens once per path."""
+    weight parsing/validation happens once per path. ONNX files have no
+    torchscript fallback: a schema mismatch is a hard error (the user should
+    fetch a .jit checkpoint or use the energy VAD)."""
     fn = _PROB_MODEL_CACHE.get(path)
     if fn is None:
-        fn = load_jax_prob_model(path) or load_torchscript_prob_model(path)
+        if path.endswith(".onnx"):
+            fn = load_onnx_prob_model(path)
+            if fn is None:
+                raise RuntimeError(
+                    f"{path} does not match the silero v5 weight schema and "
+                    "onnxruntime is not available; provide a .jit silero "
+                    "model or use the energy VAD."
+                )
+        else:
+            fn = load_jax_prob_model(path) or load_torchscript_prob_model(path)
         _PROB_MODEL_CACHE[path] = fn
     return fn
 
@@ -307,13 +441,8 @@ def silero_get_speech_timestamps(
     audio = normalize_gain(np.asarray(audio, np.float32))
 
     if probs_fn is None:
-        if model_path.endswith(".onnx"):
-            raise RuntimeError(
-                "onnxruntime is not available in this environment; provide a "
-                ".jit silero model or use the energy VAD."
-            )
         # prefer the JAX port (torch is only touched once, to parse weights);
-        # unknown architectures fall back to the torchscript adapter
+        # unknown .jit architectures fall back to the torchscript adapter
         probs_fn = _cached_prob_model(model_path)
 
     n = len(audio)
