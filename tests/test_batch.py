@@ -414,6 +414,38 @@ def test_stream_vad_mode_unpipelined_but_correct(model, tok):
     assert got == want
 
 
+def test_stream_on_mesh_matches_serial(model, tok):
+    """The serving loop composed with a dp x tp mesh — the production story
+    (one `transcribe_batch_stream` feeding a v5e-8). Must be bit-identical to
+    per-batch `transcribe_batch` calls on the same mesh engine, and
+    token-identical to the unsharded serial window loop."""
+    from whisper_timestamped_tpu.parallel.batch import transcribe_batch_stream
+
+    batches = [
+        {"a": _audio(60, 5), "b": _audio(61, 8)},
+        {"c": _audio(62, 4)},
+    ]
+    kw = dict(language="en", batch_size=2, temperature=[0.0],
+              no_speech_threshold=None, logprob_threshold=None)
+
+    mesh = get_mesh(dp=2, tp=4)
+    engine_mesh = DecodeEngine(model, tok, mesh=mesh)
+    got = list(transcribe_batch_stream(model, iter(batches), tok,
+                                       engine=engine_mesh, **kw))
+    want = [transcribe_batch(model, b, tok, engine=engine_mesh, **kw)
+            for b in batches]
+    assert got == want
+
+    engine_single = DecodeEngine(model, tok)
+    want_single = [transcribe_batch(model, b, tok, engine=engine_single, **kw)
+                   for b in batches]
+    for res_mesh, res_one in zip(got, want_single):
+        for name in res_mesh:
+            assert [s["text"] for s in res_mesh[name]["segments"]] == [
+                s["text"] for s in res_one[name]["segments"]
+            ], name
+
+
 def test_threaded_chunked_upload_equivalent(model, monkeypatch):
     """WTT_UPLOAD_THREADS issues the chunk puts concurrently; the assembled
     device mel must be identical to the serial chunked and monolithic paths."""
