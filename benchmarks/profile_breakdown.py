@@ -52,6 +52,9 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "24"))
     n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
     kv_int8 = os.environ.get("BENCH_KV_INT8") == "1"
+    kv_int4 = os.environ.get("BENCH_KV_INT4") == "1"
+    self_int8 = os.environ.get("BENCH_SELF_INT8") == "1"
+    w_int8 = os.environ.get("BENCH_W_INT8") == "1"
 
     dims = WhisperDims(n_audio_ctx=1500, n_text_ctx=448, **GEOMETRIES[model_name])
     params = cast_params(init_params(dims, jax.random.PRNGKey(0)), jnp.bfloat16)
@@ -66,7 +69,8 @@ def main():
 
     heads = ALIGNMENT_HEADS.get(model_name) or [(dims.n_text_layer - 1, h) for h in range(6)]
     wm = WhisperModel(params=params, dims=dims, alignment_heads=heads)
-    engine = DecodeEngine(wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8)
+    engine = DecodeEngine(wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8,
+                          kv_int4=kv_int4, self_kv_int8=self_int8, w_int8=w_int8)
 
     reps = int(os.environ.get("BENCH_REPS", "4"))
 
@@ -102,7 +106,8 @@ def main():
             sot_index_from_end=sot_from_end,
             max_initial_timestamp_index=max_init_ts,
             suppress_blank=True, without_timestamps=False,
-            attn_dtype=jnp.bfloat16, kv_int8=kv_int8,
+            attn_dtype=jnp.bfloat16, kv_int8=kv_int8 and not kv_int4,
+            kv_int4=kv_int4, self_kv_int8=self_int8,
         )
 
     t_all, out = timed(raw, [(m,) for m in mels], probe=lambda o: np.asarray(o["n_steps"]))
@@ -154,7 +159,8 @@ def main():
                 sot_index_from_end=sot_from_end,
                 max_initial_timestamp_index=max_init_ts,
                 suppress_blank=True, without_timestamps=False,
-                attn_dtype=jnp.bfloat16, kv_int8=kv_int8,
+                attn_dtype=jnp.bfloat16, kv_int8=kv_int8 and not kv_int4,
+                kv_int4=kv_int4, self_kv_int8=self_int8,
             )
 
         t1, _ = timed(raw1, [(m,) for m in mels], probe=lambda o: np.asarray(o["n_steps"]))
