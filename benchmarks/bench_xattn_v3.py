@@ -1,5 +1,6 @@
-"""A/B the stacked int8 cross-attention kernels at the serving shape:
-v2 (VPU weighted-V tail) vs v3 (MXU weighted-V tail), per block_t.
+"""A/B the stacked cross-attention kernels at the serving shape:
+int8 v2 (VPU weighted-V tail) vs int8 v3 (MXU weighted-V tail) vs int4
+(nibble-packed, half the bytes), per block_t.
 
 32 chained layer-calls per measurement (single-op timings through the axon
 tunnel are swamped by the ~30 ms round-trip floor), distinct buffers per rep,
@@ -34,9 +35,12 @@ def main():
     reps = int(os.environ.get("XB_REPS", "4"))
     block_ts = [int(x) for x in os.environ.get("XB_BLOCKT", "512").split(",")]
     variants = os.environ.get("XB_VARIANTS", "v2,v3").split(",")
+    par_b = os.environ.get("XB_PAR") == "1"  # mark batch grid dim parallel
+    vmem_mb = int(os.environ.get("XB_VMEM", "0"))  # raise Mosaic VMEM budget
     # ~30% of layers carry alignment heads in large-v3; flag half on to
     # approximate the real score-emission mix
     gb_step = 2 * L * B * T * D / 1e9  # int8 K+V bytes per 32-layer sweep
+    gb_step_i4 = gb_step / 2  # nibble-packed K+V
 
     del _quantize_rows  # int8 content is generated directly (a full-size f32
     # intermediate would overflow HBM: (L,B,T,D) f32 is ~9.8 GB at B=40)
@@ -56,18 +60,31 @@ def main():
         vs = jnp.asarray(rr.uniform(0.001, 0.01, (L, B, T)).astype(np.float32))
         return tuple(jax.block_until_ready(x) for x in (k8, ks, v8, vs))
 
+    def make_kv_i4(seed):
+        rr = np.random.default_rng(seed)
+        k4 = jnp.asarray(rr.integers(-128, 128, (L, B, T // 2, D), np.int8))
+        v4 = jnp.asarray(rr.integers(-128, 128, (L, B, T // 2, D), np.int8))
+        ks = jnp.asarray(rr.uniform(0.001, 0.01, (L, B, T)).astype(np.float32))
+        vs = jnp.asarray(rr.uniform(0.001, 0.01, (L, B, T)).astype(np.float32))
+        return tuple(jax.block_until_ready(x) for x in (k4, ks, v4, vs))
+
     # two resident KV sets (one is ~4.9 GB; five would overflow HBM) —
     # alternating sets + a distinct q per rep keeps every call's argument
     # tuple unique, defeating the tunnel's execution memoization
-    kvs = [make_kv(0), make_kv(1)]
+    want_i8 = any(v in ("v2", "v3") for v in variants)
+    kvs = [make_kv(0), make_kv(1)] if want_i8 else None
+    kvs_i4 = [make_kv_i4(2), make_kv_i4(3)] if "i4" in variants else None
 
     fns = {
         "v2": pk.cross_attention_stacked_int8_pallas_v2,
         "v3": pk.cross_attention_stacked_int8_pallas_v3,
+        "i4": pk.cross_attention_stacked_int4_pallas,
     }
 
     for name in variants:
         fn = fns[name]
+        sets = kvs_i4 if name == "i4" else kvs
+        gb = gb_step_i4 if name == "i4" else gb_step
         for bt in block_ts:
 
             @functools.partial(jax.jit, static_argnames=())
@@ -77,6 +94,7 @@ def main():
                         l, carry, k8, ks, v8, vs, H, block_t=_bt,
                         score_flag=(l % 3 == 0).astype(jnp.int32),
                         emit_scores=True,
+                        parallel_b=par_b, vmem_limit_mb=vmem_mb,
                     )
                     # chain: serialize the layer calls
                     return (carry + out.astype(carry.dtype)), None
@@ -84,18 +102,19 @@ def main():
                 q2, _ = jax.lax.scan(body, q, jnp.arange(L, dtype=jnp.int32))
                 return q2
 
-            out = sweep(qs[-1], *kvs[0])
+            out = sweep(qs[-1], *sets[0])
             np.asarray(out)  # warmup + compile
             ts = []
             for i in range(reps):
                 t0 = time.time()
-                out = sweep(qs[i], *kvs[i % 2])
+                out = sweep(qs[i], *sets[i % 2])
                 np.asarray(out)
                 ts.append(time.time() - t0)
             best = min(ts)
+            tag = f"{name}{' par' if par_b else ''}{f' vmem{vmem_mb}' if vmem_mb else ''}"
             print(
-                f"{name} block_t={bt}: {best*1e3:7.2f} ms / 32-layer sweep "
-                f"({best*1e3/L:6.3f} ms/layer, {gb_step/best:5.0f} GB/s eff; "
+                f"{tag} block_t={bt}: {best*1e3:7.2f} ms / 32-layer sweep "
+                f"({best*1e3/L:6.3f} ms/layer, {gb/best:5.0f} GB/s eff; "
                 f"times={[round(t*1e3,1) for t in ts]})",
                 flush=True,
             )

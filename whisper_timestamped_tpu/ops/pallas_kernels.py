@@ -40,6 +40,21 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _xattn_compiler_params(parallel_b: bool, vmem_limit_mb: int):
+    """Mosaic knobs for the stacked decode-attention kernels.
+
+    ``parallel_b`` marks the batch grid dim "parallel" (each b's online-softmax
+    carry is private: scratch re-initializes at t==0), letting Mosaic schedule
+    across b without assuming a dependency; ``vmem_limit_mb`` raises the
+    compiler's VMEM budget so larger T tiles (fewer, bigger DMAs) compile."""
+    if not parallel_b and not vmem_limit_mb:
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary") if parallel_b else None,
+        vmem_limit_bytes=(vmem_limit_mb * 2**20) if vmem_limit_mb else None,
+    )
+
+
 def _fold_q(smat, q):
     """(D, HP) head-sum matrix with the query folded in: smat * q[:, None].
 
@@ -1016,7 +1031,11 @@ def _xattn_stacked_int8_v2_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "block_t", "emit_scores", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_head", "block_t", "emit_scores", "interpret",
+        "parallel_b", "vmem_limit_mb",
+    ),
 )
 def cross_attention_stacked_int8_pallas_v2(
     l_idx: jnp.ndarray,  # scalar int32
@@ -1030,6 +1049,8 @@ def cross_attention_stacked_int8_pallas_v2(
     score_flag: Optional[jnp.ndarray] = None,  # scalar int32: emit this layer?
     emit_scores: bool = True,
     interpret=None,
+    parallel_b: bool = False,
+    vmem_limit_mb: int = 0,
 ):
     """Lane-parallel stacked int8 single-query cross-attention (same contract
     and score gating as ``cross_attention_stacked_pallas_v2``)."""
@@ -1051,6 +1072,7 @@ def cross_attention_stacked_int8_pallas_v2(
         _xattn_stacked_int8_v2_kernel, n_head, T, np.float32(dh**-0.5),
         emit_scores,
     )
+    cparams = _xattn_compiler_params(parallel_b, vmem_limit_mb)
     out_specs = [pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0))]
     out_shape = [jax.ShapeDtypeStruct((B, 1, D), q.dtype)]
     if emit_scores:
@@ -1089,6 +1111,7 @@ def cross_attention_stacked_int8_pallas_v2(
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
+        compiler_params=cparams,
     )(
         sp,
         q, xk_all, xk_scale.astype(jnp.float32)[:, :, None, :], xv_all,
@@ -1204,7 +1227,11 @@ def _xattn_stacked_int8_v3_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "block_t", "emit_scores", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_head", "block_t", "emit_scores", "interpret",
+        "parallel_b", "vmem_limit_mb",
+    ),
 )
 def cross_attention_stacked_int8_pallas_v3(
     l_idx: jnp.ndarray,  # scalar int32
@@ -1218,6 +1245,8 @@ def cross_attention_stacked_int8_pallas_v3(
     score_flag: Optional[jnp.ndarray] = None,
     emit_scores: bool = True,
     interpret=None,
+    parallel_b: bool = False,
+    vmem_limit_mb: int = 0,
 ):
     """Same contract as ``cross_attention_stacked_int8_pallas_v2``; the
     weighted-V tail runs on the MXU (see the kernel docstring)."""
@@ -1239,6 +1268,7 @@ def cross_attention_stacked_int8_pallas_v3(
         _xattn_stacked_int8_v3_kernel, n_head, T, np.float32(dh**-0.5),
         emit_scores,
     )
+    cparams = _xattn_compiler_params(parallel_b, vmem_limit_mb)
     out_specs = [pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0))]
     out_shape = [jax.ShapeDtypeStruct((B, 1, D), q.dtype)]
     if emit_scores:
@@ -1277,6 +1307,7 @@ def cross_attention_stacked_int8_pallas_v3(
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
+        compiler_params=cparams,
     )(
         sp,
         q, xk_all, xk_scale.astype(jnp.float32)[:, :, None, :], xv_all,
@@ -1325,13 +1356,15 @@ def _xattn_stacked_int4_v2_kernel(
         num_ref[...] = jnp.zeros_like(num_ref)
 
     q = q_ref[0, 0, :]
-    kp = kp_ref[0, 0].astype(jnp.int32)  # (TTp, D)
-    vp = vp_ref[0, 0].astype(jnp.int32)
-    # sign-extending nibble unpack (int8 -> [-8, 7]; quantizer emits [-7, 7])
-    k_lo = ((kp << 28) >> 28).astype(jnp.bfloat16)
-    k_hi = ((kp << 24) >> 28).astype(jnp.bfloat16)
-    v_lo = ((vp << 28) >> 28).astype(jnp.bfloat16)
-    v_hi = ((vp << 24) >> 28).astype(jnp.bfloat16)
+    kp = kp_ref[0, 0]  # (TTp, D) int8
+    vp = vp_ref[0, 0]
+    # sign-extending nibble unpack IN THE int8 DOMAIN (int8 -> [-8, 7]; the
+    # quantizer emits [-7, 7]): the earlier int32 unpack paid a 4x sublane
+    # relayout on every (TTp, D) tile before the shifts even ran
+    k_lo = ((kp << 4) >> 4).astype(jnp.bfloat16)
+    k_hi = (kp >> 4).astype(jnp.bfloat16)
+    v_lo = ((vp << 4) >> 4).astype(jnp.bfloat16)
+    v_hi = (vp >> 4).astype(jnp.bfloat16)
     ks2 = ks_ref[0, 0].astype(jnp.float32)  # (2, TTp): [0]=even, [1]=odd frames
     vs2 = vs_ref[0, 0].astype(jnp.float32)
     smat = smat_ref[...]
@@ -1394,22 +1427,23 @@ def _xattn_stacked_int4_v2_kernel(
         + jnp.sum(p_lo, axis=0, keepdims=True)
         + jnp.sum(p_hi, axis=0, keepdims=True)
     )
-    # fold the V scale into the weights before the head expansion (the pad
-    # tail is annihilated by the zero weights — int nibbles cast finite)
-    contrib = jnp.zeros((1, D), jnp.float32)
+    # fold the V scale into the weights, then contract over T ON THE MXU
+    # (the v3 trick): pv[h, d] is meaningful on the block diagonal only and
+    # the emat mask extracts it — the earlier (TTp, D) elementwise weighted-V
+    # tail ran twice per tile on the VPU and starved the DMA. Pad-tail rows
+    # carry exact zero weights, so nibble garbage cannot leak in.
+    pv = jnp.zeros((emat.shape[0], D), jnp.float32)
     for p_half, v_half, scale_row, rows in (
         (p_lo, v_lo, vs2[0], row_lo),
         (p_hi, v_hi, vs2[1], row_hi),
     ):
         p2 = jnp.where(rows < T_real, p_half * scale_row[:, None], 0.0)
-        w_full = jax.lax.dot_general(
-            p2.astype(jnp.bfloat16), emat.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+        pv = pv + jax.lax.dot_general(
+            p2.astype(jnp.bfloat16), v_half,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
-        contrib = contrib + jnp.sum(
-            v_half * w_full, axis=0, keepdims=True, dtype=jnp.float32
-        )
+        )  # (HP, D)
+    contrib = jnp.sum(pv * emat, axis=0, keepdims=True)  # (1, D)
     alpha_d = jax.lax.dot_general(
         alpha, emat, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -1429,7 +1463,11 @@ def _xattn_stacked_int4_v2_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "block_t", "emit_scores", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_head", "block_t", "emit_scores", "interpret",
+        "parallel_b", "vmem_limit_mb",
+    ),
 )
 def cross_attention_stacked_int4_pallas(
     l_idx: jnp.ndarray,  # scalar int32
@@ -1443,6 +1481,8 @@ def cross_attention_stacked_int4_pallas(
     score_flag: Optional[jnp.ndarray] = None,
     emit_scores: bool = True,
     interpret=None,
+    parallel_b: bool = False,
+    vmem_limit_mb: int = 0,
 ):
     """Lane-parallel stacked int4 single-query cross-attention (same contract
     and score gating as ``cross_attention_stacked_pallas_v2``; K/V packed as
@@ -1482,6 +1522,7 @@ def cross_attention_stacked_int4_pallas(
         _xattn_stacked_int4_v2_kernel, n_head, T, np.float32(dh**-0.5),
         emit_scores,
     )
+    cparams = _xattn_compiler_params(parallel_b, vmem_limit_mb)
     out_specs = [pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0))]
     out_shape = [jax.ShapeDtypeStruct((B, 1, D), q.dtype)]
     if emit_scores:
@@ -1532,6 +1573,7 @@ def cross_attention_stacked_int4_pallas(
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
+        compiler_params=cparams,
     )(
         sp,
         q, xk_packed, parity_scales(xk_scale), xv_packed,
@@ -1710,12 +1752,17 @@ def _self_attn_stacked_int8_kernel(
     p = jnp.exp(scores - m)
     l = jnp.sum(p, axis=0, keepdims=True)
     w = (p / l) * vs[:, None]  # fold the V scale into the weights
-    w_full = jax.lax.dot_general(
-        w.astype(jnp.bfloat16), emat.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+    # contract over CTX on the MXU (the cross-attn v3 trick): pv[h, d] is
+    # meaningful on the block diagonal only and the emat mask extracts it —
+    # the (CTX, D) elementwise weighted-V tail ran on the VPU and stalled
+    # the K/V stream. Masked slots carry exact zero weights, so int8
+    # garbage outside [pad_b, pos] cannot leak in.
+    pv = jax.lax.dot_general(
+        w.astype(jnp.bfloat16), v,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)  # (CTX, D); zeros outside [pad_b, pos]
-    out_ref[0, 0, :] = jnp.sum(v * w_full, axis=0, dtype=jnp.float32).astype(
+    )  # (HP, D)
+    out_ref[0, 0, :] = jnp.sum(pv * emat, axis=0, dtype=jnp.float32).astype(
         out_ref.dtype
     )
 
