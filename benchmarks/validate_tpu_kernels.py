@@ -95,14 +95,19 @@ def main():
     ok &= check("xattn_stacked_int8_v3 scores", s3, s2, 5e-2)
 
     # int4 (nibble-packed): oracle = XLA int8 path on the unpacked values
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _int4_scales_frame_order,
+    )
+
     k4, ks4 = _quantize_rows_int4(xk)
     v4, vs4 = _quantize_rows_int4(xv)
     k8u, v8u = _unpack_int4_rows(k4), _unpack_int4_rows(v4)
+    ks4f, vs4f = _int4_scales_frame_order(ks4), _int4_scales_frame_order(vs4)
     o1, s1 = cross_attention_stacked_int4_pallas(
         1, q, k4, ks4, v4, vs4, H, block_t=128, interpret=None
     )
     o2, s2 = cross_attention(
-        q, k8u[1], xv=v8u[1], xk_scale=ks4[1], xv_scale=vs4[1], n_head=H,
+        q, k8u[1], xv=v8u[1], xk_scale=ks4f[1], xv_scale=vs4f[1], n_head=H,
         allow_pallas=False,
     )
     ok &= check("xattn_stacked_int4 out", o1, o2, 3e-2)
@@ -177,6 +182,59 @@ def main():
     ok &= live <= 2e-2
     uc, _ = _attention(qp, xk[0], xv[0], H)
     ok &= check("prefill_flash cross", fc, uc, 2e-2)
+
+    # production geometry (large-v3 decode shapes) with the single-tile
+    # whole-context config (block_t=1536 needs the raised VMEM budget) —
+    # the small-T checks above collapse to one tile for every block_t, so
+    # they never exercise the config the serving default actually runs
+    if os.environ.get("VALIDATE_BIG", "1") == "1":
+        Tb, Db, Hb = 1500, 1280, 20
+        qb = jnp.asarray(r.standard_normal((2, 1, Db)).astype(np.float32))
+        xkb = jnp.asarray(
+            (r.standard_normal((2, 2, Tb, Db)) * 0.5).astype(np.float32)
+        )
+        xvb = jnp.asarray(
+            (r.standard_normal((2, 2, Tb, Db)) * 0.5).astype(np.float32)
+        )
+        o1, s1 = cross_attention_stacked_pallas_v2(
+            1, qb.astype(jnp.bfloat16), xkb.astype(jnp.bfloat16),
+            xvb.astype(jnp.bfloat16), Hb, block_t=1536, vmem_limit_mb=64,
+            interpret=None,
+        )
+        o2, s2 = _attention(
+            qb.astype(jnp.bfloat16), xkb[1].astype(jnp.bfloat16),
+            xvb[1].astype(jnp.bfloat16), Hb, return_scores=True,
+        )
+        ok &= check("xattn_bf16_v2 T=1500 bt=1536 out", o1, o2, 2e-2)
+        ok &= check("xattn_bf16_v2 T=1500 bt=1536 scores", s1, s2, 5e-2)
+
+        k8b, ksb = _quantize_rows(xkb)
+        v8b, vsb = _quantize_rows(xvb)
+        o1, s1 = cross_attention_stacked_int8_pallas_v2(
+            1, qb, k8b, ksb, v8b, vsb, Hb, block_t=1536, vmem_limit_mb=64,
+            interpret=None,
+        )
+        o2, s2 = cross_attention(
+            qb, k8b[1], xv=v8b[1], xk_scale=ksb[1], xv_scale=vsb[1],
+            n_head=Hb, allow_pallas=False,
+        )
+        ok &= check("xattn_int8_v2 T=1500 bt=1536 out", o1, o2, 3e-2)
+        ok &= check("xattn_int8_v2 T=1500 bt=1536 scores", s1, s2, 5e-2)
+
+        k4b, ks4b = _quantize_rows_int4(xkb)
+        v4b, vs4b = _quantize_rows_int4(xvb)
+        o1, s1 = cross_attention_stacked_int4_pallas(
+            1, qb, k4b, ks4b, v4b, vs4b, Hb, block_t=1536, vmem_limit_mb=64,
+            interpret=None,
+        )
+        k8u, v8u = _unpack_int4_rows(k4b), _unpack_int4_rows(v4b)
+        o2, s2 = cross_attention(
+            qb, k8u[1], xv=v8u[1], xk_scale=_int4_scales_frame_order(ks4b)[1],
+            xv_scale=_int4_scales_frame_order(vs4b)[1], n_head=Hb,
+            allow_pallas=False,
+        )
+        ok &= check("xattn_int4 T=1500 bt=1536 out", o1, o2, 3e-2)
+        ok &= check("xattn_int4 T=1500 bt=1536 scores", s1, s2, 5e-2)
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1

@@ -395,20 +395,29 @@ def test_quantize_int4_pack_unpack_roundtrip():
         _unpack_int4_rows,
     )
 
+    from whisper_timestamped_tpu.models.whisper_jax import (
+        _int4_scales_frame_order,
+    )
+
     r = np.random.default_rng(3)
     x = r.standard_normal((2, 2, 10, 16)).astype(np.float32) * 10
     x[0, 0, 0, 0] = 1e4  # force scale extremes
     x[0, 0, 1, 0] = -1e4
-    packed, s = _quantize_rows_int4(jnp.asarray(x))
+    packed, s_parity = _quantize_rows_int4(jnp.asarray(x))
     assert packed.shape == (2, 2, 5, 16) and packed.dtype == jnp.int8
-    assert s.shape == (2, 2, 10)
+    assert s_parity.shape == (2, 2, 10)
+    # scales come back parity-major (even frames, then odd); the helper
+    # restores frame order and must invert the quantizer's grouping exactly
+    s = np.asarray(_int4_scales_frame_order(s_parity))
+    np.testing.assert_array_equal(s[..., 0::2], np.asarray(s_parity)[..., :5])
+    np.testing.assert_array_equal(s[..., 1::2], np.asarray(s_parity)[..., 5:])
     got = np.asarray(_unpack_int4_rows(packed))
     want = np.clip(
-        np.round(x / np.maximum(np.asarray(s), 1e-8)[..., None]), -7, 7
+        np.round(x / np.maximum(s, 1e-8)[..., None]), -7, 7
     ).astype(np.int8)
     np.testing.assert_array_equal(got, want)
     # dequantized reconstruction is within one quantization step
-    deq = got.astype(np.float32) * np.asarray(s)[..., None]
+    deq = got.astype(np.float32) * s[..., None]
     np.testing.assert_allclose(deq, x, atol=float(np.abs(x).max()) / 7 / 2 + 1e-6)
 
 
@@ -417,6 +426,7 @@ def test_cross_attention_stacked_int4_matches_xla_int8():
     the same per-frame scales — exact same quantized math, so the comparison
     is tight. Non-tile-aligned T exercises the parity masking."""
     from whisper_timestamped_tpu.models.whisper_jax import (
+        _int4_scales_frame_order,
         _quantize_rows_int4,
         _unpack_int4_rows,
         cross_attention,
@@ -425,28 +435,36 @@ def test_cross_attention_stacked_int4_matches_xla_int8():
         cross_attention_stacked_int4_pallas,
     )
 
-    L, B, T, D, H = 3, 2, 300, 256, 4
     r = np.random.default_rng(17)
-    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
-    xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
-    xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
-    k4, ks = _quantize_rows_int4(xk)
-    v4, vs = _quantize_rows_int4(xv)
-    k8, v8 = _unpack_int4_rows(k4), _unpack_int4_rows(v4)
-    # block_t=128 -> the tile rounds up to the Mosaic-legal 128 packed rows
-    # and the packed buffers/scales get padded (nt=2); block_t=512 collapses
-    # to a single full-width tile (Tp=150 <= 256)
-    for block_t in (128, 512):
-        for l in range(L):
-            o1, s1 = cross_attention_stacked_int4_pallas(
-                l, q, k4, ks, v4, vs, H, block_t=block_t, interpret=True
-            )
-            assert s1.shape == (B, H, 1, T)
-            o2, s2 = cross_attention(
-                q, k8[l], xv=v8[l], xk_scale=ks[l], xv_scale=vs[l], n_head=H
-            )
-            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=3e-2)
-            np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
+    # (T, block_t) covers: non-tile-aligned T collapsing to one full-width
+    # tile (300/128, 300/512) and a REAL multi-tile grid with the tile
+    # dividing the packed frame count exactly (512/256 -> TTp=128, nt=2)
+    for T, block_ts in ((300, (128, 512)), (512, (256,))):
+        L, B, D, H = 3, 2, 256, 4
+        q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+        xk = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+        xv = jnp.asarray(r.standard_normal((L, B, T, D)).astype(np.float32))
+        k4, ks = _quantize_rows_int4(xk)
+        v4, vs = _quantize_rows_int4(xv)
+        k8, v8 = _unpack_int4_rows(k4), _unpack_int4_rows(v4)
+        ksf = _int4_scales_frame_order(ks)
+        vsf = _int4_scales_frame_order(vs)
+        for block_t in block_ts:
+            for l in range(L):
+                o1, s1 = cross_attention_stacked_int4_pallas(
+                    l, q, k4, ks, v4, vs, H, block_t=block_t, interpret=True
+                )
+                assert s1.shape == (B, H, 1, T)
+                o2, s2 = cross_attention(
+                    q, k8[l], xv=v8[l], xk_scale=ksf[l], xv_scale=vsf[l],
+                    n_head=H,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(s1), np.asarray(s2), atol=3e-2
+                )
+                np.testing.assert_allclose(
+                    np.asarray(o1), np.asarray(o2), atol=3e-2
+                )
 
 
 def test_cross_attention_stacked_int4_score_gating():

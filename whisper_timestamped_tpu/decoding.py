@@ -288,8 +288,9 @@ def decode_window_jit(
     prefill_mask = jnp.where(valid, 0.0, -jnp.inf).astype(x.dtype)[:, None]  # (B,1,P,ctx)
 
     from .models.whisper_jax import (  # noqa: internal reuse
-        _attention, _linear, _ln, _logits, _prefill_flash_attention,
-        _quantize_rows, _unpack_int4_rows, cross_attention,
+        _attention, _int4_scales_frame_order, _linear, _ln, _logits,
+        _prefill_flash_attention, _quantize_rows, _unpack_int4_rows,
+        cross_attention,
     )
 
     K = len(align_heads) if capture_attention else 0
@@ -322,6 +323,8 @@ def decode_window_jit(
             # decode steps read the packed form via the int4 kernel)
             xk = _unpack_int4_rows(xk)
             xv = _unpack_int4_rows(xv)
+            xk_s = _int4_scales_frame_order(xk_s)
+            xv_s = _int4_scales_frame_order(xv_s)
         xn = _ln(x, bp["attn_ln"])
         k_new = _linear(xn, bp["attn"]["k"])
         v_new = _linear(xn, bp["attn"]["v"])

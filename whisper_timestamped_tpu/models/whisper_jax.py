@@ -538,8 +538,15 @@ def _quantize_rows_int4(x: jnp.ndarray):
 
     x: (..., T, D) with T even. Returns (packed (..., T//2, D) int8 — frame
     2i in the low nibble, 2i+1 in the high nibble, values in [-7, 7] — and
-    per-frame scales (..., T) f32). Layout contract shared with
-    ``ops.pallas_kernels.cross_attention_stacked_int4_pallas``."""
+    per-frame scales (..., T) f32 in PARITY-MAJOR order: s[..., :T//2] are
+    the even frames' scales, s[..., T//2:] the odd frames'). The parity-major
+    layout makes the decode kernel's (..., 2, T//2) scale view a FREE reshape
+    — the earlier frame-ordered contract forced a transpose (and a pad of the
+    GB-scale packed K/V) inside every layer call of every decode step, which
+    XLA never hoisted out of the while loop (measured 268.8 vs 18.6 ms/token
+    at large-v3 B=40). Layout contract shared with
+    ``ops.pallas_kernels.cross_attention_stacked_int4_pallas``; convert with
+    ``_int4_scales_frame_order`` before any frame-ordered use."""
     T = x.shape[-2]
     assert T % 2 == 0, f"int4 cross-KV needs an even frame count, got {T}"
     s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 7.0
@@ -549,7 +556,18 @@ def _quantize_rows_int4(x: jnp.ndarray):
     ).astype(jnp.int32)
     lo, hi = q[..., 0::2, :], q[..., 1::2, :]
     packed = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
-    return packed, s
+    s_parity = jnp.concatenate([s[..., 0::2], s[..., 1::2]], axis=-1)
+    return packed, s_parity
+
+
+def _int4_scales_frame_order(s: jnp.ndarray) -> jnp.ndarray:
+    """Parity-major int4 scales (..., T) -> frame order (even/odd interleaved).
+    Used by the XLA fallback paths (CPU tests, TP meshes, prefill) next to
+    ``_unpack_int4_rows``, whose output is frame-ordered."""
+    Tp = s.shape[-1] // 2
+    return jnp.stack([s[..., :Tp], s[..., Tp:]], axis=-1).reshape(
+        *s.shape[:-1], -1
+    )
 
 
 def _xattn_block_t() -> int:
@@ -557,10 +575,28 @@ def _xattn_block_t() -> int:
 
     Read at trace time (the decode step re-traces when it changes via the
     engine cache key). Larger tiles mean fewer, bigger HBM→VMEM DMAs per
-    grid step — the lever for the kernel's effective bandwidth; 1536 covers
-    the whole 1500-frame audio context in one tile (VMEM: K+V int8 blocks
-    2x1.92 MB double-buffered ≈ 7.7 MB)."""
-    return int(os.environ.get("WTT_XATTN_BLOCK_T", "512"))
+    grid step — the lever for the kernel's effective bandwidth. Default 1536
+    covers the whole 1500-frame audio context in one tile; it needs the
+    raised VMEM budget (`_xattn_mosaic_knobs`) and measured 17.06 vs
+    18.62 ms/token at large-v3 B=40 int8 over the old 512 default."""
+    return int(os.environ.get("WTT_XATTN_BLOCK_T", "1536"))
+
+
+def _xattn_mosaic_knobs() -> dict:
+    """Mosaic compiler knobs for the stacked cross-attention decode kernels,
+    read at trace time like ``_xattn_block_t``:
+
+    - ``WTT_XATTN_PAR=1`` marks the batch grid dim "parallel" (no carried
+      state across b, so Mosaic may reorder/pipeline across it);
+    - ``WTT_XATTN_VMEM_MB=N`` sets the kernel's VMEM budget; whole-context
+      tiles (the block_t=1536 default) die on Mosaic's default ~16 MB limit,
+      so this defaults to 64 (a ceiling, not an allocation — harmless for
+      small tiles).
+    """
+    return dict(
+        parallel_b=os.environ.get("WTT_XATTN_PAR") == "1",
+        vmem_limit_mb=int(os.environ.get("WTT_XATTN_VMEM_MB", "64")),
+    )
 
 
 def _unpack_int4_rows(packed: jnp.ndarray) -> jnp.ndarray:
@@ -835,7 +871,8 @@ def decode_step(
             c, w = cross_attention_stacked_int4_pallas(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,
-                score_flag=need_sc, emit_scores=emit_sc,
+                block_t=_xattn_block_t(), score_flag=need_sc,
+                emit_scores=emit_sc, **_xattn_mosaic_knobs(),
             )
         elif use_stacked_xattn and stacked_int8:
             # v2: lane-parallel (same rewrite as the bf16 kernel) — the v1
@@ -858,7 +895,7 @@ def decode_step(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,
                 block_t=_xattn_block_t(), score_flag=need_sc,
-                emit_scores=emit_sc,
+                emit_scores=emit_sc, **_xattn_mosaic_knobs(),
             )
         elif use_stacked_xattn:
             # v2: lane-parallel heads (block-diagonal sum matrices on the MXU)
@@ -869,7 +906,7 @@ def decode_step(
             c, w = cross_attention_stacked_pallas_v2(
                 l_idx, q_cross, cache.xk, cache.xv, dims.n_text_head,
                 block_t=_xattn_block_t(), score_flag=need_sc,
-                emit_scores=emit_sc,
+                emit_scores=emit_sc, **_xattn_mosaic_knobs(),
             )
         else:
             if xk.dtype == jnp.int8 and xk.shape[1] * 2 == xk_s.shape[1]:
@@ -877,6 +914,8 @@ def decode_step(
                 # reuse the int8 path — correctness, not the bandwidth path
                 xk = _unpack_int4_rows(xk)
                 xv = _unpack_int4_rows(xv)
+                xk_s = _int4_scales_frame_order(xk_s)
+                xv_s = _int4_scales_frame_order(xv_s)
             c, w = cross_attention(
                 q_cross, xk, xv, xk_s, xv_s, dims.n_text_head,
                 allow_pallas=allow_pallas,

@@ -843,7 +843,10 @@ def _xattn_stacked_v2_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "block_t", "emit_scores", "interpret")
+    jax.jit, static_argnames=(
+        "n_head", "block_t", "emit_scores", "interpret",
+        "parallel_b", "vmem_limit_mb",
+    )
 )
 def cross_attention_stacked_pallas_v2(
     l_idx: jnp.ndarray,  # scalar int32: layer index into the stacked buffers
@@ -855,6 +858,8 @@ def cross_attention_stacked_pallas_v2(
     score_flag: Optional[jnp.ndarray] = None,  # scalar int32: emit this layer?
     emit_scores: bool = True,
     interpret=None,
+    parallel_b: bool = False,
+    vmem_limit_mb: int = 0,
 ):
     """Lane-parallel stacked-layer single-query cross-attention.
 
@@ -919,6 +924,7 @@ def cross_attention_stacked_pallas_v2(
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
+        compiler_params=_xattn_compiler_params(parallel_b, vmem_limit_mb),
     )(
         sp,
         q,
@@ -1358,13 +1364,24 @@ def _xattn_stacked_int4_v2_kernel(
     q = q_ref[0, 0, :]
     kp = kp_ref[0, 0]  # (TTp, D) int8
     vp = vp_ref[0, 0]
-    # sign-extending nibble unpack IN THE int8 DOMAIN (int8 -> [-8, 7]; the
-    # quantizer emits [-7, 7]): the earlier int32 unpack paid a 4x sublane
-    # relayout on every (TTp, D) tile before the shifts even ran
-    k_lo = ((kp << 4) >> 4).astype(jnp.bfloat16)
-    k_hi = (kp >> 4).astype(jnp.bfloat16)
-    v_lo = ((vp << 4) >> 4).astype(jnp.bfloat16)
-    v_hi = (vp >> 4).astype(jnp.bfloat16)
+
+    # Sign-extending nibble unpack in the f32 DOMAIN. Mosaic legalizes
+    # neither i8 vector shifts (arith.shli on i8 fails to legalize) nor bf16
+    # vector compares (arith.cmpf bf16: "target does not support this
+    # comparison"); and the earlier int32 unpack paid a 4x sublane relayout
+    # on every (TTp, D) tile before the shifts even ran. f32 arithmetic on
+    # small integers is exact: byte = 16*hi + ulo with hi in [-8,7] signed
+    # (the quantizer emits [-7,7]) and ulo in [0,15], so floor(byte/16)
+    # recovers hi and a >=8 select re-signs the low nibble.
+    def unpack(p):
+        f = p.astype(jnp.float32)
+        hi = jnp.floor(f * 0.0625)
+        ulo = f - hi * 16.0
+        lo = ulo - jnp.where(ulo >= 8.0, 16.0, 0.0)
+        return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+
+    k_lo, k_hi = unpack(kp)
+    v_lo, v_hi = unpack(vp)
     ks2 = ks_ref[0, 0].astype(jnp.float32)  # (2, TTp): [0]=even, [1]=odd frames
     vs2 = vs_ref[0, 0].astype(jnp.float32)
     smat = smat_ref[...]
@@ -1486,7 +1503,16 @@ def cross_attention_stacked_int4_pallas(
 ):
     """Lane-parallel stacked int4 single-query cross-attention (same contract
     and score gating as ``cross_attention_stacked_pallas_v2``; K/V packed as
-    two 4-bit frames per int8 byte along T — see the kernel docstring)."""
+    two 4-bit frames per int8 byte along T; scales PARITY-MAJOR along T —
+    see ``models.whisper_jax._quantize_rows_int4``).
+
+    ZERO data movement outside the kernel: the scale view is a free reshape
+    and the packed buffers pass through untouched. When the tile size does
+    not divide the packed frame count, the grid collapses to ONE full-width
+    T tile instead of padding — an earlier version jnp.pad-ed the ~GB packed
+    K/V (and transposed the scales) on every layer call of every decode
+    step, and XLA never hoisted the copies out of the sampling while-loop
+    (268.8 vs 18.6 ms/token at large-v3 B=40)."""
     interpret = _default_interpret() if interpret is None else interpret
     B, S, D = q.shape
     assert S == 1 and D % n_head == 0 and block_t % 2 == 0
@@ -1496,21 +1522,14 @@ def cross_attention_stacked_int4_pallas(
     dh = D // n_head
     HP = max(128, int(np.ceil(n_head / 128) * 128))
     # Mosaic tiling rule: a block's minor dim must be a 128-multiple OR the
-    # full array dim. The parity-scale blocks are (…, 2, TTp), so TTp must be
-    # 128-divisible whenever the grid has more than one T tile; small T
-    # collapses to a single full-width tile instead.
+    # full array dim. The parity-scale blocks are (…, 2, TTp), so a multi-
+    # tile grid needs TTp both 128-divisible AND dividing Tp exactly (no
+    # padding, see above); anything else collapses to a single full tile.
     TTp = block_t // 2
-    if Tp <= TTp:
+    if Tp <= TTp or TTp % 128 or Tp % TTp:
         TTp, nt = Tp, 1
     else:
-        TTp = max(128, int(np.ceil(TTp / 128) * 128))
-        nt = int(np.ceil(Tp / TTp))
-    pad_p = nt * TTp - Tp
-    if pad_p:
-        # padded packed rows decode to finite nibbles and are masked in the
-        # kernel by the global frame index (row >= T_real)
-        xk_packed = jnp.pad(xk_packed, ((0, 0), (0, 0), (0, pad_p), (0, 0)))
-        xv_packed = jnp.pad(xv_packed, ((0, 0), (0, 0), (0, pad_p), (0, 0)))
+        nt = Tp // TTp
 
     smat = np.zeros((D, HP), np.float32)
     emat = np.zeros((HP, D), np.float32)
@@ -1533,16 +1552,10 @@ def cross_attention_stacked_int4_pallas(
             out_shape.append(
                 jax.ShapeDtypeStruct((B, n_head, 1, nt * TTp), jnp.float32)
             )
-    # per-frame scales regrouped by parity: (L, B, 2, nt*TTp)
+    # scales are parity-major along T, so the (L, B, 2, Tp) view is a FREE
+    # reshape — no transpose, no copy, nothing for XLA to fail to hoist
     def parity_scales(s):
-        ps = (
-            s.astype(jnp.float32)
-            .reshape(L, B, Tp, 2)
-            .transpose(0, 1, 3, 2)
-        )
-        if pad_p:
-            ps = jnp.pad(ps, ((0, 0), (0, 0), (0, 0), (0, pad_p)))
-        return ps
+        return s.astype(jnp.float32).reshape(L, B, 2, Tp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
