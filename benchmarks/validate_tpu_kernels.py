@@ -94,6 +94,17 @@ def main():
     ok &= check("xattn_stacked_int8_v3 out", o3, o2, 3e-2)
     ok &= check("xattn_stacked_int8_v3 scores", s3, s2, 5e-2)
 
+    # int8 v4 (all-s8 MXU dots; q/p 8-bit rounded)
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas_v4,
+    )
+
+    o4, s4 = cross_attention_stacked_int8_pallas_v4(
+        1, q, k8, ks, v8, vs, H, block_t=128, interpret=None
+    )
+    ok &= check("xattn_stacked_int8_v4 out", o4, o2, 3e-2)
+    ok &= check("xattn_stacked_int8_v4 scores", s4, s2, 5e-2)
+
     # int4 (nibble-packed): oracle = XLA int8 path on the unpacked values
     from whisper_timestamped_tpu.models.whisper_jax import (
         _int4_scales_frame_order,
@@ -220,6 +231,13 @@ def main():
         )
         ok &= check("xattn_int8_v2 T=1500 bt=1536 out", o1, o2, 3e-2)
         ok &= check("xattn_int8_v2 T=1500 bt=1536 scores", s1, s2, 5e-2)
+
+        o1, s1 = cross_attention_stacked_int8_pallas_v4(
+            1, qb, k8b, ksb, v8b, vsb, Hb, block_t=1536, vmem_limit_mb=64,
+            interpret=None,
+        )
+        ok &= check("xattn_int8_v4 T=1500 bt=1536 out", o1, o2, 3e-2)
+        ok &= check("xattn_int8_v4 T=1500 bt=1536 scores", s1, s2, 5e-2)
 
         k4b, ks4b = _quantize_rows_int4(xkb)
         v4b, vs4b = _quantize_rows_int4(xvb)

@@ -250,6 +250,36 @@ def test_self_attention_stacked_int8_matches_xla():
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-2)
 
 
+def test_self_attention_stacked_int8_mxu_matches_xla():
+    """s8-MXU self-attention variant (q/p 8-bit rounded) vs the XLA
+    dequantized math path — quantization tolerance, same mask semantics."""
+    from whisper_timestamped_tpu.models.whisper_jax import _attention, _quantize_rows
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        self_attention_stacked_int8_mxu_pallas,
+    )
+
+    L, B, CTX, D, H = 3, 2, 40, 256, 4
+    r = np.random.default_rng(7)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    kf = jnp.asarray(r.standard_normal((L, B, CTX, D)).astype(np.float32))
+    vf = jnp.asarray(r.standard_normal((L, B, CTX, D)).astype(np.float32))
+    k8, ks = _quantize_rows(kf)
+    v8, vs = _quantize_rows(vf)
+    pos, pad_len = 17, np.array([0, 5], np.int32)
+    col = np.arange(CTX)
+    for l in range(L):
+        o1 = self_attention_stacked_int8_mxu_pallas(
+            l, q, k8, ks, v8, vs, pos, pad_len, H, interpret=True
+        )
+        k_deq = k8[l].astype(jnp.float32) * ks[l][..., None]
+        v_deq = v8[l].astype(jnp.float32) * vs[l][..., None]
+        mask = np.where(
+            (col[None] >= pad_len[:, None]) & (col[None] <= pos), 0.0, -np.inf
+        )[:, None, None, :].astype(np.float32)  # (B,1,1,CTX)
+        o2, _ = _attention(q, k_deq, v_deq, H, mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-2)
+
+
 def test_cross_attention_stacked_int8_matches_xla_int8():
     """Stacked int8 decode cross-attention kernel vs the XLA int8 math path."""
     from whisper_timestamped_tpu.models.whisper_jax import (
@@ -550,3 +580,38 @@ def test_cross_attention_int8_v3_matches_v2_exact_shape():
         np.testing.assert_allclose(np.asarray(o2), np.asarray(o3), atol=2e-3)
         if emit:
             np.testing.assert_allclose(np.asarray(s2), np.asarray(s3), atol=1e-5)
+
+
+def test_cross_attention_int8_v4_matches_v2():
+    """v4 (all-s8 MXU dots, q/p 8-bit rounded) vs v2: context vectors agree
+    to quantization tolerance; emitted alignment scores ride the exact v2
+    bf16 path. Covers tiled (block_t < T) and whole-context (block_t >= T)
+    schedules and a non-tile-multiple T."""
+    from whisper_timestamped_tpu.models.whisper_jax import _quantize_rows
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas_v2,
+        cross_attention_stacked_int8_pallas_v4,
+    )
+
+    L, B, T, D, H = 2, 3, 250, 256, 4
+    r = np.random.default_rng(23)
+    q = jnp.asarray(r.standard_normal((B, 1, D)).astype(np.float32))
+    k8, ks = _quantize_rows(jnp.asarray(r.standard_normal((L, B, T, D)), jnp.float32))
+    v8, vs = _quantize_rows(jnp.asarray(r.standard_normal((L, B, T, D)), jnp.float32))
+    for block_t in (128, 256):
+        for emit in (True, False):
+            o2, s2 = cross_attention_stacked_int8_pallas_v2(
+                1, q, k8, ks, v8, vs, H, block_t=block_t, emit_scores=emit,
+                interpret=True,
+            )
+            o4, s4 = cross_attention_stacked_int8_pallas_v4(
+                1, q, k8, ks, v8, vs, H, block_t=block_t, emit_scores=emit,
+                interpret=True,
+            )
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(o4), atol=3e-2)
+            if emit:
+                np.testing.assert_allclose(
+                    np.asarray(s2), np.asarray(s4), atol=1e-4
+                )
+            else:
+                assert s4 is None

@@ -821,9 +821,18 @@ def decode_step(
                 else jnp.zeros((B_,), jnp.int32)
             )
             if self_int8:
-                from ..ops.pallas_kernels import self_attention_stacked_int8_pallas
+                from ..ops.pallas_kernels import (
+                    self_attention_stacked_int8_mxu_pallas,
+                    self_attention_stacked_int8_pallas,
+                )
 
-                a = self_attention_stacked_int8_pallas(
+                # s8-MXU variant drops the (CTX, D) dequant cast passes
+                _self8 = (
+                    self_attention_stacked_int8_mxu_pallas
+                    if os.environ.get("WTT_SELF_MXU") == "1"
+                    else self_attention_stacked_int8_pallas
+                )
+                a = _self8(
                     l_idx, _linear(xn, bp["attn"]["q"]), k_all, ks_all,
                     v_all, vs_all, pos, pad, dims.n_text_head,
                 )
@@ -884,13 +893,16 @@ def decode_step(
             from ..ops.pallas_kernels import (
                 cross_attention_stacked_int8_pallas_v2,
                 cross_attention_stacked_int8_pallas_v3,
+                cross_attention_stacked_int8_pallas_v4,
             )
 
-            _xattn8 = (
-                cross_attention_stacked_int8_pallas_v3
-                if os.environ.get("WTT_XATTN_V3") == "1"
-                else cross_attention_stacked_int8_pallas_v2
-            )
+            if os.environ.get("WTT_XATTN_V4") == "1":
+                # all-int8 MXU dots (no (T, D) casts); q/p are 8-bit rounded
+                _xattn8 = cross_attention_stacked_int8_pallas_v4
+            elif os.environ.get("WTT_XATTN_V3") == "1":
+                _xattn8 = cross_attention_stacked_int8_pallas_v3
+            else:
+                _xattn8 = cross_attention_stacked_int8_pallas_v2
             c, w = _xattn8(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,

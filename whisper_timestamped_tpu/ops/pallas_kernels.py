@@ -1327,6 +1327,238 @@ def cross_attention_stacked_int8_pallas_v3(
     return out, scores[:, :, :, :T]
 
 
+def _xattn_stacked_int8_v4_kernel(
+    H, T_real, inv, emit_sc,  # static
+    sp_ref, q_ref, q8_ref, qsh_ref, k_ref, ks_ref, v_ref, vs_ref,
+    smat_ref, emat_ref, out_ref, *rest,
+):
+    """v4 of the stacked int8 cross-attention: both big contractions run as
+    NATIVE s8 x s8 -> s32 MXU dots and the (TT, D) int8 -> bf16 casts vanish.
+
+    Why: with the whole-context tile the kernel is no longer DMA-bound — the
+    per-program budget is dominated by two 128-lane MXU dots in bf16 plus two
+    full (TT, D) VPU cast passes (profiled: halving the DMA bytes via int8 or
+    int4 barely moved the step time, so the bytes are not the constraint).
+    int8 MXU throughput is 2x bf16 on v5e and needs no operand casts:
+
+        scores(TT, HP) = K8 @ (S ⊙ q8)      s8 MXU, exact int32
+        pv(HP, D)      = p8ᵀ @ V8           s8 MXU, exact int32
+
+    The query is quantized per head OUTSIDE the kernel (q8 + per-head scale
+    qsh, both tiny); the softmax weights are quantized per head IN-kernel
+    (p8, per-column scale) after folding in the per-frame V scale. The only
+    lossy steps vs v2 are the two 8-bit roundings of q and p — K/V themselves
+    were already int8. The per-head p-scale re-applies through
+    ``pscale_d = pscale @ E`` (a lane-vector -> per-feature broadcast on the
+    MXU; a (1, HP) -> (HP, 1) transpose would be a relayout).
+
+    Alignment scores are emitted on the EXACT v2 path (bf16 smat_q dot),
+    gated to alignment layers by the prefetched flag — the aligner's DTW
+    input is bit-compatible with v2 and only the context vector carries the
+    extra quantization error."""
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    if emit_sc:
+        sc_ref, m_ref, l_acc_ref, num_ref = rest
+    else:
+        m_ref, l_acc_ref, num_ref = rest
+    _, _, TT, D = k_ref.shape
+
+    @pl.when(t == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_acc_ref[...] = jnp.zeros_like(l_acc_ref)
+        num_ref[...] = jnp.zeros_like(num_ref)
+
+    q8 = q8_ref[0, 0, :]  # (D,) int8
+    qsh = qsh_ref[0].astype(jnp.float32)  # (HP,) per-head score scale (pads 0)
+    k8 = k_ref[0, 0]  # (TT, D) int8 — streams straight into the MXU
+    v8 = v_ref[0, 0]
+    ks = ks_ref[0, 0, 0].astype(jnp.float32)  # (TT,)
+    vs = vs_ref[0, 0, 0].astype(jnp.float32)
+    smat = smat_ref[...]  # (D, HP) f32 0/1
+    emat = emat_ref[...]  # (HP, D) f32 0/1
+
+    # int8 head-sum matrix with q folded in: the fold runs in f32 (exact for
+    # int8-ranged values; Mosaic cannot insert a minor dim on sub-32-bit
+    # vectors) and casts once — a (D, HP) pass, noise next to the K stream.
+    smat_q8 = (smat * q8.astype(jnp.float32)[:, None]).astype(jnp.int8)
+    scores = (
+        jax.lax.dot_general(
+            k8, smat_q8, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        * ks[:, None]
+        * (qsh * inv)[None, :]
+    )  # (TT, HP) f32
+
+    if emit_sc:
+
+        @pl.when(sp_ref[1] != 0)
+        def _scores():
+            # exact v2 score path (bf16), paid only on alignment layers
+            smat_q = _fold_q(smat, q_ref[0, 0, :])
+            sc_t = (
+                jax.lax.dot_general(
+                    smat_q, k8.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * ks[None, :]
+                * inv
+            )
+            sc_ref[0, :, 0, :] = sc_t[:H, :]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) + t * TT
+    scores = jnp.where(row < T_real, scores, -jnp.inf)
+
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=0, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(scores - m_new)  # (TT, HP)
+    l_new = l_acc_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    # V scale + pad mask fold into the weights (as v2/v3), then the weights
+    # quantize to int8 per head-column so the V contraction runs s8 on the
+    # MXU. p2 >= 0, so the column max is the scale.
+    p2 = jnp.where(row < T_real, p * vs[:, None], 0.0)
+    pmax = jnp.max(p2, axis=0, keepdims=True)  # (1, HP)
+    pscale = jnp.maximum(pmax, 1e-30) * (1.0 / 127.0)
+    p8 = jnp.round(p2 * (1.0 / pscale)).astype(jnp.int8)
+    pv = jax.lax.dot_general(
+        p8, v8, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # (HP, D) — meaningful on the block diagonal
+    # per-head scale back, broadcast head -> feature lanes via E on the MXU
+    pscale_d = jax.lax.dot_general(
+        pscale, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, D)
+    contrib = jnp.sum(pv * emat, axis=0, keepdims=True) * pscale_d  # (1, D)
+    alpha_d = jax.lax.dot_general(
+        alpha, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    num_new = num_ref[...] * alpha_d + contrib
+    m_ref[...] = m_new
+    l_acc_ref[...] = l_new
+    num_ref[...] = num_new
+
+    @pl.when(t == nt - 1)
+    def _finish():
+        l_d = jax.lax.dot_general(
+            l_new, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0, :] = (num_new / l_d)[0].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_head", "block_t", "emit_scores", "interpret",
+        "parallel_b", "vmem_limit_mb",
+    ),
+)
+def cross_attention_stacked_int8_pallas_v4(
+    l_idx: jnp.ndarray,  # scalar int32
+    q: jnp.ndarray,  # (B, 1, D)
+    xk_all: jnp.ndarray,  # (L, B, T, D) int8
+    xk_scale: jnp.ndarray,  # (L, B, T) f32
+    xv_all: jnp.ndarray,  # (L, B, T, D) int8
+    xv_scale: jnp.ndarray,  # (L, B, T) f32
+    n_head: int,
+    block_t: int = 512,
+    score_flag: Optional[jnp.ndarray] = None,
+    emit_scores: bool = True,
+    interpret=None,
+    parallel_b: bool = False,
+    vmem_limit_mb: int = 0,
+):
+    """Same contract as ``cross_attention_stacked_int8_pallas_v2``; both big
+    contractions run as native s8 MXU dots (see the kernel docstring)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and D % n_head == 0
+    L, _, T, _ = xk_all.shape
+    dh = D // n_head
+    HP = max(128, int(np.ceil(n_head / 128) * 128))
+    nt = int(np.ceil(T / block_t))
+
+    smat = np.zeros((D, HP), np.float32)
+    emat = np.zeros((HP, D), np.float32)
+    for h in range(n_head):
+        smat[h * dh : (h + 1) * dh, h] = 1.0
+        emat[h, h * dh : (h + 1) * dh] = 1.0
+
+    # per-head symmetric query quantization (tiny: B x D in XLA, fused into
+    # the surrounding step program)
+    qf = q.astype(jnp.float32).reshape(B, n_head, dh)
+    qs = jnp.max(jnp.abs(qf), axis=2) / 127.0  # (B, H)
+    qs = jnp.maximum(qs, 1e-30)
+    q8 = (
+        jnp.round(qf / qs[:, :, None]).astype(jnp.int8).reshape(B, 1, D)
+    )
+    qsh = jnp.zeros((B, HP), jnp.float32).at[:, :n_head].set(qs)
+
+    kernel = functools.partial(
+        _xattn_stacked_int8_v4_kernel, n_head, T, np.float32(dh**-0.5),
+        emit_scores,
+    )
+    cparams = _xattn_compiler_params(parallel_b, vmem_limit_mb)
+    out_specs = [pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, D), q.dtype)]
+    if emit_scores:
+        out_specs.append(
+            pl.BlockSpec((1, n_head, 1, block_t), lambda b, t, l: (b, 0, 0, t))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, n_head, 1, nt * block_t), jnp.float32)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
+            pl.BlockSpec((1, HP), lambda b, t, l: (b, 0)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
+            pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((1, HP), jnp.float32),
+            pltpu.VMEM((1, HP), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+        ],
+    )
+    if score_flag is None:
+        score_flag = jnp.int32(1)
+    sp = jnp.stack(
+        [jnp.asarray(l_idx, jnp.int32), jnp.asarray(score_flag, jnp.int32)]
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=cparams,
+    )(
+        sp,
+        q, q8, qsh, xk_all, xk_scale.astype(jnp.float32)[:, :, None, :],
+        xv_all, xv_scale.astype(jnp.float32)[:, :, None, :],
+        jnp.asarray(smat, jnp.float32),
+        jnp.asarray(emat, jnp.float32),
+    )
+    if not emit_scores:
+        return res[0], None
+    out, scores = res
+    return out, scores[:, :, :, :T]
+
+
 def _xattn_stacked_int4_v2_kernel(
     H, T_real, inv, emit_sc,  # static
     sp_ref, q_ref, kp_ref, ks_ref, vp_ref, vs_ref, smat_ref, emat_ref,
@@ -1842,6 +2074,141 @@ def self_attention_stacked_int8_pallas(
         sp, q, k_all, k_scale.astype(jnp.float32)[:, :, None, :],
         v_all, v_scale.astype(jnp.float32)[:, :, None, :],
         jnp.asarray(smat, jnp.bfloat16),
+        jnp.asarray(emat, jnp.float32),
+    )
+
+
+def _self_attn_stacked_int8_v2_kernel(
+    H, inv,  # static
+    sp_ref, q8_ref, qsh_ref, k_ref, ks_ref, v_ref, vs_ref, smat_ref,
+    emat_ref, out_ref,
+):
+    """s8-MXU variant of ``_self_attn_stacked_int8_kernel``: the (CTX, D)
+    int8 -> bf16 casts vanish — both contractions run as native
+    s8 x s8 -> s32 MXU dots (2x bf16 MXU throughput, no VPU cast passes),
+    the same rewrite as the cross-attention v4 kernel. The query arrives
+    8-bit rounded per head (q8 + scale qsh, quantized in XLA outside); the
+    softmax weights are 8-bit rounded per head in-kernel. K/V were already
+    int8, so those two roundings are the only new error terms."""
+    b = pl.program_id(0)
+    # prefetch layout: [l_idx, pos, pad_len[0..B-1]]
+    pos = sp_ref[1]
+    pad_b = sp_ref[2 + b]
+
+    q8 = q8_ref[0, 0, :]  # (D,) int8
+    qsh = qsh_ref[0].astype(jnp.float32)  # (HP,)
+    k8 = k_ref[0, 0]  # (CTX, D) int8
+    v8 = v_ref[0, 0]
+    ks = ks_ref[0, 0, 0].astype(jnp.float32)  # (CTX,)
+    vs = vs_ref[0, 0, 0].astype(jnp.float32)
+    smat = smat_ref[...]  # (D, HP) f32 0/1
+    emat = emat_ref[...]  # (HP, D) f32 0/1
+
+    smat_q8 = (smat * q8.astype(jnp.float32)[:, None]).astype(jnp.int8)
+    scores = (
+        jax.lax.dot_general(
+            k8, smat_q8, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        * ks[:, None]
+        * (qsh * inv)[None, :]
+    )  # (CTX, HP)
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    # the query's own slot stays attendable even when pos < pad_b (mirrors
+    # decode_step's "col == pos" escape hatch)
+    valid = ((row >= pad_b) & (row <= pos)) | (row == pos)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    m = jnp.max(scores, axis=0, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    # weights with the V scale folded, 8-bit rounded per head column; masked
+    # slots carry exact zero weights, so int8 garbage cannot leak in
+    p2 = (p / l) * vs[:, None]
+    pmax = jnp.max(p2, axis=0, keepdims=True)  # (1, HP), p2 >= 0
+    pscale = jnp.maximum(pmax, 1e-30) * (1.0 / 127.0)
+    p8 = jnp.round(p2 * (1.0 / pscale)).astype(jnp.int8)
+    pv = jax.lax.dot_general(
+        p8, v8, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # (HP, D)
+    pscale_d = jax.lax.dot_general(
+        pscale, emat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, D): head scale broadcast to its feature lanes
+    out_ref[0, 0, :] = (
+        jnp.sum(pv * emat, axis=0, dtype=jnp.float32) * pscale_d[0]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def self_attention_stacked_int8_mxu_pallas(
+    l_idx: jnp.ndarray,  # scalar int32
+    q: jnp.ndarray,  # (B, 1, D)
+    k_all: jnp.ndarray,  # (L, B, ctx, D) int8
+    k_scale: jnp.ndarray,  # (L, B, ctx) f32
+    v_all: jnp.ndarray,  # (L, B, ctx, D) int8
+    v_scale: jnp.ndarray,  # (L, B, ctx) f32
+    pos: jnp.ndarray,  # scalar int32: the query's cache slot
+    pad_len: jnp.ndarray,  # (B,) int32: first valid cache slot per batch row
+    n_head: int,
+    interpret=None,
+):
+    """Single-query masked self-attention over the stacked int8 KV cache with
+    native s8 MXU contractions (same contract as
+    ``self_attention_stacked_int8_pallas``)."""
+    interpret = _default_interpret() if interpret is None else interpret
+    B, S, D = q.shape
+    assert S == 1 and D % n_head == 0
+    L, _, CTX, _ = k_all.shape
+    dh = D // n_head
+    HP = max(128, int(np.ceil(n_head / 128) * 128))
+
+    smat = np.zeros((D, HP), np.float32)
+    emat = np.zeros((HP, D), np.float32)
+    for h in range(n_head):
+        smat[h * dh : (h + 1) * dh, h] = 1.0
+        emat[h, h * dh : (h + 1) * dh] = 1.0
+
+    qf = q.astype(jnp.float32).reshape(B, n_head, dh)
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=2) / 127.0, 1e-30)  # (B, H)
+    q8 = jnp.round(qf / qs[:, :, None]).astype(jnp.int8).reshape(B, 1, D)
+    qsh = jnp.zeros((B, HP), jnp.float32).at[:, :n_head].set(qs)
+
+    # prefetch layout: [l_idx, pos, pad_len[0..B-1]]
+    sp = jnp.concatenate(
+        [
+            jnp.asarray(l_idx, jnp.int32).reshape(1),
+            jnp.asarray(pos, jnp.int32).reshape(1),
+            jnp.asarray(pad_len, jnp.int32).reshape(B),
+        ]
+    )
+    kernel = functools.partial(
+        _self_attn_stacked_int8_v2_kernel, n_head, np.float32(dh**-0.5)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, sp: (b, 0, 0)),
+            pl.BlockSpec((1, HP), lambda b, sp: (b, 0)),
+            pl.BlockSpec((1, 1, CTX, D), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, CTX), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, CTX, D), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, CTX), lambda b, sp: (sp[0], b, 0, 0)),
+            pl.BlockSpec((D, HP), lambda b, sp: (0, 0)),
+            pl.BlockSpec((HP, D), lambda b, sp: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D), lambda b, sp: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+        interpret=interpret,
+    )(
+        sp, q8, qsh, k_all, k_scale.astype(jnp.float32)[:, :, None, :],
+        v_all, v_scale.astype(jnp.float32)[:, :, None, :],
+        jnp.asarray(smat, jnp.float32),
         jnp.asarray(emat, jnp.float32),
     )
 
