@@ -1371,7 +1371,7 @@ def _xattn_stacked_int8_v4_kernel(
         num_ref[...] = jnp.zeros_like(num_ref)
 
     q8 = q8_ref[0, 0, :]  # (D,) int8
-    qsh = qsh_ref[0].astype(jnp.float32)  # (HP,) per-head score scale (pads 0)
+    qsh = qsh_ref[0, 0].astype(jnp.float32)  # (HP,) per-head score scale (pads 0)
     k8 = k_ref[0, 0]  # (TT, D) int8 — streams straight into the MXU
     v8 = v_ref[0, 0]
     ks = ks_ref[0, 0, 0].astype(jnp.float32)  # (TT,)
@@ -1498,7 +1498,7 @@ def cross_attention_stacked_int8_pallas_v4(
     q8 = (
         jnp.round(qf / qs[:, :, None]).astype(jnp.int8).reshape(B, 1, D)
     )
-    qsh = jnp.zeros((B, HP), jnp.float32).at[:, :n_head].set(qs)
+    qsh = jnp.zeros((B, 1, HP), jnp.float32).at[:, 0, :n_head].set(qs)
 
     kernel = functools.partial(
         _xattn_stacked_int8_v4_kernel, n_head, T, np.float32(dh**-0.5),
@@ -1520,7 +1520,7 @@ def cross_attention_stacked_int8_pallas_v4(
         in_specs=[
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, HP), lambda b, t, l: (b, 0)),
+            pl.BlockSpec((1, 1, HP), lambda b, t, l: (b, 0, 0)),
             pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
             pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
             pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
@@ -2096,7 +2096,7 @@ def _self_attn_stacked_int8_v2_kernel(
     pad_b = sp_ref[2 + b]
 
     q8 = q8_ref[0, 0, :]  # (D,) int8
-    qsh = qsh_ref[0].astype(jnp.float32)  # (HP,)
+    qsh = qsh_ref[0, 0].astype(jnp.float32)  # (HP,)
     k8 = k_ref[0, 0]  # (CTX, D) int8
     v8 = v_ref[0, 0]
     ks = ks_ref[0, 0, 0].astype(jnp.float32)  # (CTX,)
@@ -2172,7 +2172,7 @@ def self_attention_stacked_int8_mxu_pallas(
     qf = q.astype(jnp.float32).reshape(B, n_head, dh)
     qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=2) / 127.0, 1e-30)  # (B, H)
     q8 = jnp.round(qf / qs[:, :, None]).astype(jnp.int8).reshape(B, 1, D)
-    qsh = jnp.zeros((B, HP), jnp.float32).at[:, :n_head].set(qs)
+    qsh = jnp.zeros((B, 1, HP), jnp.float32).at[:, 0, :n_head].set(qs)
 
     # prefetch layout: [l_idx, pos, pad_len[0..B-1]]
     sp = jnp.concatenate(
@@ -2190,7 +2190,7 @@ def self_attention_stacked_int8_mxu_pallas(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, D), lambda b, sp: (b, 0, 0)),
-            pl.BlockSpec((1, HP), lambda b, sp: (b, 0)),
+            pl.BlockSpec((1, 1, HP), lambda b, sp: (b, 0, 0)),
             pl.BlockSpec((1, 1, CTX, D), lambda b, sp: (sp[0], b, 0, 0)),
             pl.BlockSpec((1, 1, 1, CTX), lambda b, sp: (sp[0], b, 0, 0)),
             pl.BlockSpec((1, 1, CTX, D), lambda b, sp: (sp[0], b, 0, 0)),
