@@ -123,6 +123,11 @@ def main():
     )
     ok &= check("xattn_stacked_int4 out", o1, o2, 3e-2)
     ok &= check("xattn_stacked_int4 scores", s1, s2, 5e-2)
+    o1, s1 = cross_attention_stacked_int4_pallas(
+        1, q, k4, ks4, v4, vs4, H, block_t=128, interpret=None, use_s8=True
+    )
+    ok &= check("xattn_stacked_int4_s8 out", o1, o2, 4e-2)
+    ok &= check("xattn_stacked_int4_s8 scores", s1, s2, 5e-2)
     # score gating leaves the output untouched
     o3, _ = cross_attention_stacked_int4_pallas(
         1, q, k4, ks4, v4, vs4, H, block_t=128,
@@ -253,6 +258,13 @@ def main():
         )
         ok &= check("xattn_int4 T=1500 bt=1536 out", o1, o2, 3e-2)
         ok &= check("xattn_int4 T=1500 bt=1536 scores", s1, s2, 5e-2)
+
+        o1, s1 = cross_attention_stacked_int4_pallas(
+            1, qb, k4b, ks4b, v4b, vs4b, Hb, block_t=1536, vmem_limit_mb=64,
+            interpret=None, use_s8=True,
+        )
+        ok &= check("xattn_int4_s8 T=1500 bt=1536 out", o1, o2, 4e-2)
+        ok &= check("xattn_int4_s8 T=1500 bt=1536 scores", s1, s2, 5e-2)
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1

@@ -495,6 +495,17 @@ def test_cross_attention_stacked_int4_matches_xla_int8():
                 np.testing.assert_allclose(
                     np.asarray(o1), np.asarray(o2), atol=3e-2
                 )
+                # s8-MXU variant: same math with q/p 8-bit rounded
+                o3, s3 = cross_attention_stacked_int4_pallas(
+                    l, q, k4, ks, v4, vs, H, block_t=block_t, interpret=True,
+                    use_s8=True,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(s3), np.asarray(s2), atol=3e-2
+                )
+                np.testing.assert_allclose(
+                    np.asarray(o3), np.asarray(o2), atol=4e-2
+                )
 
 
 def test_cross_attention_stacked_int4_score_gating():

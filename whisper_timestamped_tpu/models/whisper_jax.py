@@ -881,7 +881,9 @@ def decode_step(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,
                 block_t=_xattn_block_t(), score_flag=need_sc,
-                emit_scores=emit_sc, **_xattn_mosaic_knobs(),
+                emit_scores=emit_sc,
+                use_s8=os.environ.get("WTT_INT4_S8") == "1",
+                **_xattn_mosaic_knobs(),
             )
         elif use_stacked_xattn and stacked_int8:
             # v2: lane-parallel (same rewrite as the bf16 kernel) — the v1
@@ -896,13 +898,17 @@ def decode_step(
                 cross_attention_stacked_int8_pallas_v4,
             )
 
-            if os.environ.get("WTT_XATTN_V4") == "1":
-                # all-int8 MXU dots (no (T, D) casts); q/p are 8-bit rounded
-                _xattn8 = cross_attention_stacked_int8_pallas_v4
-            elif os.environ.get("WTT_XATTN_V3") == "1":
+            # v4 (default): both contractions as native s8 MXU dots — the
+            # bf16-dot kernels were MXU/VPU-compute-bound, not stream-bound;
+            # measured in-loop 17.07 -> 13.33 ms/token at large-v3 B=40
+            # (PARITY.md round-4 kernel hunt #3). WTT_XATTN_V4=0 falls back
+            # to v2 (exact-q bf16 dots); WTT_XATTN_V3=1 selects v3.
+            if os.environ.get("WTT_XATTN_V3") == "1":
                 _xattn8 = cross_attention_stacked_int8_pallas_v3
-            else:
+            elif os.environ.get("WTT_XATTN_V4") == "0":
                 _xattn8 = cross_attention_stacked_int8_pallas_v2
+            else:
+                _xattn8 = cross_attention_stacked_int8_pallas_v4
             c, w = _xattn8(
                 l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
                 cache.xv_scale, dims.n_text_head,
