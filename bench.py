@@ -172,13 +172,20 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
     # measured quantity is steady-state serving throughput. BENCH_STREAM=0:
     # independent transcribe_batch calls (cold-batch latency), for A/B.
     streamed = os.environ.get("BENCH_STREAM", "1") == "1"
-    # Untimed pipeline-fill batches before the timed window. ONE fill is not
-    # enough to reach steady state: the first timed inter-yield gap measures
-    # ~33 s vs ~21-24 s for the rest, reproducibly across sessions (the
-    # 3-stage pipeline's upload/assembly workers are still backlogged from
-    # the fill batch). Two fills put the whole timed window at steady state.
-    fill = int(os.environ.get("BENCH_FILL", "2"))
-    for seed in ([10_001 + r for r in range(-fill, reps + 1)] if streamed
+    # Untimed pipeline-fill batches before the timed window, ADAPTIVE: fills
+    # keep running (untimed) until the inter-yield time settles, so every
+    # timed rep is steady state. A fixed fill count under-warms on bad tunnel
+    # days — the round-4 driver capture's timed reps were
+    # [28.6, 31.8, 28.4, 22.0, 18.6] s: the warm floor (18.6 s ≈ 386x) only
+    # appeared at the 5th timed rep, dragging the reported total ~25% below
+    # steady state. Settle rule: at least BENCH_FILL fills, then stop as soon
+    # as the last fill is within 12% of the fastest fill so far (or at
+    # BENCH_FILL_MAX). Fill batches cost wall time but never enter the timed
+    # window.
+    fill_min = int(os.environ.get("BENCH_FILL", "2"))
+    fill_max = max(fill_min, int(os.environ.get("BENCH_FILL_MAX", "7")))
+    n_fills = fill_max  # actual count decided at run time (streamed mode)
+    for seed in ([10_001 + r for r in range(-fill_max, reps + 2)] if streamed
                  else list(range(reps))):
         _pcm_cache[seed] = gen_pcm(seed)
     with tempfile.TemporaryDirectory() as td:
@@ -189,16 +196,33 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
         if streamed:
             # With assembly one batch behind, yield k lands at the END of
             # decode k+1, so the timed window must cover exactly `reps`
-            # decodes: `fill` untimed pipeline-fill yields in front, `reps`
+            # decodes: the adaptive untimed fill yields in front, `reps`
             # timed yields, and one untimed DRAIN batch at the back (its
             # yield costs no decode — counting it would credit audio the
-            # window never decoded).
-            gen = transcribe_batch_stream(
-                wm, (make_streams(10_001 + rep) for rep in range(-fill, reps + 1)),
-                tok, **kw,
-            )
-            for _ in range(fill):
-                serialize(next(gen), td)  # pipeline fill (untimed)
+            # window never decoded). The source keeps feeding batches until
+            # the timed window closes (a real serving queue is never empty),
+            # then stops; in-flight leftovers drain untimed.
+            stop_feeding = [False]
+
+            def source():
+                i = 0
+                while not stop_feeding[0]:
+                    yield make_streams(10_001 - fill_max + i)
+                    i += 1
+
+            gen = transcribe_batch_stream(wm, source(), tok, **kw)
+            fill_times, t_fill = [], time.time()
+            for results in gen:
+                serialize(results, td)  # pipeline fill (untimed)
+                fill_times.append(time.time() - t_fill)
+                t_fill = time.time()
+                if len(fill_times) >= fill_min and (
+                    len(fill_times) >= fill_max
+                    or fill_times[-1] <= 1.12 * min(fill_times)
+                ):
+                    break
+            n_fills = len(fill_times)
+            print(f"# fills={[round(t, 2) for t in fill_times]}", file=sys.stderr)
             reset_stage_timings()
             t0 = time.time()
             for results in gen:
@@ -207,6 +231,7 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
                     times.append(time.time() - t0 - sum(times))
                     if len(times) == reps:
                         total = time.time() - t0
+                        stop_feeding[0] = True
         else:
             for rep in range(reps):
                 streams = make_streams(rep)
@@ -228,7 +253,7 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
     # batch is untimed, so this IS the steady state; per-rep inter-yield
     # times in reps_s keep the audit trail)
     rtf = reps * B * stream_seconds / total
-    return rtf, times, n_windows, total, streamed
+    return rtf, times, n_windows, total, streamed, n_fills
 
 
 def decode_step_bytes(dims, B, n_tokens, kv_int8, kv_int4, self_int8, w_int8,
@@ -351,7 +376,7 @@ def main():
 
     wm, tok, engine, dims = build_engine(model_name, kv_int8)
 
-    times = n_windows = total_s = None
+    times = n_windows = total_s = n_fills = None
     streamed = False
     if mode == "pipeline":
         # 5 timed batches through the serving loop, after an untimed
@@ -365,7 +390,7 @@ def main():
         # 60-s stream pays a third window for its tail; at 180 s the tail
         # amortizes: measured 196x at S=60 vs 225x at S=180, same code)
         stream_seconds = int(os.environ.get("BENCH_STREAM_SECONDS", "180"))
-        rtf, times, n_windows, total_s, streamed = bench_pipeline(
+        rtf, times, n_windows, total_s, streamed, n_fills = bench_pipeline(
             wm, tok, engine, B, n_tokens, reps, stream_seconds
         )
         metric = f"e2e_audio_sec_per_sec_per_chip_{model_name}_b{B}"
@@ -409,6 +434,8 @@ def main():
         # variance audit trail: per-rep wall times + aggregate RTF
         payload["reps_s"] = [round(t, 2) for t in times]
         payload["total_x"] = round(rtf, 2)
+        if n_fills is not None:
+            payload["fills"] = n_fills
         med = sorted(times)[len(times) // 2]
         payload["median_x"] = round(B * stream_seconds / med, 2)
         # roofline context (lower bound: whole-pipeline time in the

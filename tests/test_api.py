@@ -226,6 +226,52 @@ def test_plot_word_alignment_saves_figures(model, tok, audio, tmp_path):
     assert any(".VAD" in f for f in figs), figs
 
 
+def test_plot_alignment_mfcc_and_peak_panes(tmp_path, monkeypatch):
+    """The alignment figure renders the reference's extra panes (MFCC below
+    the heatmap, disfluency peak traces below that — transcribe.py:1586-1646,
+    1690-1708) when the data is provided."""
+    import numpy as np
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from whisper_timestamped_tpu import plotting
+
+    plotting.reset_plot_counter()
+    captured = {}
+    orig = plt.savefig
+
+    def spy(*a, **k):
+        captured["n_axes"] = len(plt.gcf().axes)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(plt, "savefig", spy)
+    rng = np.random.default_rng(0)
+    cost = -rng.random((5, 40))
+    index1s = np.repeat(np.arange(5), 8)
+    index2s = np.arange(40)
+    words = [dict(text="hi", start=0.1, end=0.3)]
+    peak_traces = [
+        (0, 12, rng.random(12), np.array([3, 8]),
+         {"left_ips": [2.5], "right_ips": [9.1],
+          "left_bases": np.array([1]), "right_bases": np.array([10]),
+          "prominences": np.array([0.5, 0.4])}),
+        (12, 20, rng.random(8), np.array([], dtype=int), {}),
+    ]
+    plotting.plot_alignment(
+        cost, index1s, index2s, words, 0.0, str(tmp_path / "fig"),
+        mfcc=rng.random((80, 80)), mfcc_span=(0, 40), peak_traces=peak_traces,
+    )
+    assert captured["n_axes"] == 3, captured
+    assert (tmp_path / "fig.alignment001.jpg").exists()
+    # without the extra panes the figure collapses to the single heatmap
+    plotting.plot_alignment(
+        cost, index1s, index2s, words, 0.0, str(tmp_path / "fig2")
+    )
+    assert captured["n_axes"] == 1, captured
+
+
 def test_plot_word_alignment_naive_path(model, tok, audio, tmp_path):
     """The two-pass (naive) engine plots from the teacher-forced alignment
     too (reference transcribe.py:1251) and accepts a path string."""

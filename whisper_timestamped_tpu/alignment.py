@@ -318,6 +318,7 @@ def perform_word_alignment(
     detect_disfluencies: bool = True,
     subwords_can_be_empty: bool = True,
     plot=False,
+    plot_mfcc: Optional[np.ndarray] = None,  # (n_mels, n_frames) window mel
     use_device_kernels: bool = False,
     precomputed_jumps: Optional[np.ndarray] = None,
     precomputed_cost: Optional[np.ndarray] = None,
@@ -406,11 +407,16 @@ def perform_word_alignment(
 
     jumps_start = jumps
     disfluences = {}
+    peak_traces = [] if (plot and detect_disfluencies) else None
     if detect_disfluencies:
         jumps_start = jumps.copy()
         for i_token, (tok_id, begin, end) in enumerate(zip(tokens, jumps[:-1], jumps[1:])):
             attention_row = -weights[i_token, begin:end]
             peaks, properties = find_peaks(attention_row, width=3, prominence=0.02)
+            if peak_traces is not None:
+                peak_traces.append(
+                    (int(begin), int(end), attention_row, peaks, properties)
+                )
             if len(peaks) > 1:
                 if "left_ips" in properties:
                     left = [round(x) for x in properties["left_ips"]]
@@ -489,5 +495,9 @@ def perform_word_alignment(
     if plot:
         from .plotting import plot_alignment
 
-        plot_alignment(weights, index1s, index2s, out, start_time, plot)
+        plot_alignment(
+            weights, index1s, index2s, out, start_time, plot,
+            mfcc=plot_mfcc, mfcc_span=(start_token, end_token),
+            peak_traces=peak_traces,
+        )
     return out

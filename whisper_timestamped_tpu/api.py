@@ -30,6 +30,7 @@ from .audio import (
     N_FRAMES,
     SAMPLE_RATE,
     load_audio,
+    log_mel_spectrogram,
 )
 from .decoding import DecodingOptions
 from .engine import DecodeEngine, Segment, transcribe_windows
@@ -465,6 +466,15 @@ def _transcribe_efficient(
         entries = [(seg, None) for seg in result.segments]
         all_jumps = [None] * len(entries)
 
+    # MFCC pane of the alignment figure (reference draws the window's mel
+    # under the heatmap, transcribe.py:1638-1645): diagnostic-only host
+    # recompute of the mel — the decode's own mel lives on device
+    plot_mel = (
+        np.asarray(log_mel_spectrogram(audio, n_mels=engine.dims.n_mels))
+        if plot_word_alignment
+        else None
+    )
+
     words: List[dict] = []
     segment_dicts: List[dict] = []
     for (seg, prep), jumps in zip(entries, all_jumps):
@@ -484,6 +494,13 @@ def _transcribe_efficient(
                 include_punctuation_in_confidence=include_punctuation_in_confidence,
                 detect_disfluencies=detect_disfluencies,
                 plot=plot_word_alignment,
+                plot_mfcc=(
+                    plot_mel[
+                        :, seg.mel_frame_offset : seg.mel_frame_offset + N_FRAMES
+                    ]
+                    if plot_mel is not None
+                    else None
+                ),
                 device_alignment=device_alignment,
                 precomputed_jumps=jumps,
                 precomputed_cost=cost,
@@ -730,6 +747,7 @@ def align_and_score_segment(
     include_punctuation_in_confidence: bool,
     detect_disfluencies: bool,
     plot=False,
+    plot_mfcc: Optional[np.ndarray] = None,
     device_alignment: bool = False,
     precomputed_jumps: Optional[np.ndarray] = None,
     precomputed_cost: Optional[np.ndarray] = None,
@@ -787,6 +805,7 @@ def align_and_score_segment(
             detect_disfluencies=detect_disfluencies,
             unfinished_decoding=unfinished,
             plot=plot,
+            plot_mfcc=plot_mfcc,
             use_device_kernels=device_alignment,
         )
     if len(ws) == 0:

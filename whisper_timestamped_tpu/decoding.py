@@ -211,7 +211,7 @@ def apply_timestamp_rules(
         "no_timestamps", "sot_index_from_end", "max_initial_timestamp_index",
         "suppress_blank", "without_timestamps", "attn_dtype", "kv_int8",
         "kv_int4", "self_kv_int8", "capture_attention", "layer_unroll",
-        "allow_pallas",
+        "allow_pallas", "kernel_knobs",
     ),
 )
 def decode_window_jit(
@@ -242,6 +242,7 @@ def decode_window_jit(
     capture_attention: bool = True,
     layer_unroll: int = 1,
     allow_pallas: bool = True,
+    kernel_knobs: tuple = (),  # jit-cache key only; see kernel_knob_key()
 ):
     """Decode one 30-s window for a batch. Returns a dict of buffers:
 

@@ -42,6 +42,7 @@ from .decoding import (
     detect_language,
 )
 from .models.load import WhisperModel
+from .models.whisper_jax import kernel_knob_key
 from .tokenizer import Tokenizer
 from .utils.profiling import stage_timer
 
@@ -384,6 +385,7 @@ class DecodeEngine:
             layer_unroll=self.layer_unroll,
             allow_pallas=self.allow_pallas,
             capture_attention=capture_attention,
+            kernel_knobs=kernel_knob_key(),
         )
         return self.unpack_window_outputs(
             out, temperature, fetch_alignment=fetch_alignment and capture_attention

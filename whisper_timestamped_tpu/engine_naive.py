@@ -458,6 +458,7 @@ def naive_word_requests(
             detect_disfluencies=detect_disfluencies,
             # teacher-forced pass plots too (reference transcribe.py:1251)
             plot=plot_word_alignment,
+            plot_mfcc=np.asarray(mel) if plot_word_alignment else None,
         )
 
         segment_logprobs: List[np.ndarray] = []

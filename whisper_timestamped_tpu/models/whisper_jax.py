@@ -570,11 +570,29 @@ def _int4_scales_frame_order(s: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def kernel_knob_key() -> tuple:
+    """Hashable snapshot of the kernel-selection env knobs that are read at
+    TRACE time inside the decode step (``WTT_XATTN_V3/V4``, ``WTT_INT4_S8``,
+    ``WTT_SELF_MXU``, ``WTT_XATTN_BLOCK_T``, ``WTT_XATTN_VMEM_MB``,
+    ``WTT_XATTN_PAR``). Passed through ``decode_window_jit`` as a static
+    argument so that flipping any of them AFTER a first trace at a given
+    shape produces a fresh jit cache entry (and hence an actual re-trace)
+    instead of silently reusing the old program."""
+    return tuple(
+        os.environ.get(k, "")
+        for k in (
+            "WTT_XATTN_V3", "WTT_XATTN_V4", "WTT_INT4_S8", "WTT_SELF_MXU",
+            "WTT_XATTN_BLOCK_T", "WTT_XATTN_VMEM_MB", "WTT_XATTN_PAR",
+        )
+    )
+
+
 def _xattn_block_t() -> int:
     """T-tile size for the stacked cross-attention decode kernels.
 
-    Read at trace time (the decode step re-traces when it changes via the
-    engine cache key). Larger tiles mean fewer, bigger HBM→VMEM DMAs per
+    Read at trace time (the decode step re-traces when any knob changes: the
+    engine threads ``kernel_knob_key()`` through ``decode_window_jit`` as a
+    static argument). Larger tiles mean fewer, bigger HBM→VMEM DMAs per
     grid step — the lever for the kernel's effective bandwidth. Default 1536
     covers the whole 1500-frame audio context in one tile; it needs the
     raised VMEM budget (`_xattn_mosaic_knobs`) and measured 17.06 vs

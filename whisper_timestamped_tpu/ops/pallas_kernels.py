@@ -23,6 +23,7 @@ optimal path is unaffected.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import numpy as np
@@ -31,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+logger = logging.getLogger("whisper_timestamped")
 
 DIAG, LEFT, UP = 0, 1, 2
 
@@ -1905,7 +1908,24 @@ def cross_attention_stacked_int4_pallas(
     # padding, see above); anything else collapses to a single full tile.
     TTp = block_t // 2
     if Tp <= TTp or TTp % 128 or Tp % TTp:
-        TTp, nt = Tp, 1
+        # round the requested tile DOWN to the largest 128-multiple divisor
+        # of Tp before collapsing to one full-width tile, and say so: a
+        # caller passing a small block_t to bound VMEM must not silently get
+        # a tile LARGER than requested (whole-context tiles need the raised
+        # vmem_limit_mb budget)
+        fit = max((c for c in range(128, min(TTp, Tp) + 1, 128) if Tp % c == 0),
+                  default=None)
+        if fit is not None and Tp > TTp:
+            TTp = fit
+        else:
+            if Tp > TTp:
+                logger.debug(
+                    "int4 xattn: block_t=%d has no 128-multiple divisor fit "
+                    "for Tp=%d; using one full-width tile (VMEM budget grows "
+                    "accordingly)", block_t, Tp,
+                )
+            TTp = Tp
+        nt = Tp // TTp
     else:
         nt = Tp // TTp
 

@@ -43,6 +43,7 @@ from ..engine import (
     extract_window_segments,
     needs_fallback,
 )
+from ..models.whisper_jax import kernel_knob_key
 from ..postprocess import ensure_increasing_positions
 from ..tokenizer import Tokenizer
 from ..utils.profiling import stage_timer
@@ -310,6 +311,7 @@ class BatchTranscriber:
             self_kv_int8=engine.self_kv_int8,
             layer_unroll=engine.layer_unroll,
             allow_pallas=engine.allow_pallas,
+            kernel_knobs=kernel_knob_key(),
         )
         dispatch_timer.__exit__(None, None, None)
         return out
