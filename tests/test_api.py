@@ -289,9 +289,12 @@ def test_plot_word_alignment_naive_path(model, tok, audio, tmp_path):
 
 
 def test_use_backend_timestamps_greedy(model, tok, audio):
-    """use_backend_timestamps: this framework is its own backend — the
-    on-the-fly aligned words ARE the backend timestamps (reference
-    transcribe.py:1079-1091 early-returns with the backend's words)."""
+    """use_backend_timestamps returns BACKEND-computed timestamps — the HF
+    generate(return_token_timestamps) algorithm (z-score + median(7) + DTW,
+    reference transcribe.py:2667-2806) run over the decode pass's attention —
+    via the naive engine's early return (transcribe.py:1079-1091). The
+    backend words carry no confidence (the reference adapter's words_dicts
+    have none, transcribe.py:2789-2795)."""
     res = transcribe_timestamped(
         model, audio[: 16000 * 3], language="en", tokenizer=tok,
         use_backend_timestamps=True,
@@ -300,7 +303,113 @@ def test_use_backend_timestamps_greedy(model, tok, audio):
     )
     assert "text" in res
     words = [w for s in res["segments"] for w in s.get("words", [])]
-    assert all("start" in w and "end" in w and "confidence" in w for w in words)
+    assert words
+    assert all("start" in w and "end" in w for w in words)
+    assert all("confidence" not in w for w in words)
+
+
+def test_align_words_whole_windows_mechanism(tok):
+    """Direct pin of the efficient-engine trust_whisper_timestamps=False
+    machinery (reference transcribe.py:585-707): a fabricated two-segment
+    window with cleanly-decoding tokens aligns as ONE window-wide DTW and the
+    words land back on their segments with confidences. (The e2e goldens use
+    the synthetic tokenizer whose random decode streams wedge on partial
+    UTF-8 bytes — both engines then return 0 words, pinned by the
+    recompute_all/recompute_all_efficient goldens — so the mechanism needs
+    this decodable-token pin.)"""
+    import types
+
+    from whisper_timestamped_tpu.api import _align_words_whole_windows
+    from whisper_timestamped_tpu.engine import Segment, WindowDecodeResult
+
+    ts = tok.timestamp_begin
+    # window: <|0.00|> hello <|1.00|><|1.00|> world <|2.00|>
+    tokens = (
+        [ts] + tok.encode(" hello") + [ts + 50, ts + 50]
+        + tok.encode(" world") + [ts + 100]
+    )
+    n = len(tokens)
+    rng = np.random.default_rng(0)
+    attn = (rng.standard_normal((n + 1, 3, 1500)) * 2).astype(np.float32)
+    # peak the attention along a diagonal so DTW has signal
+    for i in range(n):
+        attn[i, :, i * 10 : i * 10 + 12] += 6.0
+    window = WindowDecodeResult(
+        tokens=tokens, text=tok.decode(tokens), avg_logprob=-0.3,
+        no_speech_prob=0.1, temperature=0.0, compression_ratio=1.0,
+        token_logprobs=np.full(n, -0.2, np.float32), attn=attn,
+        hit_limit=False, n_text=n,
+    )
+    b1 = 1 + len(tok.encode(" hello")) + 1  # end of segment 1 (first ts pair)
+    segs = [
+        Segment(id=0, seek=100, start=1.0, end=2.0, text=" hello",
+                tokens=tokens[:b1], temperature=0.0, avg_logprob=-0.3,
+                compression_ratio=1.0, no_speech_prob=0.1,
+                token_span=(0, b1), window=window),
+        Segment(id=1, seek=100, start=2.0, end=3.0, text=" world",
+                tokens=tokens[b1:], temperature=0.0, avg_logprob=-0.3,
+                compression_ratio=1.0, no_speech_prob=0.1,
+                token_span=(b1, n), window=window),
+    ]
+    result = types.SimpleNamespace(segments=segs)
+    words, seg_dicts = _align_words_whole_windows(
+        result, tok, use_space=True, refine_whisper_precision_nframes=0,
+        remove_punctuation_from_words=False, compute_word_confidence=True,
+        include_punctuation_in_confidence=False, detect_disfluencies=False,
+    )
+    assert len(seg_dicts) == 2
+    assert [w["text"] for w in words] == ["hello", "world"]
+    assert [w["idx_segment"] for w in words] == [0, 1]
+    offset = 100 * 160 / 16000  # seek -> seconds
+    for w in words:
+        assert offset <= w["start"] <= w["end"] <= offset + 30.0
+        assert 0.0 < w["confidence"] <= 1.0
+    # segment confidences attached from each segment's own token logprobs
+    assert all(0.0 < d["confidence"] <= 1.0 for d in seg_dicts)
+
+
+def test_hf_token_timestamps_matches_transformers():
+    """Oracle: our torch-free hf_token_timestamps reproduces transformers'
+    WhisperGenerationMixin._extract_token_timestamps (the exact code path the
+    reference's use_backend_timestamps delegates to) on the same attention."""
+    import torch
+
+    from whisper_timestamped_tpu.backend_timestamps import hf_token_timestamps
+
+    m = make_hf_model(seed=0)
+    L = m.config.decoder_layers
+    heads = [(0, 1), (1, 0), (1, 2)]
+    T, F = 14, 80
+    rng = np.random.default_rng(5)
+    scores = (rng.standard_normal((T, len(heads), F)) * 2.0).astype(np.float64)
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+
+    H = m.config.decoder_attention_heads
+    steps = []
+    for t in range(T):
+        per_layer = []
+        for l in range(L):
+            att = np.zeros((1, H, 1, F), np.float32)
+            for k, (hl, hh) in enumerate(heads):
+                if hl == l:
+                    att[0, hh, 0] = probs[t, k]
+            per_layer.append(torch.from_numpy(att))
+        steps.append(tuple(per_layer))
+
+    class Outs(dict):  # HF checks membership with `"beam_indices" in outputs`
+        __getattr__ = dict.__getitem__
+
+    outs = Outs(
+        cross_attentions=tuple(steps),
+        sequences=torch.zeros((1, T), dtype=torch.long),
+    )
+    m.config.median_filter_width = 7
+    want = m._extract_token_timestamps(
+        outs, heads, time_precision=0.02, num_input_ids=0
+    )[0].numpy()
+    ours = hf_token_timestamps(scores)
+    np.testing.assert_allclose(ours, want[:T], atol=1e-5)
 
 
 def test_use_backend_timestamps_beam_contract(model, tok, audio, caplog):

@@ -103,6 +103,52 @@ def test_tp_decode_window_token_identical(model, tok, tp):
     np.testing.assert_allclose(r1.attn, r0.attn, atol=2e-3)
 
 
+def test_tp_decode_window_kernel_path_token_identical(tok, monkeypatch):
+    """tp>1 runs the stacked Pallas decode kernels via shard_map (each shard
+    holds whole heads, so per-shard attention is complete locally), and the
+    result is token-identical to the single-device XLA-path decode. Uses a
+    dh=64 geometry (the kernels' lane constraint, like every official model;
+    the shared hf fixture's dh=16 keeps the XLA path) with WTT_FORCE_STACKED
+    running the kernels in interpret mode on the CPU mesh."""
+    from whisper_timestamped_tpu.audio import N_FRAMES, log_mel_spectrogram, pad_or_trim
+    from whisper_timestamped_tpu.decoding import DecodingOptions
+    from whisper_timestamped_tpu.models.whisper_jax import WhisperDims, init_params
+
+    dims = WhisperDims(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=256, n_audio_head=4,
+        n_audio_layer=2, n_vocab=1928, n_text_ctx=448, n_text_state=256,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = jax.tree.map(jnp.asarray, init_params(dims, jax.random.PRNGKey(3)))
+    model64 = WhisperModel(
+        params=params, dims=dims, alignment_heads=[(0, 1), (1, 0), (1, 2)]
+    )
+    mel = pad_or_trim(
+        np.asarray(log_mel_spectrogram(_audio(7, 4), n_mels=80)), N_FRAMES,
+        axis=-1,
+    )
+    opts = DecodingOptions(language="en", sample_len=10)
+    r0 = DecodeEngine(model64, tok).decode_window(mel, opts)[0]
+
+    monkeypatch.setenv("WTT_FORCE_STACKED", "1")
+    engine_tp = DecodeEngine(model64, tok, mesh=get_mesh(tp=2))
+    assert engine_tp.kernel_mesh is not None  # kernels engage under this tp
+    r1 = engine_tp.decode_window(mel, opts)[0]
+    assert r1.tokens == r0.tokens
+    # kernel-path numerics (f32 interpret) vs the XLA path: small drift is
+    # expected; the token identity above is the exactness claim
+    np.testing.assert_allclose(r1.token_logprobs, r0.token_logprobs, atol=5e-3)
+    np.testing.assert_allclose(r1.attn, r0.attn, atol=2e-2)
+
+    # int8 cross-KV variant: sharded kernel == unsharded kernel (same
+    # quantization on both sides)
+    r8_ref = DecodeEngine(model64, tok, kv_int8=True).decode_window(mel, opts)[0]
+    engine_tp8 = DecodeEngine(model64, tok, mesh=get_mesh(tp=2), kv_int8=True)
+    r8 = engine_tp8.decode_window(mel, opts)[0]
+    assert r8.tokens == r8_ref.tokens
+    np.testing.assert_allclose(r8.attn, r8_ref.attn, atol=2e-2)
+
+
 def test_tp_batched_pipeline_matches_serial(model, tok):
     """Full batched pipeline on a dp=2 x tp=4 mesh == unsharded serial loop."""
     audios = {"a": _audio(0, 5), "b": _audio(1, 8)}

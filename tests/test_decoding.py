@@ -231,6 +231,90 @@ def test_greedy_matches_sequential_reference(engine, mel):
         )
 
 
+def _hf_processor_reference_decode(hf_model, tok, mel, prompt_tokens,
+                                   max_new=224, max_initial_ts_index=50):
+    """Greedy decode whose logit filtering is done by HUGGINGFACE's own
+    processors (``WhisperTimeStampLogitsProcessor`` + the Suppress
+    processors) — a third-party implementation of whisper's ApplyTimestampRules
+    (the semantics the reference borrows via ``DecodingTask``,
+    ``transcribe.py:1371-1393``). Triangulates the jitted engine against an
+    oracle NOT written in this repo: a shared misreading of whisper's rules in
+    both our engine and our sequential numpy oracle would still fail here."""
+    import torch
+    from transformers.generation.logits_process import (
+        SuppressTokensAtBeginLogitsProcessor,
+        SuppressTokensLogitsProcessor,
+        WhisperTimeStampLogitsProcessor,
+    )
+
+    from whisper_timestamped_tpu.decoding import (
+        DecodingOptions as DO,
+        build_blank_mask,
+        build_suppress_mask,
+    )
+
+    V = hf_model.config.vocab_size
+    # index form of the same suppress policy the engine uses (mask content is
+    # pinned separately by the sequential-oracle test)
+    suppress_ids = np.where(np.isneginf(np.asarray(build_suppress_mask(tok, DO(), V))))[0]
+    blank_ids = np.where(np.isneginf(np.asarray(build_blank_mask(tok, V))))[0]
+
+    sot_seq = [tok.sot, tok.to_language_token("en"), tok.transcribe]
+    initial = ([tok.sot_prev] + list(prompt_tokens) if prompt_tokens else []) + sot_seq
+    begin_index = len(initial)
+
+    class _GenCfg:
+        no_timestamps_token_id = tok.no_timestamps
+        eos_token_id = tok.eot
+        max_initial_timestamp_index = max_initial_ts_index
+
+    procs = [
+        SuppressTokensAtBeginLogitsProcessor(
+            blank_ids.tolist(), begin_index, device="cpu"
+        ),
+        SuppressTokensLogitsProcessor(suppress_ids.tolist(), device="cpu"),
+        WhisperTimeStampLogitsProcessor(_GenCfg(), begin_index=begin_index),
+    ]
+    tokens = list(initial)
+    out_tokens = []
+    with torch.no_grad():
+        enc = hf_model.model.encoder(torch.from_numpy(mel[None]))
+        for _ in range(max_new):
+            ids = torch.tensor([tokens])
+            logits = hf_model(
+                encoder_outputs=(enc.last_hidden_state,), decoder_input_ids=ids
+            ).logits[:, -1].double()
+            for p in procs:
+                logits = p(ids, logits)
+            choice = int(torch.argmax(logits[0]))
+            out_tokens.append(choice)
+            if choice == tok.eot:
+                break
+            tokens.append(choice)
+    return out_tokens
+
+
+def test_greedy_matches_hf_timestamp_processor(engine, mel):
+    """Token-identical greedy decode vs a loop filtered by HF's
+    WhisperTimeStampLogitsProcessor, across 3 windows incl. prompted ones."""
+    hf_model = make_hf_model(seed=0)
+    tok = engine.tokenizer
+    opts = DecodingOptions(language="en")
+    rng = np.random.default_rng(3)
+    mel2 = (rng.standard_normal((80, 3000)) * 0.4).astype(np.float32)
+    cases = [
+        (mel, []),
+        (mel, [300, 301, 302, 260, 261]),
+        (mel2, [355, 356, 357] * 5),
+    ]
+    for m, prompt in cases:
+        ours = engine.decode_window(m, opts, prompt_tokens=prompt)[0]
+        ref = _hf_processor_reference_decode(hf_model, tok, m, prompt)
+        if ref and ref[-1] == tok.eot:
+            ref = ref[:-1]
+        assert ours.tokens == ref, (prompt, ours.tokens[:20], ref[:20])
+
+
 def test_transcribe_fallback_schedule(engine):
     rng = np.random.default_rng(4)
     audio = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)

@@ -95,7 +95,12 @@ CONFIGS = {
     # engines (ref: naive, naive.cuda; accurate preset)
     "naive": dict(language="en", naive_approach=True),
     "beam3": dict(language="en", beam_size=3),
-    "recompute_all": dict(language="en", trust_whisper_timestamps=False),
+    # trust_whisper_timestamps=False in BOTH engines (the reference supports
+    # it efficient-side at transcribe.py:585-707 and naive-side at :1178-1202)
+    "recompute_all": dict(language="en", trust_whisper_timestamps=False,
+                          naive_approach=True),
+    "recompute_all_efficient": dict(language="en",
+                                    trust_whisper_timestamps=False),
     # VAD classes (ref: verbose/vad_* stdout dirs; auditok variant)
     "vad_explicit": dict(language="en", vad=[(0.0, 3.0), (4.0, 6.0)]),
     "vad_auditok": dict(language="en", vad="auditok"),

@@ -224,9 +224,13 @@ def test_jax_silero_end_to_end_via_vad(tmp_path, monkeypatch):
     assert jx_segs == ts_segs
 
 
-def test_silero_unknown_architecture_falls_back(tmp_path):
-    """A .jit model outside the known schema must use the torchscript
-    adapter, not silently mis-score."""
+def test_silero_unknown_architecture_falls_back(tmp_path, caplog):
+    """A .jit model outside the known schema (e.g. the v3/v4 architectures the
+    reference pins via "silero:3.1") must use the torchscript adapter WITH a
+    loud revision warning, not silently mis-score (MIGRATION.md 'Silero VAD
+    revisions')."""
+    import logging
+
     import torch
     import torch.nn as nn
 
@@ -247,7 +251,12 @@ def test_silero_unknown_architecture_falls_back(tmp_path):
     path = str(tmp_path / "odd.jit")
     torch.jit.script(Odd().eval()).save(path)
     assert sj.load_jax_prob_model(path) is None
-    fn = sj._cached_prob_model(path)
+    with caplog.at_level(logging.WARNING, logger="whisper_timestamped_tpu"):
+        fn = sj._cached_prob_model(path)
+    assert any(
+        "v5 weight schema" in r.getMessage() and "torchscript" in r.getMessage()
+        for r in caplog.records
+    ), [r.getMessage() for r in caplog.records]
     assert not getattr(fn, "is_jax", False)
     probs = fn(np.zeros((3, 512), np.float32), 16000)
     assert probs.shape == (3,)

@@ -173,11 +173,10 @@ def transcribe_timestamped(
         naive_approach = True
     if use_backend_timestamps:
         naive_approach = True  # reference transcribe.py:245
-    if not trust_whisper_timestamps:
-        # per-chunk segment reconstruction lives in the two-pass engine
-        # (reference implements it in both engines; behavior matches its
-        # naive variant, transcribe.py:1178-1202)
-        naive_approach = True
+    # trust_whisper_timestamps=False is supported by BOTH engines, as in the
+    # reference: single-pass whole-window alignment
+    # (_align_words_whole_windows, ref transcribe.py:585-707) or the naive
+    # engine's per-chunk reconstruction (transcribe.py:1178-1202)
 
     if plot_word_alignment:
         from .plotting import reset_plot_counter
@@ -285,6 +284,7 @@ def transcribe_timestamped(
             plot_word_alignment=plot_word_alignment,
             device_alignment=device_alignment,
             device_alignment_explicit=device_alignment_explicit,
+            trust_whisper_timestamps=trust_whisper_timestamps,
         )
 
     transcription = finalize_transcription(
@@ -397,6 +397,7 @@ def _transcribe_efficient(
     plot_word_alignment=False,
     device_alignment=False,
     device_alignment_explicit=True,
+    trust_whisper_timestamps=True,
 ):
     tok = engine.tokenizer
 
@@ -412,6 +413,7 @@ def _transcribe_efficient(
     full_device = (
         device_alignment
         and not plot_word_alignment
+        and trust_whisper_timestamps
         and len(engine.align_heads) <= MAX_K
     )
     if device_alignment and not full_device:
@@ -421,6 +423,8 @@ def _transcribe_efficient(
         reasons = [
             r for cond, r in (
                 (plot_word_alignment, "plot_word_alignment needs the host cost matrix"),
+                (not trust_whisper_timestamps,
+                 "trust_whisper_timestamps=False aligns whole windows on the host"),
                 (len(engine.align_heads) > MAX_K,
                  f"{len(engine.align_heads)} alignment heads exceed the device aligner's capacity ({MAX_K})"),
             ) if cond
@@ -455,6 +459,34 @@ def _transcribe_efficient(
         print(f"Detected language: {LANGUAGE_NAMES.get(result.language, result.language)}")
 
     use_space = should_use_space(result.language)
+
+    if not trust_whisper_timestamps:
+        plot_mel = (
+            np.asarray(log_mel_spectrogram(audio, n_mels=engine.dims.n_mels))
+            if plot_word_alignment
+            else None
+        )
+        words, segment_dicts = _align_words_whole_windows(
+            result,
+            tok,
+            use_space=use_space,
+            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            compute_word_confidence=compute_word_confidence,
+            include_punctuation_in_confidence=include_punctuation_in_confidence,
+            detect_disfluencies=detect_disfluencies,
+            plot_word_alignment=plot_word_alignment,
+            plot_mel=plot_mel,
+        )
+        transcription = {
+            "text": "".join(s["text"] for s in segment_dicts),
+            "segments": segment_dicts,
+            "language": result.language,
+        }
+        if result.language_probs:
+            transcription["language_probs"] = result.language_probs
+        return transcription, words
+
     if full_device:
         entries = [(seg, prepare_segment_tokens(seg, tok)) for seg in result.segments]
         with stage_timer("align"):
@@ -532,6 +564,153 @@ try:  # populate "Detected language: French"-style names
     LANGUAGE_NAMES = {c: n.title() for c, n in _L.items()}
 except Exception:  # pragma: no cover
     pass
+
+
+def _align_words_whole_windows(
+    result,
+    tok: Tokenizer,
+    *,
+    use_space: bool,
+    refine_whisper_precision_nframes: int,
+    remove_punctuation_from_words: bool,
+    compute_word_confidence: bool,
+    include_punctuation_in_confidence: bool,
+    detect_disfluencies: bool,
+    plot_word_alignment=False,
+    plot_mel=None,
+):
+    """``trust_whisper_timestamps=False`` in the single-pass engine.
+
+    Aligns each 30-s window's FULL token sequence in one DTW against the
+    attention captured during decode — the reference implements this
+    efficient-side at ``transcribe.py:585-707``: the window's first timestamp
+    is pinned to <|0.00|>, its final timestamp to <|30.00|>, intermediate
+    timestamps stay in the sequence as anchors — then redistributes the
+    aligned words to whisper's segments by walking token counts (the
+    re-split at ``transcribe.py:640-700``). One alignment per window and NO
+    second forward pass, so the option no longer needs the two-pass engine
+    (2x inference) here.
+
+    Returns ``(words, segment_dicts)``. Unlike the per-segment path, every
+    segment of the stream is emitted (a segment whose words all landed
+    elsewhere simply has no ``words`` key after the merge, matching the
+    reference's behavior for this option).
+    """
+    ts_begin = tok.timestamp_begin
+    words: List[dict] = []
+    segment_dicts: List[dict] = []
+
+    # group consecutive segments that came out of the same window decode
+    groups: List[List[int]] = []
+    for i, seg in enumerate(result.segments):
+        if groups and result.segments[groups[-1][-1]].window is seg.window:
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+
+    for group in groups:
+        segs = [result.segments[i] for i in group]
+        window = segs[0].window
+        base_idx = len(segment_dicts)
+        for seg in segs:
+            d = seg.to_dict()
+            d["id"] = len(segment_dicts)
+            segment_dicts.append(d)
+
+        tokens_w: List[int] = []
+        rows_w: List[int] = []
+        seg_of: List[int] = []  # output segment index per aligned token
+        for gi, seg in enumerate(segs):
+            a, b = seg.token_span
+            tokens_w.extend(seg.tokens)
+            rows_w.extend(range(a, b))
+            seg_of.extend([base_idx + gi] * (b - a))
+        if not tokens_w:
+            continue
+
+        unfinished = False
+        if tokens_w[0] >= ts_begin:
+            tokens_w[0] = ts_begin  # window starts at <|0.00|>
+        else:  # defensive: a window that somehow starts mid-text
+            tokens_w.insert(0, ts_begin)
+            rows_w.insert(0, rows_w[0])
+            seg_of.insert(0, seg_of[0])
+        if tokens_w[-1] >= ts_begin:
+            # pin the window end to <|30.00|> (ref :632-634)
+            tokens_w[-1] = ts_begin + N_FRAMES // 2
+        elif window.hit_limit:
+            unfinished = True  # stuck LM: no final timestamp (ref :611-613)
+        else:
+            # early EOT: align <|endoftext|> with the row that predicted it
+            tokens_w.append(tok.eot)
+            rows_w.append(len(window.tokens))
+            seg_of.append(seg_of[-1])
+
+        if len(tokens_w) <= 1:
+            continue
+
+        full_attn = window.attn
+        if rows_w[-1] >= len(full_attn):
+            full_attn = np.concatenate([full_attn, window.eot_attn[None]], axis=0)
+        attn = full_attn[rows_w]
+
+        segment_frames = segs[0].segment_frames
+        max_duration = segment_frames // 2 if segment_frames < N_FRAMES else None
+        ws = perform_word_alignment(
+            tokens_w,
+            attn,
+            tok,
+            use_space=use_space,
+            max_duration=max_duration,
+            refine_whisper_precision_nframes=refine_whisper_precision_nframes,
+            remove_punctuation_from_words=remove_punctuation_from_words,
+            detect_disfluencies=detect_disfluencies,
+            unfinished_decoding=unfinished,
+            plot=plot_word_alignment,
+            plot_mfcc=(
+                plot_mel[
+                    :,
+                    segs[0].mel_frame_offset : segs[0].mel_frame_offset + N_FRAMES,
+                ]
+                if plot_mel is not None
+                else None
+            ),
+        )
+        if not ws:
+            continue
+
+        offset = segs[0].seek * HOP_LENGTH / SAMPLE_RATE
+        # walk the aligned token sequence to hand each word back to the
+        # whisper segment its tokens came from (ref re-split :640-700)
+        i_token = 1  # skip the leading window-start timestamp
+        per_seg_words: Dict[int, List[dict]] = {}
+        for w in ws:
+            w["start"] = round_timestamp(w["start"] + offset)
+            w["end"] = round_timestamp(w["end"] + offset)
+            idx = seg_of[i_token] if i_token < len(seg_of) else seg_of[-1]
+            w["idx_segment"] = idx
+            per_seg_words.setdefault(idx, []).append(w)
+            i_token += len(w["tokens"])
+            while i_token < len(tokens_w) and tokens_w[i_token] >= ts_begin:
+                i_token += 1
+            words.append(w)
+
+        if compute_word_confidence:
+            for gi, seg in enumerate(segs):
+                a, b = seg.token_span
+                lps = [
+                    window.token_logprobs[a + i]
+                    for i, t in enumerate(seg.tokens)
+                    if t < tok.eot
+                ]
+                _attach_confidences(
+                    per_seg_words.get(base_idx + gi, []),
+                    segment_dicts[base_idx + gi],
+                    lps,
+                    include_punctuation_in_confidence,
+                )
+
+    return words, segment_dicts
 
 
 def device_align_segments(
@@ -825,44 +1004,52 @@ def align_and_score_segment(
             for i, t in enumerate(seg.tokens)
             if t < tok.eot
         ]
-        logprobs = np.array(lps, np.float64)
-        if include_punctuation_in_confidence:
-            seg_dict["confidence"] = round_confidence(
-                float(np.exp(logprobs.mean())) if len(logprobs) else 0.0
-            )
-            logprobs_nopunc = None
-        else:
-            logprobs_nopunc = []
-        i_end = 0
-        for w in ws:
-            i_start = i_end
-            tokens_w = w["tokens"]
-            i_end = min(i_end + len(tokens_w), len(logprobs))
-            if include_punctuation_in_confidence:
-                word_logprobs = logprobs[i_start:i_end]
-            else:
-                while (
-                    len(tokens_w) > 1
-                    and len(tokens_w[-1])
-                    and tokens_w[-1][-1] in _punctuation
-                ):
-                    tokens_w = tokens_w[:-1]
-                word_logprobs = logprobs[i_start : i_start + len(tokens_w)]
-                logprobs_nopunc.append(word_logprobs)
-            w["confidence"] = round_confidence(
-                float(np.exp(word_logprobs.mean())) if len(word_logprobs) else 0.0
-            )
-        if i_end not in (len(logprobs), len(logprobs) - 1):
-            # mirrors reference transcribe.py:990-991 (special tokens inside a
-            # segment break the word↔logprob tiling)
-            logger.warning(
-                "Got inconsistent length for segment (%d != %d). Some words have been ignored.",
-                len(logprobs), i_end,
-            )
-        if not include_punctuation_in_confidence:
-            cat = np.concatenate(logprobs_nopunc) if logprobs_nopunc else np.array([])
-            seg_dict["confidence"] = round_confidence(
-                float(np.exp(cat.mean())) if len(cat) else 0.0
-            )
+        _attach_confidences(ws, seg_dict, lps, include_punctuation_in_confidence)
 
     return ws, seg_dict
+
+
+def _attach_confidences(ws, seg_dict, lps, include_punctuation_in_confidence):
+    """Word + segment confidence from the segment's text-token logprobs
+    (efficient-path semantics, reference ``transcribe.py:965-995``): word
+    confidence = exp(mean) over its tokens' logprobs (trailing punctuation
+    optionally excluded), segment confidence over the concatenation."""
+    logprobs = np.array(lps, np.float64)
+    if include_punctuation_in_confidence:
+        seg_dict["confidence"] = round_confidence(
+            float(np.exp(logprobs.mean())) if len(logprobs) else 0.0
+        )
+        logprobs_nopunc = None
+    else:
+        logprobs_nopunc = []
+    i_end = 0
+    for w in ws:
+        i_start = i_end
+        tokens_w = w["tokens"]
+        i_end = min(i_end + len(tokens_w), len(logprobs))
+        if include_punctuation_in_confidence:
+            word_logprobs = logprobs[i_start:i_end]
+        else:
+            while (
+                len(tokens_w) > 1
+                and len(tokens_w[-1])
+                and tokens_w[-1][-1] in _punctuation
+            ):
+                tokens_w = tokens_w[:-1]
+            word_logprobs = logprobs[i_start : i_start + len(tokens_w)]
+            logprobs_nopunc.append(word_logprobs)
+        w["confidence"] = round_confidence(
+            float(np.exp(word_logprobs.mean())) if len(word_logprobs) else 0.0
+        )
+    if i_end not in (len(logprobs), len(logprobs) - 1):
+        # mirrors reference transcribe.py:990-991 (special tokens inside a
+        # segment break the word↔logprob tiling)
+        logger.warning(
+            "Got inconsistent length for segment (%d != %d). Some words have been ignored.",
+            len(logprobs), i_end,
+        )
+    if not include_punctuation_in_confidence:
+        cat = np.concatenate(logprobs_nopunc) if logprobs_nopunc else np.array([])
+        seg_dict["confidence"] = round_confidence(
+            float(np.exp(cat.mean())) if len(cat) else 0.0
+        )

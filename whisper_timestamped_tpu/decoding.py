@@ -211,7 +211,7 @@ def apply_timestamp_rules(
         "no_timestamps", "sot_index_from_end", "max_initial_timestamp_index",
         "suppress_blank", "without_timestamps", "attn_dtype", "kv_int8",
         "kv_int4", "self_kv_int8", "capture_attention", "layer_unroll",
-        "allow_pallas", "kernel_knobs",
+        "allow_pallas", "kernel_knobs", "mesh",
     ),
 )
 def decode_window_jit(
@@ -243,6 +243,7 @@ def decode_window_jit(
     layer_unroll: int = 1,
     allow_pallas: bool = True,
     kernel_knobs: tuple = (),  # jit-cache key only; see kernel_knob_key()
+    mesh=None,  # static Mesh: stacked decode kernels run sharded (shard_map)
 ):
     """Decode one 30-s window for a batch. Returns a dict of buffers:
 
@@ -528,6 +529,7 @@ def decode_window_jit(
             align_heads=align_heads if capture_attention else None,
             unroll_layers=layer_unroll,
             allow_pallas=allow_pallas,
+            mesh=mesh,
         )
         if capture_attention:
             # rows (B, K, 1, T): the forward that consumed y_i PREDICTS y_{i+1}

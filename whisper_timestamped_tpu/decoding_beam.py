@@ -1,11 +1,20 @@
 """Beam-search window decoding (whisper ``BeamSearchDecoder`` semantics).
 
-One jitted program per window: prompt prefill shared across beams, then a
-``lax.while_loop`` where each step applies the logit filters per beam, merges
-the global candidate pool in descending score order (eot candidates retire to
-a finished pool with ``beam_size*patience`` capacity, exactly like whisper's
-dict-based implementation), and gathers the KV cache along the winning beams.
-Final ranking (length-penalized avg logprob) happens on the host.
+One jitted program per window batch: prompt prefill shared across beams, then
+a ``lax.while_loop`` where each step applies the logit filters per beam,
+merges each window's candidate pool in descending score order (eot candidates
+retire to a finished pool with ``beam_size*patience`` capacity, exactly like
+whisper's dict-based implementation), and gathers the KV cache along the
+winning beams. Final ranking (length-penalized avg logprob) happens on the
+host.
+
+The beam grid is folded into the BATCH axis — all ``B`` windows' ``K`` beams
+decode as ``B*K`` rows through the same ``decode_step`` the greedy engine
+uses, so the stacked Pallas attention kernels serve beam decode too (an
+earlier revision vmapped a single-window core per window, which forced the
+XLA fallback: the kernels carry no batching rule). Each window keeps its own
+candidate pool and stops independently (a frozen window's rows keep riding
+the loop as no-ops until every window finishes).
 
 The reference can only run beam search through its two-pass "naive" engine
 (forced at reference ``transcribe.py:233-245``); here beam decode is a peer of
@@ -31,7 +40,7 @@ _BEAM_STATICS = (
     "dims", "beam_size", "max_candidates", "max_new", "sample_begin", "eot",
     "ts_begin", "no_timestamps", "sot_index_from_end",
     "max_initial_timestamp_index", "suppress_blank", "without_timestamps",
-    "allow_pallas",
+    "allow_pallas", "mesh",
 )
 
 
@@ -57,20 +66,22 @@ def decode_window_beam_jit(
     suppress_blank: bool = True,
     without_timestamps: bool = False,
     allow_pallas: bool = True,
+    mesh=None,
 ):
     """Single-window beam decode. Returns dict with finished
-    sequences/scores and no_speech_prob."""
+    sequences/scores and no_speech_prob (the B=1 case of the batched core)."""
     xa = encode(params, mel, dims, allow_pallas=allow_pallas)
-    return _beam_core(
-        params, xa, prompt, prompt_len, suppress_mask, blank_mask,
+    out = _beam_core_batched(
+        params, xa, prompt[None], prompt_len[None], suppress_mask, blank_mask,
         dims=dims, beam_size=beam_size, max_candidates=max_candidates,
         max_new=max_new, sample_begin=sample_begin, eot=eot,
         ts_begin=ts_begin, no_timestamps=no_timestamps,
         sot_index_from_end=sot_index_from_end,
         max_initial_timestamp_index=max_initial_timestamp_index,
         suppress_blank=suppress_blank, without_timestamps=without_timestamps,
-        allow_pallas=allow_pallas,
+        allow_pallas=allow_pallas, mesh=mesh,
     )
+    return {k: v[0] for k, v in out.items()}
 
 
 @functools.partial(jax.jit, static_argnames=_BEAM_STATICS)
@@ -95,40 +106,33 @@ def decode_window_beam_batch_jit(
     suppress_blank: bool = True,
     without_timestamps: bool = False,
     allow_pallas: bool = True,
+    mesh=None,
 ):
     """Batched beam decode: B independent windows in one program (the
     batched pipeline's pass-1 for ``beam_size``; no reference counterpart —
     the reference is strictly batch-1, reference ``transcribe.py:806``).
 
-    The encoder runs batched over all windows (one big MXU-friendly
-    program, Pallas allowed); the per-window beam loop is ``vmap``-ped —
-    beams become a (B, K) grid and the ``lax.while_loop`` runs until every
-    window finishes. Pallas is disabled inside the vmapped region (the
-    stacked-attention kernels carry no batching rule); the XLA decode path
-    batches cleanly."""
+    The encoder runs batched over all windows; the beam grids fold into the
+    batch axis (B*K rows through ``decode_step``), so the stacked Pallas
+    attention kernels serve the loop on TPU."""
     xa = encode(params, mels, dims, allow_pallas=allow_pallas)
-
-    def one(xa1, prompt, plen):
-        return _beam_core(
-            params, xa1[None], prompt, plen, suppress_mask, blank_mask,
-            dims=dims, beam_size=beam_size, max_candidates=max_candidates,
-            max_new=max_new, sample_begin=sample_begin, eot=eot,
-            ts_begin=ts_begin, no_timestamps=no_timestamps,
-            sot_index_from_end=sot_index_from_end,
-            max_initial_timestamp_index=max_initial_timestamp_index,
-            suppress_blank=suppress_blank,
-            without_timestamps=without_timestamps,
-            allow_pallas=False,
-        )
-
-    return jax.vmap(one)(xa, prompts, prompt_lens)
+    return _beam_core_batched(
+        params, xa, prompts, prompt_lens, suppress_mask, blank_mask,
+        dims=dims, beam_size=beam_size, max_candidates=max_candidates,
+        max_new=max_new, sample_begin=sample_begin, eot=eot,
+        ts_begin=ts_begin, no_timestamps=no_timestamps,
+        sot_index_from_end=sot_index_from_end,
+        max_initial_timestamp_index=max_initial_timestamp_index,
+        suppress_blank=suppress_blank, without_timestamps=without_timestamps,
+        allow_pallas=allow_pallas, mesh=mesh,
+    )
 
 
-def _beam_core(
+def _beam_core_batched(
     params,
-    xa: jnp.ndarray,  # (1, T, D) encoded audio
-    prompt: jnp.ndarray,  # (P,) int32 right-aligned
-    prompt_len: jnp.ndarray,  # scalar int32
+    xa: jnp.ndarray,  # (B, T, D) encoded audio
+    prompts: jnp.ndarray,  # (B, P) int32 right-aligned
+    prompt_lens: jnp.ndarray,  # (B,) int32
     suppress_mask: jnp.ndarray,
     blank_mask: jnp.ndarray,
     *,
@@ -145,43 +149,50 @@ def _beam_core(
     suppress_blank: bool = True,
     without_timestamps: bool = False,
     allow_pallas: bool = True,
+    mesh=None,
 ):
-    """One window's beam search over pre-encoded audio (vmap-safe)."""
+    """B windows' beam searches in lock-step over pre-encoded audio.
+
+    Beam rows are laid out window-major: flat row ``b*K + k``. Every returned
+    array carries a leading window axis."""
     from .models.whisper_jax import (  # internal reuse
-        _attention, _linear, _ln, _logits, cross_attention,
+        _attention, _linear, _ln, _logits,
     )
 
+    B = xa.shape[0]
     K = beam_size
     P = sample_begin
     V = dims.n_vocab
     no_speech = no_timestamps - 1
     NEG = jnp.float32(-1e30)
+    bidx = jnp.arange(B)
 
     ctx_len = min(((P + max_new + 7) // 8) * 8, ((dims.n_text_ctx + 7) // 8) * 8 + 8)
-    # prefill at batch 1 — all beams are identical until the first sampled
-    # token (enforced by the -1e30 sum_logprobs init), so running the P-slot
-    # prefill per beam would be K x redundant work; the KV caches are tiled
-    # to K rows afterwards
+    # prefill at B rows — all of a window's beams are identical until the
+    # first sampled token (enforced by the -1e30 sum_logprobs init), so
+    # running the P-slot prefill per beam would be K x redundant work; the KV
+    # caches are tiled to K rows per window afterwards (window-major)
     cache = init_cache(params, xa, dims, ctx_len=ctx_len)
 
-    pad1 = jnp.full((1,), P - prompt_len, jnp.int32)
-    pad_len = jnp.full((K,), P - prompt_len, jnp.int32)
+    padB = P - prompt_lens  # (B,)
+    pad_len = jnp.repeat(padB, K)  # (B*K,) per-row left padding
 
     dec = params["decoder"]
     slot_ids = jnp.arange(P, dtype=jnp.int32)
-    pos_ids = jnp.maximum(slot_ids[None, :] - pad1[:, None], 0)
-    prompt_k = jnp.tile(prompt[None, :], (K, 1))
-    x = dec["tok_emb"][prompt[None, :]] + dec["pos_emb"][pos_ids]
+    pos_ids = jnp.maximum(slot_ids[None, :] - padB[:, None], 0)  # (B, P)
+    x = dec["tok_emb"][prompts] + dec["pos_emb"][pos_ids]
     x = x.astype(cache.k.dtype)
 
     ctx = ctx_len
     key_ids = lax.broadcasted_iota(jnp.int32, (P, ctx), 1)
     q_ids = lax.broadcasted_iota(jnp.int32, (P, ctx), 0)
-    valid = (key_ids[None] >= pad1[:, None, None]) & (key_ids[None] <= q_ids[None])
+    valid = (key_ids[None] >= padB[:, None, None]) & (key_ids[None] <= q_ids[None])
     valid = valid | (key_ids == q_ids)[None]
     prefill_mask = jnp.where(valid, 0.0, -jnp.inf).astype(x.dtype)[:, None]
 
     def prefill_block(carry, layer_in):
+        from .models.whisper_jax import cross_attention
+
         (x,) = carry
         bp, k_cache, v_cache, xk, xv, xk_s, xv_s = layer_in
         xn = _ln(x, bp["attn_ln"])
@@ -206,108 +217,137 @@ def _beam_core(
         prefill_block, (x,),
         (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
     )
-    # tile every per-batch cache array from 1 row to K beam rows
+    # tile every per-window cache row to K beam rows (window-major: b*K + k)
     cache = KVCache(*(jnp.repeat(a, K, axis=1) for a in (k_c, v_c, cache.xk,
                                                          cache.xv, cache.xk_scale, cache.xv_scale)))
     sot_slot = P - sot_index_from_end
-    x_sel = jnp.stack([x[:, sot_slot], x[:, -1]], axis=1)  # (1, 2, D)
+    x_sel = jnp.stack([x[:, sot_slot], x[:, -1]], axis=1)  # (B, 2, D)
     sel_logits = _logits(_ln(x_sel, dec["ln"]), dec)
-    no_speech_prob = jax.nn.softmax(sel_logits[0, 0].astype(jnp.float32))[no_speech]
-    prefill_last_logits = jnp.repeat(sel_logits[:, 1], K, axis=0)  # (K, V)
+    no_speech_prob = jax.nn.softmax(sel_logits[:, 0].astype(jnp.float32), axis=-1)[:, no_speech]
+    prefill_last_logits = jnp.repeat(sel_logits[:, 1][:, None], K, axis=1)  # (B, K, V)
 
     C = max_candidates
     init = dict(
         i=jnp.int32(0),
-        last_logits=prefill_last_logits.astype(jnp.float32),  # (K, V)
-        last_token=prompt_k[:, -1],
-        penult_token=prompt_k[:, -2],
-        max_timestamp=jnp.full((K,), ts_begin - 1, jnp.int32),
-        tokens=jnp.full((K, max_new), eot, jnp.int32),
-        sum_logprobs=jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), NEG)]).astype(jnp.float32),
-        finished_seqs=jnp.full((C, max_new), eot, jnp.int32),
-        finished_scores=jnp.full((C,), NEG, jnp.float32),
-        finished_len=jnp.zeros((C,), jnp.int32),
-        n_finished=jnp.int32(0),
+        last_logits=prefill_last_logits.astype(jnp.float32),  # (B, K, V)
+        last_token=jnp.tile(prompts[:, -1:], (1, K)),
+        penult_token=jnp.tile(prompts[:, -2:-1], (1, K)),
+        max_timestamp=jnp.full((B, K), ts_begin - 1, jnp.int32),
+        tokens=jnp.full((B, K, max_new), eot, jnp.int32),
+        sum_logprobs=jnp.tile(
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), NEG)]
+                            ).astype(jnp.float32)[None], (B, 1)),
+        finished_seqs=jnp.full((B, C, max_new), eot, jnp.int32),
+        finished_scores=jnp.full((B, C), NEG, jnp.float32),
+        finished_len=jnp.zeros((B, C), jnp.int32),
+        n_finished=jnp.zeros((B,), jnp.int32),
+        steps=jnp.zeros((B,), jnp.int32),  # per-window step count at freeze
         cache=cache,
     )
 
+    def window_done(c):
+        # per-window stop: pool full OR the total token count would exceed
+        # n_text_ctx (whisper stops decoding there; the greedy path forces
+        # EOT at the same position, decoding.py)
+        within_ctx = (prompt_lens + c["i"]) < (dims.n_text_ctx - 1)
+        return (c["n_finished"] >= C) | ~within_ctx  # (B,)
+
     def cond(c):
-        # sequence-length cap: whisper stops decoding once the total token
-        # count would exceed n_text_ctx (the greedy path forces EOT at the
-        # same position, decoding.py); unfinished beams finalize eot-implied
-        within_ctx = (prompt_len + c["i"]) < (dims.n_text_ctx - 1)
-        return (c["i"] < max_new) & (c["n_finished"] < C) & within_ctx
+        return (c["i"] < max_new) & jnp.any(~window_done(c))
 
     def body(c):
         i = c["i"]
-        logits = c["last_logits"]
+        active = ~window_done(c)  # (B,)
+        logits = c["last_logits"].reshape(B * K, V)
         if suppress_blank:
             logits = jnp.where(i == 0, logits + blank_mask[None, :], logits)
         logits = logits + suppress_mask[None, :]
         if not without_timestamps:
             logits = apply_timestamp_rules(
-                logits, c["last_token"], c["penult_token"], c["max_timestamp"], i,
+                logits, c["last_token"].reshape(-1), c["penult_token"].reshape(-1),
+                c["max_timestamp"].reshape(-1), i,
                 ts_begin=ts_begin, eot=eot, no_timestamps=no_timestamps,
                 max_initial_timestamp_index=max_initial_timestamp_index,
             )
-        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (K, V)
-        flat = (c["sum_logprobs"][:, None] + logprobs).reshape(-1)  # (K*V,)
-        top_scores, top_idx = lax.top_k(flat, 2 * K)
+        logprobs = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        flat = (c["sum_logprobs"][:, :, None] + logprobs).reshape(B, K * V)
+        top_scores, top_idx = lax.top_k(flat, 2 * K)  # (B, 2K)
         src_beam = top_idx // V
         token = top_idx % V
         is_eot = token == eot
 
-        # walk candidates in descending score; eot -> finished (capacity C),
-        # others -> next beams until K are filled (whisper's break-at-K)
+        # walk candidates in descending score, all windows in lock-step;
+        # eot -> finished pool (capacity C), others -> next beams until K are
+        # filled (whisper's break-at-K). A finished window pushes nothing.
         def push(state, j):
             (n_new, n_fin, sel_src, sel_tok, sel_score,
              fin_seqs, fin_scores, fin_len) = state
-            cand_eot = is_eot[j]
-            take_beam = (~cand_eot) & (n_new < K)
-            take_fin = cand_eot & (n_fin < C) & (n_new < K)
+            cand_eot = is_eot[:, j]
+            take_beam = (~cand_eot) & (n_new < K) & active
+            take_fin = cand_eot & (n_fin < C) & (n_new < K) & active
 
-            sel_src = jnp.where(take_beam, sel_src.at[n_new].set(src_beam[j]), sel_src)
-            sel_tok = jnp.where(take_beam, sel_tok.at[n_new].set(token[j]), sel_tok)
-            sel_score = jnp.where(take_beam, sel_score.at[n_new].set(top_scores[j]), sel_score)
-            n_new = n_new + jnp.where(take_beam, 1, 0)
+            slot = jnp.minimum(n_new, K - 1)
+            sel_src = sel_src.at[bidx, slot].set(
+                jnp.where(take_beam, src_beam[:, j], sel_src[bidx, slot]))
+            sel_tok = sel_tok.at[bidx, slot].set(
+                jnp.where(take_beam, token[:, j], sel_tok[bidx, slot]))
+            sel_score = sel_score.at[bidx, slot].set(
+                jnp.where(take_beam, top_scores[:, j], sel_score[bidx, slot]))
+            n_new = n_new + take_beam.astype(jnp.int32)
 
-            seq = c["tokens"][src_beam[j]]
-            fin_seqs = jnp.where(take_fin, fin_seqs.at[n_fin].set(seq), fin_seqs)
-            fin_scores = jnp.where(take_fin, fin_scores.at[n_fin].set(top_scores[j]), fin_scores)
-            fin_len = jnp.where(take_fin, fin_len.at[n_fin].set(i), fin_len)
-            n_fin = n_fin + jnp.where(take_fin, 1, 0)
+            seq = c["tokens"][bidx, src_beam[:, j]]  # (B, max_new)
+            slot_f = jnp.minimum(n_fin, C - 1)
+            fin_seqs = fin_seqs.at[bidx, slot_f].set(
+                jnp.where(take_fin[:, None], seq, fin_seqs[bidx, slot_f]))
+            fin_scores = fin_scores.at[bidx, slot_f].set(
+                jnp.where(take_fin, top_scores[:, j], fin_scores[bidx, slot_f]))
+            fin_len = fin_len.at[bidx, slot_f].set(
+                jnp.where(take_fin, i, fin_len[bidx, slot_f]))
+            n_fin = n_fin + take_fin.astype(jnp.int32)
             return (n_new, n_fin, sel_src, sel_tok, sel_score,
                     fin_seqs, fin_scores, fin_len), None
 
         state0 = (
-            jnp.int32(0), c["n_finished"],
-            jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.int32), jnp.zeros((K,), jnp.float32),
+            jnp.zeros((B,), jnp.int32), c["n_finished"],
+            jnp.zeros((B, K), jnp.int32), jnp.zeros((B, K), jnp.int32),
+            jnp.zeros((B, K), jnp.float32),
             c["finished_seqs"], c["finished_scores"], c["finished_len"],
         )
         (n_new, n_fin, sel_src, sel_tok, sel_score, fin_seqs, fin_scores, fin_len), _ = lax.scan(
             push, state0, jnp.arange(2 * K)
         )
 
+        # frozen windows keep their state verbatim: identity beam selection,
+        # eot fed through the decoder (harmless no-op rows)
+        ident = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None], (B, 1))
+        sel_src = jnp.where(active[:, None], sel_src, ident)
+        sel_tok = jnp.where(active[:, None], sel_tok, eot)
+        sel_score = jnp.where(active[:, None], sel_score, c["sum_logprobs"])
+
         # reshuffle beam state along the selected source beams
-        tokens = c["tokens"][sel_src].at[:, i].set(sel_tok)
-        max_ts = jnp.where(
-            sel_tok >= ts_begin,
-            jnp.maximum(c["max_timestamp"][sel_src], sel_tok),
-            c["max_timestamp"][sel_src],
+        tokens = c["tokens"][bidx[:, None], sel_src].at[:, :, i].set(
+            jnp.where(active[:, None], sel_tok, c["tokens"][bidx[:, None], sel_src][:, :, i]),
+            mode="drop",
         )
+        max_ts_g = c["max_timestamp"][bidx[:, None], sel_src]
+        max_ts = jnp.where(
+            (sel_tok >= ts_begin) & active[:, None],
+            jnp.maximum(max_ts_g, sel_tok), max_ts_g,
+        )
+        rows = (bidx[:, None] * K + sel_src).reshape(-1)  # (B*K,) flat gather
         cache_g = c["cache"]._replace(
-            k=c["cache"].k[:, sel_src], v=c["cache"].v[:, sel_src]
+            k=c["cache"].k[:, rows], v=c["cache"].v[:, rows]
         )
         logits_new, cache_new, _ = decode_step(
-            params, sel_tok[:, None], cache_g, P + i, dims,
+            params, sel_tok.reshape(-1)[:, None], cache_g, P + i, dims,
             pos_offset=pad_len, kv_valid_from=pad_len,
-            allow_pallas=allow_pallas,
+            allow_pallas=allow_pallas, mesh=mesh,
         )
         return dict(
             i=i + 1,
-            last_logits=logits_new[:, -1].astype(jnp.float32),
+            last_logits=logits_new[:, -1].astype(jnp.float32).reshape(B, K, V),
             last_token=sel_tok,
-            penult_token=c["last_token"][sel_src],
+            penult_token=c["last_token"][bidx[:, None], sel_src],
             max_timestamp=max_ts,
             tokens=tokens,
             sum_logprobs=sel_score,
@@ -315,6 +355,7 @@ def _beam_core(
             finished_scores=fin_scores,
             finished_len=fin_len,
             n_finished=n_fin,
+            steps=jnp.where(active, i + 1, c["steps"]),
             cache=cache_new,
         )
 
@@ -326,7 +367,7 @@ def _beam_core(
         n_finished=out["n_finished"],
         beam_tokens=out["tokens"],
         beam_scores=out["sum_logprobs"],
-        n_steps=out["i"],
+        n_steps=out["steps"],
         no_speech_prob=no_speech_prob,
     )
 
@@ -352,7 +393,7 @@ def rank_beam_results(
         beam_tokens = np.asarray(out["beam_tokens"])
         beam_scores = np.asarray(out["beam_scores"])
         order = np.argsort(-beam_scores)
-        n_steps = int(out["n_steps"])
+        n_steps = int(np.asarray(out["n_steps"]).reshape(-1)[0])
         for b in order:
             if len(candidates) >= beam_size:
                 break

@@ -178,6 +178,7 @@ class DecodeEngine:
             os.environ.get("WTT_ENC_INT8") == "1" if enc_int8 is None else enc_int8
         )
         self.mesh = None
+        self.kernel_mesh = None  # set by attach_mesh when tp>1 kernels engage
         self.tp = 1
         self.allow_pallas = True
         if mesh is not None:
@@ -251,11 +252,21 @@ class DecodeEngine:
 
         from .parallel.mesh import shard_params
 
+        from .models.whisper_jax import tp_kernels_compatible
+
         self.mesh = mesh
         self.tp = int(dict(mesh.shape).get("tp", 1))
-        # Pallas kernels read unsharded head/state axes; under TP the XLA
-        # math path runs so GSPMD can insert the psum collectives
+        # allow_pallas gates the UNSHARDED kernels (encoder flash, prefill,
+        # per-layer fallbacks) — those still run the XLA math path under tp>1
+        # so GSPMD inserts the collectives. The stacked DECODE kernels run
+        # under TP anyway, via shard_map over kernel_mesh (each shard holds
+        # whole heads, so per-shard attention is complete locally); a
+        # geometry whose head axis does not split evenly keeps the XLA path.
         self.allow_pallas = self.tp == 1
+        self.kernel_mesh = (
+            mesh if self.tp > 1 and tp_kernels_compatible(mesh, self.dims)
+            else None
+        )
         self.model = dc_replace(
             self.model, params=shard_params(self.model.params, mesh)
         )
@@ -386,6 +397,7 @@ class DecodeEngine:
             allow_pallas=self.allow_pallas,
             capture_attention=capture_attention,
             kernel_knobs=kernel_knob_key(),
+            mesh=self.kernel_mesh,
         )
         return self.unpack_window_outputs(
             out, temperature, fetch_alignment=fetch_alignment and capture_attention
@@ -516,6 +528,7 @@ class DecodeEngine:
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
             allow_pallas=self.allow_pallas,
+            mesh=self.kernel_mesh,
         )
         tokens, sum_lp = rank_beam_results(
             {k: np.asarray(v) if hasattr(v, "shape") else v for k, v in out.items()},
@@ -599,6 +612,7 @@ class DecodeEngine:
             suppress_blank=options.suppress_blank,
             without_timestamps=options.without_timestamps,
             allow_pallas=self.allow_pallas,
+            mesh=self.kernel_mesh,
         )
         host = {k: np.asarray(v) for k, v in out.items()}
         results = []

@@ -166,27 +166,38 @@ def transcribe_naive(
             "(no on-the-fly attention); using teacher-forced alignment"
         )
     if use_backend_timestamps and have_attention:
-        # This framework IS the backend: its on-the-fly aligned words are the
-        # backend timestamps (openai-whisper's word_timestamps=True equivalent,
-        # reference transcribe.py:1079-1091).
-        from .api import align_and_score_segment
+        # BACKEND-computed timestamps: the HF generate(return_token_timestamps)
+        # algorithm the reference delegates to (transcribe.py:2667-2806) —
+        # z-score + median(7) + DTW over the decode pass's own attention, a
+        # DIFFERENT algorithm than whisper-timestamped's aligner — then the
+        # naive engine's early return (transcribe.py:1079-1091).
+        from .backend_timestamps import backend_words_for_window, hf_token_timestamps
 
         words: List[dict] = []
+        groups: List[List[int]] = []
         for i, seg in enumerate(result.segments):
-            ws, seg_dict = align_and_score_segment(
-                seg, tok, use_space=use_space,
-                refine_whisper_precision_nframes=0,
-                remove_punctuation_from_words=remove_punctuation_from_words,
-                compute_word_confidence=compute_word_confidence,
-                include_punctuation_in_confidence=include_punctuation_in_confidence,
-                detect_disfluencies=detect_disfluencies,
-            )
-            if ws is None:
+            if groups and result.segments[groups[-1][-1]].window is seg.window:
+                groups[-1].append(i)
+            else:
+                groups.append([i])
+        for group in groups:
+            window = result.segments[group[0]].window
+            if not len(window.tokens):
                 continue
-            for w in ws:
-                w["idx_segment"] = i
-            whisper_segments[i] = {**seg_dict, "id": i}
-            words.extend(ws)
+            token_times = hf_token_timestamps(window.attn)
+            words.extend(
+                backend_words_for_window(
+                    window.tokens,
+                    token_times,
+                    [(i, result.segments[i].token_span) for i in group],
+                    tok,
+                    use_space=use_space,
+                    remove_punctuation_from_words=remove_punctuation_from_words,
+                    time_offset=result.segments[group[0]].seek
+                    * HOP_LENGTH
+                    / SAMPLE_RATE,
+                )
+            )
         transcription = _make_transcription(whisper_segments, result)
         return transcription, words
 

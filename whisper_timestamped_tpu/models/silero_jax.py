@@ -417,7 +417,30 @@ def _cached_prob_model(path: str) -> Callable[[np.ndarray, int], np.ndarray]:
                     "model or use the energy VAD."
                 )
         else:
-            fn = load_jax_prob_model(path) or load_torchscript_prob_model(path)
+            fn = load_jax_prob_model(path)
+            if fn is None:
+                # the reference pins older revisions via torch.hub
+                # ("silero:3.1", transcribe.py:1949-2023). The JAX port models
+                # the v5 network only; v3/v4 architectures run through the
+                # torchscript adapter — torch stays on the inference path for
+                # them. Say so loudly instead of silently changing engines
+                # (MIGRATION.md "Silero VAD revisions").
+                logger.warning(
+                    "%s does not match the silero v5 weight schema (likely a "
+                    "v3/v4 revision): running it through the torchscript "
+                    "adapter — torch is required at inference for this "
+                    "revision; only v5 checkpoints run on the torch-free JAX "
+                    "path (see MIGRATION.md)", path,
+                )
+                try:
+                    fn = load_torchscript_prob_model(path)
+                except Exception as exc:
+                    raise RuntimeError(
+                        f"{path} does not match the silero v5 weight schema "
+                        "and the torchscript fallback failed "
+                        f"({exc}); provide a v5 checkpoint or use the energy "
+                        "VAD (see MIGRATION.md, 'Silero VAD revisions')."
+                    ) from exc
         _PROB_MODEL_CACHE[path] = fn
     return fn
 

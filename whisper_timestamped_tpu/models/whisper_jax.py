@@ -583,6 +583,7 @@ def kernel_knob_key() -> tuple:
         for k in (
             "WTT_XATTN_V3", "WTT_XATTN_V4", "WTT_INT4_S8", "WTT_SELF_MXU",
             "WTT_XATTN_BLOCK_T", "WTT_XATTN_VMEM_MB", "WTT_XATTN_PAR",
+            "WTT_FORCE_STACKED",
         )
     )
 
@@ -713,6 +714,40 @@ def cross_attention(q, xk, xv, xk_scale, xv_scale, n_head, allow_pallas: bool = 
     return _attention(q, xk, xv, n_head, return_scores=True)
 
 
+# trace-time telemetry: incremented whenever a stacked decode kernel is
+# dispatched through shard_map (the TP path) — tests and the driver dryrun
+# assert it moved, so a silent fallback to the XLA path cannot masquerade as
+# kernel coverage
+TP_KERNEL_TRACES = [0]
+
+
+def _mesh_tp(mesh) -> int:
+    return int(dict(mesh.shape).get("tp", 1)) if mesh is not None else 1
+
+
+def _mesh_bspec(mesh, B: int):
+    """Batch-axis name for shard_map specs: "dp" when the batch divides the
+    dp axis, else None (replicated — each dp group redundantly computes the
+    whole batch, the correctness path for e.g. a B=1 serial decode)."""
+    dp = int(dict(mesh.shape).get("dp", 1))
+    return "dp" if (dp > 1 and B % dp == 0) else None
+
+
+def tp_kernels_compatible(mesh, dims: WhisperDims) -> bool:
+    """Whether the stacked decode kernels can run under this mesh via
+    shard_map. Megatron TP shards the projections on the head axis, so each
+    shard holds whole heads and its attention (softmax per head over the
+    full context) is complete locally — no cross-shard math inside the
+    kernel. Requires the head axis to split evenly AND the per-shard head
+    count to satisfy the same layout constraints as the unsharded kernels
+    (even head count; 2*dh a lane multiple)."""
+    tp = _mesh_tp(mesh)
+    if tp == 1:
+        return True
+    H, D = dims.n_text_head, dims.n_text_state
+    return H % tp == 0 and (H // tp) % 2 == 0 and (2 * (D // H)) % 128 == 0
+
+
 def decode_step(
     params: Params,
     tokens: jnp.ndarray,
@@ -725,6 +760,7 @@ def decode_step(
     align_heads: Optional[Tuple[Tuple[int, int], ...]] = None,
     unroll_layers: int = 1,
     allow_pallas: bool = True,
+    mesh=None,  # static jax.sharding.Mesh: run the stacked kernels via shard_map
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One decode step for S_new tokens (S_new=1 in the loop, >1 for the prompt).
 
@@ -788,13 +824,78 @@ def decode_step(
     # (L, B, T, D) buffer (scalar-prefetch-driven BlockSpec). Passing the
     # cross-KV through scan xs instead makes XLA materialize a full per-layer
     # slice COPY every step — profiled at ~8 ms of a ~21 ms step at large-v3.
+    # WTT_FORCE_STACKED=1 runs the kernels in interpret mode off-TPU — how
+    # the virtual-mesh tests validate the shard_map TP path numerically
     use_stacked_xattn = (
-        allow_pallas
-        and jax.default_backend() == "tpu"
+        (allow_pallas or mesh is not None)
+        and (jax.default_backend() == "tpu"
+             or os.environ.get("WTT_FORCE_STACKED") == "1")
         and S == 1
         and dims.n_text_head % 2 == 0
         and (2 * (dims.n_text_state // dims.n_text_head)) % 128 == 0
+        and tp_kernels_compatible(mesh, dims)
     )
+    tp_ = _mesh_tp(mesh) if use_stacked_xattn else 1
+    n_head_k = dims.n_text_head // tp_  # per-shard head count inside kernels
+    if mesh is not None and tp_ == 1:
+        mesh = None  # tp=1 mesh: kernels run unsharded (dp handled by GSPMD)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as _P
+
+        _b = _mesh_bspec(mesh, B)
+        SPEC_SC = _P()  # traced scalars (l_idx, pos, score_flag)
+        SPEC_Q = _P(_b, None, "tp")  # (B, 1, D) head-sharded activations
+        SPEC_KV = _P(None, _b, None, "tp")  # (L, B, *, D) stacked caches
+        SPEC_SCALE = _P(None, _b, None)  # (L, B, T) per-row scales: replicated over tp
+        SPEC_PAD = _P(_b)  # (B,)
+        SPEC_W = _P(_b, "tp", None, None)  # (B, H, 1, T) scores: head-sharded
+    else:
+        SPEC_SC = SPEC_Q = SPEC_KV = SPEC_SCALE = SPEC_PAD = SPEC_W = None
+
+    def _kcall(fn, args, in_specs, out_specs, **kw):
+        """Invoke a stacked kernel, via shard_map over the mesh when present.
+
+        ``args`` excludes the head count; the effective count inside the
+        shard_map body is the PER-SHARD head count (whole heads per shard —
+        see tp_kernels_compatible). Traced values must travel through
+        ``args`` (shard_map bodies cannot close over tracers); static knobs
+        ride ``kw``."""
+        if mesh is None:
+            return fn(*args, dims.n_text_head, **kw)
+
+        def body(*a):
+            return fn(*a, n_head_k, **kw)
+
+        TP_KERNEL_TRACES[0] += 1
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+            check_vma=False,
+        )(*args)
+
+    def _xcall(fn, args, sf, **kw):
+        """Cross-attention kernel dispatch: ``args`` = (l_idx, q, *kv
+        buffers); ``sf`` the traced per-layer score flag. Under the mesh the
+        scores come back head-sharded (each shard emitted its own heads)."""
+        emit = kw.get("emit_scores", True)
+        if mesh is None:
+            return fn(*args, dims.n_text_head, score_flag=sf, **kw)
+
+        def body(*a):
+            return fn(*a[:-1], n_head_k, score_flag=a[-1], **kw)
+
+        n_kv = len(args) - 2
+        kv_specs = (
+            (SPEC_KV, SPEC_SCALE, SPEC_KV, SPEC_SCALE)
+            if n_kv == 4
+            else (SPEC_KV, SPEC_KV)
+        )
+        out_specs = (SPEC_Q, SPEC_W) if emit else (SPEC_Q, None)
+        TP_KERNEL_TRACES[0] += 1
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(SPEC_SC, SPEC_Q) + kv_specs + (SPEC_SC,),
+            out_specs=out_specs, check_vma=False,
+        )(*args, sf)
     # int4 cross-KV is nibble-packed along T: half as many rows as scales
     stacked_int4 = (
         cache.xk.dtype == jnp.int8
@@ -850,16 +951,23 @@ def decode_step(
                     if os.environ.get("WTT_SELF_MXU") == "1"
                     else self_attention_stacked_int8_pallas
                 )
-                a = _self8(
-                    l_idx, _linear(xn, bp["attn"]["q"]), k_all, ks_all,
-                    v_all, vs_all, pos, pad, dims.n_text_head,
+                a = _kcall(
+                    _self8,
+                    (l_idx, _linear(xn, bp["attn"]["q"]), k_all, ks_all,
+                     v_all, vs_all, pos, pad),
+                    (SPEC_SC, SPEC_Q, SPEC_KV, SPEC_SCALE, SPEC_KV,
+                     SPEC_SCALE, SPEC_SC, SPEC_PAD),
+                    SPEC_Q,
                 )
             else:
                 from ..ops.pallas_kernels import self_attention_stacked_pallas
 
-                a = self_attention_stacked_pallas(
-                    l_idx, _linear(xn, bp["attn"]["q"]), k_all, v_all, pos, pad,
-                    dims.n_text_head,
+                a = _kcall(
+                    self_attention_stacked_pallas,
+                    (l_idx, _linear(xn, bp["attn"]["q"]), k_all, v_all, pos,
+                     pad),
+                    (SPEC_SC, SPEC_Q, SPEC_KV, SPEC_KV, SPEC_SC, SPEC_PAD),
+                    SPEC_Q,
                 )
         else:
             k_cache = lax.dynamic_slice(k_all, (l_idx, 0, 0, 0), (1, B_, ctx_, D_))[0]
@@ -895,11 +1003,12 @@ def decode_step(
             # cross-KV stream drops to ~1/4 of the bf16 bytes
             from ..ops.pallas_kernels import cross_attention_stacked_int4_pallas
 
-            c, w = cross_attention_stacked_int4_pallas(
-                l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
-                cache.xv_scale, dims.n_text_head,
-                block_t=_xattn_block_t(), score_flag=need_sc,
-                emit_scores=emit_sc,
+            c, w = _xcall(
+                cross_attention_stacked_int4_pallas,
+                (l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
+                 cache.xv_scale),
+                need_sc,
+                block_t=_xattn_block_t(), emit_scores=emit_sc,
                 use_s8=os.environ.get("WTT_INT4_S8") == "1",
                 **_xattn_mosaic_knobs(),
             )
@@ -927,11 +1036,13 @@ def decode_step(
                 _xattn8 = cross_attention_stacked_int8_pallas_v2
             else:
                 _xattn8 = cross_attention_stacked_int8_pallas_v4
-            c, w = _xattn8(
-                l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
-                cache.xv_scale, dims.n_text_head,
-                block_t=_xattn_block_t(), score_flag=need_sc,
-                emit_scores=emit_sc, **_xattn_mosaic_knobs(),
+            c, w = _xcall(
+                _xattn8,
+                (l_idx, q_cross, cache.xk, cache.xk_scale, cache.xv,
+                 cache.xv_scale),
+                need_sc,
+                block_t=_xattn_block_t(), emit_scores=emit_sc,
+                **_xattn_mosaic_knobs(),
             )
         elif use_stacked_xattn:
             # v2: lane-parallel heads (block-diagonal sum matrices on the MXU)
@@ -939,10 +1050,12 @@ def decode_step(
             # kernel compute-bound at ~450-500 GB/s on a streaming problem
             from ..ops.pallas_kernels import cross_attention_stacked_pallas_v2
 
-            c, w = cross_attention_stacked_pallas_v2(
-                l_idx, q_cross, cache.xk, cache.xv, dims.n_text_head,
-                block_t=_xattn_block_t(), score_flag=need_sc,
-                emit_scores=emit_sc, **_xattn_mosaic_knobs(),
+            c, w = _xcall(
+                cross_attention_stacked_pallas_v2,
+                (l_idx, q_cross, cache.xk, cache.xv),
+                need_sc,
+                block_t=_xattn_block_t(), emit_scores=emit_sc,
+                **_xattn_mosaic_knobs(),
             )
         else:
             if xk.dtype == jnp.int8 and xk.shape[1] * 2 == xk_s.shape[1]:

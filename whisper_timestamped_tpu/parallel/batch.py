@@ -312,6 +312,7 @@ class BatchTranscriber:
             layer_unroll=engine.layer_unroll,
             allow_pallas=engine.allow_pallas,
             kernel_knobs=kernel_knob_key(),
+            mesh=getattr(engine, "kernel_mesh", None),
         )
         dispatch_timer.__exit__(None, None, None)
         return out
