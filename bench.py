@@ -146,6 +146,16 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
     # would measure garbage, and real speech rarely triggers it.
     thresholds_on = os.environ.get("BENCH_THRESHOLDS", "1") == "1"
 
+    # BENCH_BEAM=K: the --accurate-preset shape (reference README's flagship
+    # config runs beam_size=5 + best_of=5 + the fallback schedule,
+    # transcribe.py:3060-3078). Beam decode runs pass-1 through the batched
+    # beam program (B*K rows through the stacked kernels) + pass-2 batched
+    # teacher-forced alignment, i.e. the 2x-inference naive engine — and the
+    # serving loop runs beam batches unpipelined. The temperature schedule
+    # stays [0.0]: with random weights every window's avg_logprob sits far
+    # below the -1.0 threshold, so a real schedule would always escalate to
+    # t=1.0 and the row would measure noise, not the preset.
+    beam = int(os.environ.get("BENCH_BEAM", "0"))
     kw = dict(
         language="en",
         batch_size=B,
@@ -155,7 +165,10 @@ def bench_pipeline(wm, tok, engine, B, n_tokens, reps, stream_seconds):
         no_speech_threshold=0.6 if thresholds_on else None,
         logprob_threshold=-1.0 if thresholds_on else None,
         condition_on_previous_text=os.environ.get("BENCH_CONDITION", "1") == "1",
-        decode_options=DecodingOptions(language="en", sample_len=n_tokens),
+        decode_options=DecodingOptions(
+            language="en", sample_len=n_tokens, beam_size=beam or None,
+            best_of=int(os.environ["BENCH_BEST_OF"]) if "BENCH_BEST_OF" in os.environ else None,
+        ),
     )
 
     def serialize(results, outdir):
@@ -377,7 +390,11 @@ def main():
     # cross-KV halves the dominant KV read and unlocks B=40 (456.1x) —
     # the production-serving configuration, so it is the default
     kv_int8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
-    B = int(os.environ.get("BENCH_BATCH", "40" if kv_int8 else "32"))
+    # beam mode: each window's cache tiles to beam_size rows, so the batch
+    # knee shrinks accordingly (B=8 x K=5 = 40 decode rows at the default)
+    default_b = "8" if os.environ.get("BENCH_BEAM", "0") != "0" else (
+        "40" if kv_int8 else "32")
+    B = int(os.environ.get("BENCH_BATCH", default_b))
     n_tokens = int(os.environ.get("BENCH_TOKENS", "75"))
 
     wm, tok, engine, dims = build_engine(model_name, kv_int8)
@@ -408,6 +425,8 @@ def main():
         metric += "_kvint4"
     elif kv_int8:
         metric += "_kvint8"
+    if os.environ.get("BENCH_BEAM", "0") != "0":
+        metric += f"_beam{os.environ['BENCH_BEAM']}"
     for env, tag in (
         ("BENCH_SELF_INT8", "selfint8"),
         ("BENCH_W_INT8", "wint8"),

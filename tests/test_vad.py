@@ -262,6 +262,25 @@ def test_silero_unknown_architecture_falls_back(tmp_path, caplog):
     assert probs.shape == (3,)
 
 
+def test_silero_window_size_override():
+    """silero:3.x pinnings chunk at the v3 util's 1536-sample window (the
+    reference's torch.hub invocation, transcribe.py:1949-2023); default 512."""
+    from whisper_timestamped_tpu.models.silero_jax import silero_get_speech_timestamps
+
+    seen = {}
+
+    def spy(chunks, sr):
+        seen["shape"] = chunks.shape
+        return np.zeros(len(chunks))
+
+    audio = np.zeros(16000, np.float32)
+    silero_get_speech_timestamps(audio, "unused", probs_fn=spy)
+    assert seen["shape"][1] == 512
+    silero_get_speech_timestamps(audio, "unused", probs_fn=spy,
+                                 window_size_samples=1536)
+    assert seen["shape"][1] == 1536
+
+
 def test_silero_fake_prob_model_end_to_end():
     from whisper_timestamped_tpu.models.silero_jax import silero_get_speech_timestamps
 

@@ -454,11 +454,15 @@ def silero_get_speech_timestamps(
     min_silence_duration: float = 0.1,
     threshold: float = 0.5,
     probs_fn: Optional[Callable] = None,
+    window_size_samples: Optional[int] = None,
 ) -> List[dict]:
     """Speech segments (sample units) for 16 kHz audio via silero weights.
 
     Matches the reference's invocation (``transcribe.py:2016-2023``:
-    normalized audio, durations in ms)."""
+    normalized audio, durations in ms). ``window_size_samples`` overrides the
+    chunking window — v3 revisions use the silero v3 util's 1536 default
+    (vad.py passes it for ``silero:3.x`` pinnings); the v5 JAX net requires
+    512."""
     from ..vad import normalize_gain
 
     audio = normalize_gain(np.asarray(audio, np.float32))
@@ -467,12 +471,19 @@ def silero_get_speech_timestamps(
         # prefer the JAX port (torch is only touched once, to parse weights);
         # unknown .jit architectures fall back to the torchscript adapter
         probs_fn = _cached_prob_model(model_path)
+    window = window_size_samples or WINDOW_SIZE_SAMPLES
+    if window != WINDOW_SIZE_SAMPLES and getattr(probs_fn, "is_jax", False):
+        logger.warning(
+            "silero v5 JAX port requires %d-sample windows; ignoring "
+            "window_size_samples=%d", WINDOW_SIZE_SAMPLES, window,
+        )
+        window = WINDOW_SIZE_SAMPLES
 
     n = len(audio)
-    n_chunks = int(np.ceil(n / WINDOW_SIZE_SAMPLES))
-    padded = np.zeros(n_chunks * WINDOW_SIZE_SAMPLES, np.float32)
+    n_chunks = int(np.ceil(n / window))
+    padded = np.zeros(n_chunks * window, np.float32)
     padded[:n] = audio
-    chunks = padded.reshape(n_chunks, WINDOW_SIZE_SAMPLES)
+    chunks = padded.reshape(n_chunks, window)
     probs = np.asarray(probs_fn(chunks, sample_rate))
 
     return speech_probs_to_timestamps(
@@ -482,4 +493,5 @@ def silero_get_speech_timestamps(
         min_speech_duration_ms=round(min_speech_duration * 1000),
         min_silence_duration_ms=round(min_silence_duration * 1000),
         sample_rate=sample_rate,
+        window_size_samples=window,
     )

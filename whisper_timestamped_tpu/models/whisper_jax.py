@@ -280,8 +280,9 @@ def _encoder_attention(q, k, v, n_head, allow_pallas: bool = True):
         else:
             seg = None
         # whole-sequence blocks measured fastest at n_audio_ctx (5.6 vs 8.3 ms
-        # per layer for the unfused XLA path; the default 128 blocks are 22 ms)
-        blk = min(Tp, 1536)
+        # per layer for the unfused XLA path; the default 128 blocks are 22 ms).
+        # WTT_ENC_FLASH_BLOCK overrides for A/B sweeps (read at trace time).
+        blk = min(Tp, int(os.environ.get("WTT_ENC_FLASH_BLOCK", "1536")))
         bs = BlockSizes(
             block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
             block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
@@ -583,7 +584,7 @@ def kernel_knob_key() -> tuple:
         for k in (
             "WTT_XATTN_V3", "WTT_XATTN_V4", "WTT_INT4_S8", "WTT_SELF_MXU",
             "WTT_XATTN_BLOCK_T", "WTT_XATTN_VMEM_MB", "WTT_XATTN_PAR",
-            "WTT_FORCE_STACKED",
+            "WTT_FORCE_STACKED", "WTT_ENC_FLASH_BLOCK",
         )
     )
 

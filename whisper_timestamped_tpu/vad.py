@@ -203,11 +203,16 @@ def _silero_speech_segments(audio, sample_rate, min_speech_duration, min_silence
         )
     from .models.silero_jax import silero_get_speech_timestamps  # lazy import
 
+    # v3.x pinnings chunk at the silero v3 util's default window (1536
+    # samples @16 kHz, vs 512 for v4/v5) so the adapter sees the same frame
+    # rate the reference's torch.hub util used (transcribe.py:1949-2023)
+    window = 1536 if version is not None and version.lstrip("v").startswith("3") else None
     return silero_get_speech_timestamps(
         audio, path,
         sample_rate=sample_rate,
         min_speech_duration=min_speech_duration,
         min_silence_duration=min_silence_duration,
+        window_size_samples=window,
     )
 
 
