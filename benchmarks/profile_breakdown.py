@@ -55,6 +55,7 @@ def main():
     kv_int4 = os.environ.get("BENCH_KV_INT4") == "1"
     self_int8 = os.environ.get("BENCH_SELF_INT8") == "1"
     w_int8 = os.environ.get("BENCH_W_INT8") == "1"
+    enc_int8 = os.environ.get("BENCH_ENC_INT8") == "1"
 
     dims = WhisperDims(n_audio_ctx=1500, n_text_ctx=448, **GEOMETRIES[model_name])
     params = cast_params(init_params(dims, jax.random.PRNGKey(0)), jnp.bfloat16)
@@ -70,7 +71,8 @@ def main():
     heads = ALIGNMENT_HEADS.get(model_name) or [(dims.n_text_layer - 1, h) for h in range(6)]
     wm = WhisperModel(params=params, dims=dims, alignment_heads=heads)
     engine = DecodeEngine(wm, tok, attn_dtype=jnp.bfloat16, kv_int8=kv_int8,
-                          kv_int4=kv_int4, self_kv_int8=self_int8, w_int8=w_int8)
+                          kv_int4=kv_int4, self_kv_int8=self_int8, w_int8=w_int8,
+                          enc_int8=enc_int8)
 
     reps = int(os.environ.get("BENCH_REPS", "4"))
 

@@ -327,6 +327,26 @@ def test_transcribe_fallback_schedule(engine):
     assert all(s.temperature == 1.0 for s in result.segments)
 
 
+def test_beam_kv_int8_decodes(engine, mel):
+    """Beam decode with int8 cross-KV (the lever that fits the tiled
+    per-beam cross-KV in HBM at large-v3 B=8 x K=5 — each beam carries its
+    own copy of the window's encoder K/V)."""
+    from whisper_timestamped_tpu.models.load import WhisperModel
+
+    e8 = DecodeEngine(
+        WhisperModel(
+            params=engine.model.params, dims=engine.dims,
+            alignment_heads=list(engine.align_heads),
+        ),
+        engine.tokenizer, kv_int8=True,
+    )
+    opts = DecodingOptions(language="en", beam_size=2, sample_len=16)
+    res = e8.decode_window_beam(mel, opts)
+    assert len(res.tokens) > 0
+    assert all(t < engine.tokenizer.eot or t >= engine.tokenizer.timestamp_begin
+               for t in res.tokens)
+
+
 def test_beam_size_one_equals_greedy(engine, mel):
     opts_g = DecodingOptions(language="en")
     greedy = engine.decode_window(mel, opts_g)[0]

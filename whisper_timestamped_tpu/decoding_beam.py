@@ -40,7 +40,7 @@ _BEAM_STATICS = (
     "dims", "beam_size", "max_candidates", "max_new", "sample_begin", "eot",
     "ts_begin", "no_timestamps", "sot_index_from_end",
     "max_initial_timestamp_index", "suppress_blank", "without_timestamps",
-    "allow_pallas", "mesh",
+    "allow_pallas", "mesh", "kv_int8",
 )
 
 
@@ -67,12 +67,14 @@ def decode_window_beam_jit(
     without_timestamps: bool = False,
     allow_pallas: bool = True,
     mesh=None,
+    kv_int8: bool = False,
 ):
     """Single-window beam decode. Returns dict with finished
     sequences/scores and no_speech_prob (the B=1 case of the batched core)."""
     xa = encode(params, mel, dims, allow_pallas=allow_pallas)
     out = _beam_core_batched(
         params, xa, prompt[None], prompt_len[None], suppress_mask, blank_mask,
+        kv_int8=kv_int8,
         dims=dims, beam_size=beam_size, max_candidates=max_candidates,
         max_new=max_new, sample_begin=sample_begin, eot=eot,
         ts_begin=ts_begin, no_timestamps=no_timestamps,
@@ -107,6 +109,7 @@ def decode_window_beam_batch_jit(
     without_timestamps: bool = False,
     allow_pallas: bool = True,
     mesh=None,
+    kv_int8: bool = False,
 ):
     """Batched beam decode: B independent windows in one program (the
     batched pipeline's pass-1 for ``beam_size``; no reference counterpart —
@@ -118,6 +121,7 @@ def decode_window_beam_batch_jit(
     xa = encode(params, mels, dims, allow_pallas=allow_pallas)
     return _beam_core_batched(
         params, xa, prompts, prompt_lens, suppress_mask, blank_mask,
+        kv_int8=kv_int8,
         dims=dims, beam_size=beam_size, max_candidates=max_candidates,
         max_new=max_new, sample_begin=sample_begin, eot=eot,
         ts_begin=ts_begin, no_timestamps=no_timestamps,
@@ -150,6 +154,7 @@ def _beam_core_batched(
     without_timestamps: bool = False,
     allow_pallas: bool = True,
     mesh=None,
+    kv_int8: bool = False,
 ):
     """B windows' beam searches in lock-step over pre-encoded audio.
 
@@ -171,8 +176,12 @@ def _beam_core_batched(
     # prefill at B rows — all of a window's beams are identical until the
     # first sampled token (enforced by the -1e30 sum_logprobs init), so
     # running the P-slot prefill per beam would be K x redundant work; the KV
-    # caches are tiled to K rows per window afterwards (window-major)
-    cache = init_cache(params, xa, dims, ctx_len=ctx_len)
+    # caches are tiled to K rows per window afterwards (window-major).
+    # kv_int8 halves the dominant tiled cross-KV: every beam carries its own
+    # copy of the window's encoder K/V, so at bf16 a large-v3 B=8 x K=5 run
+    # ALONE needs ~9.8 GB of cross-KV and overflows HBM (measured: 15.82 of
+    # 15.75 GB); int8 brings it to ~4.9 GB and B=8 fits
+    cache = init_cache(params, xa, dims, ctx_len=ctx_len, quantize_cross=kv_int8)
 
     padB = P - prompt_lens  # (B,)
     pad_len = jnp.repeat(padB, K)  # (B*K,) per-row left padding

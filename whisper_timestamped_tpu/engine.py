@@ -529,6 +529,7 @@ class DecodeEngine:
             without_timestamps=options.without_timestamps,
             allow_pallas=self.allow_pallas,
             mesh=self.kernel_mesh,
+            kv_int8=self.kv_int8 and not self.kv_int4,
         )
         tokens, sum_lp = rank_beam_results(
             {k: np.asarray(v) if hasattr(v, "shape") else v for k, v in out.items()},
@@ -613,6 +614,7 @@ class DecodeEngine:
             without_timestamps=options.without_timestamps,
             allow_pallas=self.allow_pallas,
             mesh=self.kernel_mesh,
+            kv_int8=self.kv_int8 and not self.kv_int4,
         )
         host = {k: np.asarray(v) for k, v in out.items()}
         results = []
