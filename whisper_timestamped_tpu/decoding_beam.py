@@ -226,9 +226,17 @@ def _beam_core_batched(
         prefill_block, (x,),
         (dec["blocks"], cache.k, cache.v, cache.xk, cache.xv, cache.xk_scale, cache.xv_scale),
     )
-    # tile every per-window cache row to K beam rows (window-major: b*K + k)
-    cache = KVCache(*(jnp.repeat(a, K, axis=1) for a in (k_c, v_c, cache.xk,
-                                                         cache.xv, cache.xk_scale, cache.xv_scale)))
+    # tile the SELF caches to K beam rows per window (window-major: b*K + k).
+    # The cross-KV is NOT tiled: all of a window's beams attend the same
+    # encoder K/V, and the stacked kernels read the shared (L, B, T, D)
+    # buffer at row b // K (``beam_group``) — K x less cross-KV HBM and
+    # stream than the tiled form. The XLA fallback (CPU tests / TP meshes)
+    # materializes the per-beam view inside decode_step instead.
+    beam_group = K
+    cache = KVCache(
+        jnp.repeat(k_c, K, axis=1), jnp.repeat(v_c, K, axis=1),
+        cache.xk, cache.xv, cache.xk_scale, cache.xv_scale,
+    )
     sot_slot = P - sot_index_from_end
     x_sel = jnp.stack([x[:, sot_slot], x[:, -1]], axis=1)  # (B, 2, D)
     sel_logits = _logits(_ln(x_sel, dec["ln"]), dec)
@@ -350,7 +358,11 @@ def _beam_core_batched(
         logits_new, cache_new, _ = decode_step(
             params, sel_tok.reshape(-1)[:, None], cache_g, P + i, dims,
             pos_offset=pad_len, kv_valid_from=pad_len,
-            allow_pallas=allow_pallas, mesh=mesh,
+            # no attention capture: beam alignment comes from the
+            # teacher-forced pass, so emitting per-layer scores here would be
+            # pure HBM waste (profiled at ~40% of a captured decode step)
+            capture_attention=False,
+            allow_pallas=allow_pallas, mesh=mesh, beam_group=beam_group,
         )
         return dict(
             i=i + 1,

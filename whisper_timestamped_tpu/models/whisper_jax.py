@@ -762,6 +762,9 @@ def decode_step(
     unroll_layers: int = 1,
     allow_pallas: bool = True,
     mesh=None,  # static jax.sharding.Mesh: run the stacked kernels via shard_map
+    beam_group: int = 1,  # q rows per shared cross-KV row: the beam/best_of
+    #   fan-out keeps ONE copy of the window's encoder K/V and the stacked
+    #   kernels index it at b // beam_group (k x less cross-KV HBM + stream)
 ) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
     """One decode step for S_new tokens (S_new=1 in the loop, >1 for the prompt).
 
@@ -835,6 +838,9 @@ def decode_step(
         and dims.n_text_head % 2 == 0
         and (2 * (dims.n_text_state // dims.n_text_head)) % 128 == 0
         and tp_kernels_compatible(mesh, dims)
+        # beam fan-out + TP sharding both remap the kernel batch axis; their
+        # composition is untested, so that combination keeps the XLA path
+        and (beam_group == 1 or mesh is None)
     )
     tp_ = _mesh_tp(mesh) if use_stacked_xattn else 1
     n_head_k = dims.n_text_head // tp_  # per-shard head count inside kernels
@@ -1011,6 +1017,7 @@ def decode_step(
                 need_sc,
                 block_t=_xattn_block_t(), emit_scores=emit_sc,
                 use_s8=os.environ.get("WTT_INT4_S8") == "1",
+                beam_group=beam_group,
                 **_xattn_mosaic_knobs(),
             )
         elif use_stacked_xattn and stacked_int8:
@@ -1043,6 +1050,7 @@ def decode_step(
                  cache.xv_scale),
                 need_sc,
                 block_t=_xattn_block_t(), emit_scores=emit_sc,
+                beam_group=beam_group,
                 **_xattn_mosaic_knobs(),
             )
         elif use_stacked_xattn:
@@ -1056,6 +1064,7 @@ def decode_step(
                 (l_idx, q_cross, cache.xk, cache.xv),
                 need_sc,
                 block_t=_xattn_block_t(), emit_scores=emit_sc,
+                beam_group=beam_group,
                 **_xattn_mosaic_knobs(),
             )
         else:
@@ -1066,6 +1075,13 @@ def decode_step(
                 xv = _unpack_int4_rows(xv)
                 xk_s = _int4_scales_frame_order(xk_s)
                 xv_s = _int4_scales_frame_order(xv_s)
+            if beam_group > 1:
+                # correctness path only (CPU tests / TP meshes): the kernel
+                # path shares the rows via its index map instead
+                xk = jnp.repeat(xk, beam_group, axis=0)
+                xv = jnp.repeat(xv, beam_group, axis=0)
+                xk_s = jnp.repeat(xk_s, beam_group, axis=0)
+                xv_s = jnp.repeat(xv_s, beam_group, axis=0)
             c, w = cross_attention(
                 q_cross, xk, xv, xk_s, xv_s, dims.n_text_head,
                 allow_pallas=allow_pallas,

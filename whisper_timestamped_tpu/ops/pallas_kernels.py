@@ -863,6 +863,7 @@ def cross_attention_stacked_pallas_v2(
     interpret=None,
     parallel_b: bool = False,
     vmem_limit_mb: int = 0,
+    beam_group: int = 1,  # q rows per shared K/V row (beam/best_of fan-out)
 ):
     """Lane-parallel stacked-layer single-query cross-attention.
 
@@ -877,6 +878,7 @@ def cross_attention_stacked_pallas_v2(
     B, S, D = q.shape
     assert S == 1 and D % n_head == 0
     L, _, T, _ = xk_all.shape
+    assert B == xk_all.shape[1] * beam_group, (B, xk_all.shape, beam_group)
     dh = D // n_head
     HP = max(128, int(np.ceil(n_head / 128) * 128))
     assert n_head <= HP
@@ -905,8 +907,8 @@ def cross_attention_stacked_pallas_v2(
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
@@ -1060,6 +1062,7 @@ def cross_attention_stacked_int8_pallas_v2(
     interpret=None,
     parallel_b: bool = False,
     vmem_limit_mb: int = 0,
+    beam_group: int = 1,  # q rows per shared K/V row (beam/best_of fan-out)
 ):
     """Lane-parallel stacked int8 single-query cross-attention (same contract
     and score gating as ``cross_attention_stacked_pallas_v2``)."""
@@ -1067,6 +1070,7 @@ def cross_attention_stacked_int8_pallas_v2(
     B, S, D = q.shape
     assert S == 1 and D % n_head == 0
     L, _, T, _ = xk_all.shape
+    assert B == xk_all.shape[1] * beam_group, (B, xk_all.shape, beam_group)
     dh = D // n_head
     HP = max(128, int(np.ceil(n_head / 128) * 128))
     nt = int(np.ceil(T / block_t))
@@ -1096,10 +1100,10 @@ def cross_attention_stacked_int8_pallas_v2(
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
@@ -1256,6 +1260,7 @@ def cross_attention_stacked_int8_pallas_v3(
     interpret=None,
     parallel_b: bool = False,
     vmem_limit_mb: int = 0,
+    beam_group: int = 1,  # q rows per shared K/V row (beam/best_of fan-out)
 ):
     """Same contract as ``cross_attention_stacked_int8_pallas_v2``; the
     weighted-V tail runs on the MXU (see the kernel docstring)."""
@@ -1263,6 +1268,7 @@ def cross_attention_stacked_int8_pallas_v3(
     B, S, D = q.shape
     assert S == 1 and D % n_head == 0
     L, _, T, _ = xk_all.shape
+    assert B == xk_all.shape[1] * beam_group, (B, xk_all.shape, beam_group)
     dh = D // n_head
     HP = max(128, int(np.ceil(n_head / 128) * 128))
     nt = int(np.ceil(T / block_t))
@@ -1292,10 +1298,10 @@ def cross_attention_stacked_int8_pallas_v3(
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
@@ -1476,6 +1482,7 @@ def cross_attention_stacked_int8_pallas_v4(
     interpret=None,
     parallel_b: bool = False,
     vmem_limit_mb: int = 0,
+    beam_group: int = 1,  # q rows per shared K/V row (beam/best_of fan-out)
 ):
     """Same contract as ``cross_attention_stacked_int8_pallas_v2``; both big
     contractions run as native s8 MXU dots (see the kernel docstring)."""
@@ -1483,6 +1490,7 @@ def cross_attention_stacked_int8_pallas_v4(
     B, S, D = q.shape
     assert S == 1 and D % n_head == 0
     L, _, T, _ = xk_all.shape
+    assert B == xk_all.shape[1] * beam_group, (B, xk_all.shape, beam_group)
     dh = D // n_head
     HP = max(128, int(np.ceil(n_head / 128) * 128))
     nt = int(np.ceil(T / block_t))
@@ -1524,10 +1532,10 @@ def cross_attention_stacked_int8_pallas_v4(
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
             pl.BlockSpec((1, 1, HP), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
@@ -1880,6 +1888,7 @@ def cross_attention_stacked_int4_pallas(
     parallel_b: bool = False,
     vmem_limit_mb: int = 0,
     use_s8: bool = False,
+    beam_group: int = 1,  # q rows per shared K/V row (beam/best_of fan-out)
 ):
     """Lane-parallel stacked int4 single-query cross-attention (same contract
     and score gating as ``cross_attention_stacked_pallas_v2``; K/V packed as
@@ -1900,6 +1909,7 @@ def cross_attention_stacked_int4_pallas(
     L, _, Tp, _ = xk_packed.shape
     T = xk_scale.shape[2]
     assert T == 2 * Tp, (T, Tp)
+    assert B == xk_packed.shape[1] * beam_group, (B, xk_packed.shape, beam_group)
     dh = D // n_head
     HP = max(128, int(np.ceil(n_head / 128) * 128))
     # Mosaic tiling rule: a block's minor dim must be a 128-multiple OR the
@@ -1970,10 +1980,10 @@ def cross_attention_stacked_int4_pallas(
         ]
         inputs += [q8, qsh]
     in_specs += [
-        pl.BlockSpec((1, 1, TTp, D), lambda b, t, l: (l[0], b, t, 0)),
-        pl.BlockSpec((1, 1, 2, TTp), lambda b, t, l: (l[0], b, 0, t)),
-        pl.BlockSpec((1, 1, TTp, D), lambda b, t, l: (l[0], b, t, 0)),
-        pl.BlockSpec((1, 1, 2, TTp), lambda b, t, l: (l[0], b, 0, t)),
+        pl.BlockSpec((1, 1, TTp, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+        pl.BlockSpec((1, 1, 2, TTp), lambda b, t, l: (l[0], b // beam_group, 0, t)),
+        pl.BlockSpec((1, 1, TTp, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+        pl.BlockSpec((1, 1, 2, TTp), lambda b, t, l: (l[0], b // beam_group, 0, t)),
         pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
         pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
     ]
