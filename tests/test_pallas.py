@@ -626,3 +626,45 @@ def test_cross_attention_int8_v4_matches_v2():
                 )
             else:
                 assert s4 is None
+
+
+def test_cross_attention_beam_group_matches_tiled():
+    """beam_group=G reads the shared (L, B, T, D) cross-KV at row b // G —
+    bit-identical to explicitly tiling the buffers G times (the beam/best_of
+    fan-out lever: one copy of the window's encoder K/V for all its beams)."""
+    import jax.numpy as jnp
+
+    from whisper_timestamped_tpu.models.whisper_jax import _quantize_rows
+    from whisper_timestamped_tpu.ops.pallas_kernels import (
+        cross_attention_stacked_int8_pallas_v2,
+        cross_attention_stacked_pallas_v2,
+    )
+
+    r = np.random.default_rng(0)
+    L, B, T, D, H, G = 2, 2, 256, 128, 2, 3
+    q = jnp.asarray(r.standard_normal((B * G, 1, D)), jnp.bfloat16)
+    kf = jnp.asarray(r.standard_normal((L, B, T, D)), jnp.float32)
+    vf = jnp.asarray(r.standard_normal((L, B, T, D)), jnp.float32)
+    k8, ks = _quantize_rows(kf)
+    v8, vs = _quantize_rows(vf)
+    rep = lambda a: jnp.repeat(a, G, axis=1)
+
+    og, wg = cross_attention_stacked_int8_pallas_v2(
+        1, q, k8, ks, v8, vs, H, block_t=256, beam_group=G, interpret=True
+    )
+    orr, wr = cross_attention_stacked_int8_pallas_v2(
+        1, q, rep(k8), rep(ks), rep(v8), rep(vs), H, block_t=256, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(og), np.asarray(orr))
+    np.testing.assert_array_equal(np.asarray(wg), np.asarray(wr))
+
+    og, wg = cross_attention_stacked_pallas_v2(
+        0, q, kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16), H,
+        block_t=256, beam_group=G, interpret=True
+    )
+    orr, wr = cross_attention_stacked_pallas_v2(
+        0, q, rep(kf.astype(jnp.bfloat16)), rep(vf.astype(jnp.bfloat16)), H,
+        block_t=256, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(og), np.asarray(orr))
+    np.testing.assert_array_equal(np.asarray(wg), np.asarray(wr))

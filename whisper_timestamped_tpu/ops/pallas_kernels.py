@@ -848,7 +848,7 @@ def _xattn_stacked_v2_kernel(
 @functools.partial(
     jax.jit, static_argnames=(
         "n_head", "block_t", "emit_scores", "interpret",
-        "parallel_b", "vmem_limit_mb",
+        "parallel_b", "vmem_limit_mb", "beam_group",
     )
 )
 def cross_attention_stacked_pallas_v2(
@@ -907,8 +907,8 @@ def cross_attention_stacked_pallas_v2(
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
+            pl.BlockSpec((1, 1, block_t, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+            pl.BlockSpec((1, 1, block_t, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
@@ -1045,7 +1045,7 @@ def _xattn_stacked_int8_v2_kernel(
     jax.jit,
     static_argnames=(
         "n_head", "block_t", "emit_scores", "interpret",
-        "parallel_b", "vmem_limit_mb",
+        "parallel_b", "vmem_limit_mb", "beam_group",
     ),
 )
 def cross_attention_stacked_int8_pallas_v2(
@@ -1100,10 +1100,10 @@ def cross_attention_stacked_int8_pallas_v2(
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+            pl.BlockSpec((1, 1, 1, block_t), (lambda b, t, l: (l[0], b, 0, t)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, 0, t))),
+            pl.BlockSpec((1, 1, block_t, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+            pl.BlockSpec((1, 1, 1, block_t), (lambda b, t, l: (l[0], b, 0, t)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, 0, t))),
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
@@ -1243,7 +1243,7 @@ def _xattn_stacked_int8_v3_kernel(
     jax.jit,
     static_argnames=(
         "n_head", "block_t", "emit_scores", "interpret",
-        "parallel_b", "vmem_limit_mb",
+        "parallel_b", "vmem_limit_mb", "beam_group",
     ),
 )
 def cross_attention_stacked_int8_pallas_v3(
@@ -1298,10 +1298,10 @@ def cross_attention_stacked_int8_pallas_v3(
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+            pl.BlockSpec((1, 1, 1, block_t), (lambda b, t, l: (l[0], b, 0, t)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, 0, t))),
+            pl.BlockSpec((1, 1, block_t, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+            pl.BlockSpec((1, 1, 1, block_t), (lambda b, t, l: (l[0], b, 0, t)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, 0, t))),
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
@@ -1465,7 +1465,7 @@ def _xattn_stacked_int8_v4_kernel(
     jax.jit,
     static_argnames=(
         "n_head", "block_t", "emit_scores", "interpret",
-        "parallel_b", "vmem_limit_mb",
+        "parallel_b", "vmem_limit_mb", "beam_group",
     ),
 )
 def cross_attention_stacked_int8_pallas_v4(
@@ -1532,10 +1532,10 @@ def cross_attention_stacked_int8_pallas_v4(
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda b, t, l: (b, 0, 0)),
             pl.BlockSpec((1, 1, HP), lambda b, t, l: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
-            pl.BlockSpec((1, 1, block_t, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-            pl.BlockSpec((1, 1, 1, block_t), lambda b, t, l: (l[0], b // beam_group, 0, t)),
+            pl.BlockSpec((1, 1, block_t, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+            pl.BlockSpec((1, 1, 1, block_t), (lambda b, t, l: (l[0], b, 0, t)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, 0, t))),
+            pl.BlockSpec((1, 1, block_t, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+            pl.BlockSpec((1, 1, 1, block_t), (lambda b, t, l: (l[0], b, 0, t)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, 0, t))),
             pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
             pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
         ],
@@ -1870,7 +1870,7 @@ def _xattn_stacked_int4_s8_kernel(
     jax.jit,
     static_argnames=(
         "n_head", "block_t", "emit_scores", "interpret",
-        "parallel_b", "vmem_limit_mb", "use_s8",
+        "parallel_b", "vmem_limit_mb", "beam_group", "use_s8",
     ),
 )
 def cross_attention_stacked_int4_pallas(
@@ -1980,10 +1980,10 @@ def cross_attention_stacked_int4_pallas(
         ]
         inputs += [q8, qsh]
     in_specs += [
-        pl.BlockSpec((1, 1, TTp, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-        pl.BlockSpec((1, 1, 2, TTp), lambda b, t, l: (l[0], b // beam_group, 0, t)),
-        pl.BlockSpec((1, 1, TTp, D), lambda b, t, l: (l[0], b // beam_group, t, 0)),
-        pl.BlockSpec((1, 1, 2, TTp), lambda b, t, l: (l[0], b // beam_group, 0, t)),
+        pl.BlockSpec((1, 1, TTp, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+        pl.BlockSpec((1, 1, 2, TTp), (lambda b, t, l: (l[0], b, 0, t)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, 0, t))),
+        pl.BlockSpec((1, 1, TTp, D), (lambda b, t, l: (l[0], b, t, 0)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, t, 0))),
+        pl.BlockSpec((1, 1, 2, TTp), (lambda b, t, l: (l[0], b, 0, t)) if beam_group == 1 else (lambda b, t, l: (l[0], b // beam_group, 0, t))),
         pl.BlockSpec((D, HP), lambda b, t, l: (0, 0)),
         pl.BlockSpec((HP, D), lambda b, t, l: (0, 0)),
     ]
