@@ -131,10 +131,11 @@ class DecodeEngine:
     ``mesh``: a ``jax.sharding.Mesh`` with ("dp", "tp") axes. The engine
     shards the model parameters itself (megatron TP rules from
     ``parallel/mesh.py``) and places every window batch on the mesh — callers
-    never handle sharding. tp>1 disables the Pallas decode kernels (GSPMD
-    cannot partition a pallas_call); the XLA math path is partitioned instead.
-    The reference has no counterpart: it is strictly single-device batch-1
-    (reference ``transcribe.py:806``).
+    never handle sharding. Under tp>1 the stacked DECODE kernels run via
+    ``shard_map`` (each shard holds whole heads; see ``attach_mesh``) when
+    the geometry allows; encoder/prefill and incompatible geometries use the
+    partitioned XLA math path. The reference has no counterpart: it is
+    strictly single-device batch-1 (reference ``transcribe.py:806``).
     """
 
     def __init__(self, model: WhisperModel, tokenizer: Tokenizer, attn_dtype=jnp.float32,
