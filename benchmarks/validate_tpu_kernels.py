@@ -123,12 +123,15 @@ def main():
     )
     ok &= check("xattn_stacked_int4 out", o1, o2, 3e-2)
     ok &= check("xattn_stacked_int4 scores", s1, s2, 5e-2)
-    o1, s1 = cross_attention_stacked_int4_pallas(
+    o1_s8, s1_s8 = cross_attention_stacked_int4_pallas(
         1, q, k4, ks4, v4, vs4, H, block_t=128, interpret=None, use_s8=True
     )
-    ok &= check("xattn_stacked_int4_s8 out", o1, o2, 4e-2)
-    ok &= check("xattn_stacked_int4_s8 scores", s1, s2, 5e-2)
-    # score gating leaves the output untouched
+    ok &= check("xattn_stacked_int4_s8 out", o1_s8, o2, 4e-2)
+    ok &= check("xattn_stacked_int4_s8 scores", s1_s8, s2, 5e-2)
+    # score gating leaves the output untouched (compare against the SAME
+    # kernel variant: an earlier revision reused o1 for the s8 output and
+    # compared the gated non-s8 run against the s8 one — a guaranteed 5e-3
+    # "failure" that was really a variable clobber, not a kernel defect)
     o3, _ = cross_attention_stacked_int4_pallas(
         1, q, k4, ks4, v4, vs4, H, block_t=128,
         score_flag=jnp.int32(0), interpret=None,
